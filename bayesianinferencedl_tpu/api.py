@@ -1,0 +1,218 @@
+"""High-level pipeline API: the reference's scripts layer (SURVEY.md §1 L6)
+as composable functions.
+
+``build_pipeline`` runs the full offline stack (mesh -> FOM -> snapshots ->
+POD -> ROM -> error dataset -> NN surrogate) and returns every artifact;
+``run_inversion`` runs the online Bayesian inversion with any of the three
+likelihoods (FOM / ROM / ROM+NN — the paper's three-way comparison,
+SURVEY.md Appendix C) on vmapped chains, optionally sharded over a device
+mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bayesianinferencedl_tpu.config import PipelineConfig
+from bayesianinferencedl_tpu.data.datasets import ErrorDataset, generate_error_dataset
+from bayesianinferencedl_tpu.fem.solve import solve_fom
+from bayesianinferencedl_tpu.infer.diagnostics import effective_sample_size, rhat
+from bayesianinferencedl_tpu.infer.pcn import PCNResult, gaussian_misfit, run_pcn
+from bayesianinferencedl_tpu.infer.priors import GaussianPrior
+from bayesianinferencedl_tpu.models.corrected import CorrectedForward
+from bayesianinferencedl_tpu.models.five_param import FiveParamFin
+from bayesianinferencedl_tpu.models.surrogate import TrainedSurrogate, train_surrogate
+from bayesianinferencedl_tpu.rom.galerkin import ReducedOperator
+from bayesianinferencedl_tpu.rom.greedy import greedy_basis
+from bayesianinferencedl_tpu.rom.pod import pod_basis
+from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots, sample_log_uniform
+from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+
+@dataclass
+class Pipeline:
+    """All offline artifacts of the framework, ready for online inversion."""
+
+    config: PipelineConfig
+    fin: FiveParamFin
+    rom: ReducedOperator
+    surrogate: TrainedSurrogate
+    corrected: CorrectedForward
+    dataset: ErrorDataset
+    prior: GaussianPrior
+
+    def forward_fn(self, likelihood: str) -> Callable:
+        """theta(=log k) -> predicted observables, for each likelihood family."""
+        if likelihood == "fom":
+            return lambda t: self.fin.forward(jnp.exp(t))
+        if likelihood == "rom":
+            return lambda t: self.rom.forward(jnp.exp(t))
+        if likelihood == "rom_nn":
+            return self.corrected
+        raise ValueError(f"unknown likelihood {likelihood!r}")
+
+
+def build_pipeline(
+    config: PipelineConfig = PipelineConfig(),
+    *,
+    dtype=jnp.float32,
+    metrics: Optional[MetricsLogger] = None,
+) -> Pipeline:
+    log = metrics or MetricsLogger()
+    cfg = config
+
+    with log.timer("build_fom"):
+        fin = FiveParamFin.create(
+            resolution=cfg.mesh.resolution,
+            biot=cfg.fem.biot,
+            dtype=dtype,
+            cg_tol=cfg.fem.cg_tol,
+            cg_maxiter=cfg.fem.cg_maxiter,
+        )
+    log.log("fom_built", n_dof=fin.op.n_dof, n_padded=fin.op.n)
+
+    key = jax.random.PRNGKey(cfg.rom.seed)
+    k_snap = sample_log_uniform(key, cfg.rom.n_snapshots).astype(dtype)
+    with log.timer("snapshots"):
+        if cfg.rom.method == "greedy":
+            V = greedy_basis(
+                fin.op, k_snap[: cfg.rom.greedy_candidates], cfg.rom.basis_size,
+                tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter,
+            ).V
+        else:
+            S = generate_snapshots(fin.op, k_snap, tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter)
+            S.block_until_ready()
+            V = pod_basis(S, cfg.rom.basis_size).V
+    with log.timer("project_rom"):
+        rom = ReducedOperator.project(fin.op, V)
+    log.log("rom_built", r=rom.r, method=cfg.rom.method)
+
+    with log.timer("error_dataset"):
+        ds = generate_error_dataset(
+            fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 1), cfg.surrogate.n_train,
+            tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter,
+        )
+        ds.error.block_until_ready()
+    rom_rel_err = float(jnp.linalg.norm(ds.error) / jnp.linalg.norm(ds.y_fom))
+    log.log("rom_rel_err", value=rom_rel_err)
+
+    with log.timer("train_surrogate"):
+        surrogate, losses = train_surrogate(
+            ds.log_k,
+            ds.error,
+            hidden=tuple(cfg.surrogate.hidden),
+            activation=cfg.surrogate.activation,
+            lr=cfg.surrogate.learning_rate,
+            batch_size=cfg.surrogate.batch_size,
+            steps=cfg.surrogate.epochs * max(1, cfg.surrogate.n_train // cfg.surrogate.batch_size),
+            seed=cfg.surrogate.seed,
+        )
+        losses.block_until_ready()
+    log.log("surrogate_trained", final_loss=float(losses[-50:].mean()))
+
+    corrected = CorrectedForward(rom=rom, surrogate=surrogate)
+    # corrected-model residual on the training set (should beat raw ROM)
+    y_corr = corrected.batch(ds.log_k)
+    corr_rel_err = float(jnp.linalg.norm(y_corr - ds.y_fom) / jnp.linalg.norm(ds.y_fom))
+    log.log("corrected_rel_err", value=corr_rel_err, rom_rel_err=rom_rel_err)
+
+    prior = GaussianPrior.iid(
+        cfg.prior.dim, mean=cfg.prior.mean, sigma=cfg.prior.sigma, dtype=dtype
+    )
+    return Pipeline(
+        config=cfg, fin=fin, rom=rom, surrogate=surrogate, corrected=corrected,
+        dataset=ds, prior=prior,
+    )
+
+
+@dataclass
+class InversionResult:
+    result: PCNResult
+    theta_true: jax.Array
+    data: jax.Array
+    ess: jax.Array
+    rhat: jax.Array
+    wall_seconds: float
+    samples_per_sec: float
+    ess_per_sec: float
+
+
+def run_inversion(
+    pipe: Pipeline,
+    *,
+    likelihood: Optional[str] = None,
+    theta_true: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+) -> InversionResult:
+    """Synthetic-data Bayesian inversion (BASELINE config 5).
+
+    Draws theta_true from the prior (or uses the given one), simulates noisy
+    observations with the FOM, then runs pCN with the requested likelihood.
+    """
+    log = metrics or MetricsLogger()
+    cfg = pipe.config.mcmc
+    like = likelihood or cfg.likelihood
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    k_true, k_noise, k_init, k_chain = jax.random.split(key, 4)
+
+    dtype = pipe.prior.mean.dtype
+    if theta_true is None:
+        theta_true = pipe.prior.sample(k_true)
+    y_true = pipe.fin.forward(jnp.exp(theta_true))
+    data = y_true + cfg.noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+
+    fwd = pipe.forward_fn(like)
+    misfit = gaussian_misfit(fwd, data, cfg.noise_sigma)
+    theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
+
+    run = lambda: run_pcn(
+        misfit, pipe.prior, theta0, k_chain,
+        n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
+    )
+    if mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn
+
+        run = lambda: sharded_pcn(
+            mesh, misfit, pipe.prior, theta0, k_chain,
+            n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
+        )
+
+    # compile, then time the steady-state run
+    res = run()
+    res.samples.block_until_ready()
+    t0 = time.perf_counter()
+    res = run()
+    res.samples.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    ess = effective_sample_size(res.samples)
+    r = rhat(res.samples)
+    n_kept = res.samples.shape[0] * res.samples.shape[1]
+    out = InversionResult(
+        result=res,
+        theta_true=theta_true,
+        data=data,
+        ess=ess,
+        rhat=r,
+        wall_seconds=wall,
+        samples_per_sec=n_kept / wall,
+        ess_per_sec=float(jnp.min(ess)) / wall,
+    )
+    log.log(
+        "inversion",
+        likelihood=like,
+        wall_seconds=wall,
+        samples_per_sec=out.samples_per_sec,
+        ess_min=float(jnp.min(ess)),
+        ess_per_sec=out.ess_per_sec,
+        accept_rate=float(jnp.mean(res.accept_rate)),
+        rhat_max=float(jnp.max(r)),
+    )
+    return out

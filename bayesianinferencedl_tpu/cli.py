@@ -1,0 +1,237 @@
+"""Command-line interface: the BASELINE config ladder as named commands
+(SURVEY.md §6 'config ladder', §1 L6 scripts layer).
+
+    python -m bayesianinferencedl_tpu.cli fom        # config 1: single FOM solve
+    python -m bayesianinferencedl_tpu.cli snapshots  # config 2: 256 vmapped FOM solves
+    python -m bayesianinferencedl_tpu.cli rom        # config 3: POD ROM + rel-err vs FOM
+    python -m bayesianinferencedl_tpu.cli surrogate  # config 4: NN + adjoint-checked grads
+    python -m bayesianinferencedl_tpu.cli invert     # config 5: full pCN inversion
+    python -m bayesianinferencedl_tpu.cli pipeline   # everything, with checkpoints
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--resolution", type=int, default=4)
+    p.add_argument("--biot", type=float, default=0.1)
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--metrics", type=str, default=None, help="JSONL metrics path")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _dtype(args):
+    return jnp.float64 if args.dtype == "float64" else jnp.float32
+
+
+def _fin(args):
+    from bayesianinferencedl_tpu.models.five_param import FiveParamFin
+
+    return FiveParamFin.create(
+        resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
+        cg_tol=1e-10 if args.dtype == "float64" else 1e-7,
+        cg_maxiter=4000,
+    )
+
+
+def cmd_fom(args) -> None:
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    fin = _fin(args)
+    k = jnp.asarray(args.k, _dtype(args))
+    with log.timer("solve_compile"):
+        u = fin.solve(k)
+        u.block_until_ready()
+    t0 = time.perf_counter()
+    u = fin.solve(k)
+    u.block_until_ready()
+    log.log("solve", seconds=time.perf_counter() - t0, n_dof=fin.op.n_dof)
+    y = fin.qoi(u)
+    print(json.dumps({"qoi": np.asarray(y).tolist(), "n_dof": fin.op.n_dof}))
+
+
+def cmd_snapshots(args) -> None:
+    from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots, sample_log_uniform
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    fin = _fin(args)
+    ks = sample_log_uniform(jax.random.PRNGKey(args.seed), args.n).astype(_dtype(args))
+    with log.timer("snapshots_compile"):
+        S = generate_snapshots(fin.op, ks, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
+        S.block_until_ready()
+    t0 = time.perf_counter()
+    S = generate_snapshots(fin.op, ks, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
+    S.block_until_ready()
+    dt = time.perf_counter() - t0
+    log.log("snapshots", seconds=dt, solves_per_sec=args.n / dt)
+    if args.out:
+        np.savez_compressed(args.out, snapshots=np.asarray(S), ks=np.asarray(ks))
+    print(json.dumps({"n": args.n, "seconds": dt, "fom_solves_per_sec": args.n / dt}))
+
+
+def cmd_rom(args) -> None:
+    from bayesianinferencedl_tpu.rom import ReducedOperator, greedy_basis, pod_basis
+    from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots, sample_log_uniform
+    from bayesianinferencedl_tpu.fem.solve import solve_fom
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    fin = _fin(args)
+    key = jax.random.PRNGKey(args.seed)
+    ks = sample_log_uniform(key, args.n_snapshots).astype(_dtype(args))
+    if args.method == "greedy":
+        V = greedy_basis(fin.op, ks, args.r, tol=fin.cg_tol, maxiter=fin.cg_maxiter).V
+    else:
+        S = generate_snapshots(fin.op, ks, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
+        V = pod_basis(S, args.r).V
+    rom = ReducedOperator.project(fin.op, V)
+
+    k_test = sample_log_uniform(jax.random.PRNGKey(args.seed + 1), 64).astype(_dtype(args))
+    y_fom = jax.vmap(lambda k: fin.op.observe(solve_fom(fin.op, k, tol=fin.cg_tol, maxiter=fin.cg_maxiter)))(k_test)
+    y_rom = rom.forward_batch(k_test)
+    rel = float(jnp.linalg.norm(y_rom - y_fom) / jnp.linalg.norm(y_fom))
+    log.log("rom_rel_err", value=rel, r=args.r, method=args.method)
+    if args.out:
+        np.savez_compressed(args.out, V=np.asarray(V))
+    print(json.dumps({"r": args.r, "method": args.method, "rel_err_vs_fom": rel}))
+
+
+def cmd_surrogate(args) -> None:
+    from bayesianinferencedl_tpu.api import build_pipeline
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.utils.checkpoint import save_checkpoint
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics)
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=4000),
+        rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    # adjoint-check the autodiff gradient of the corrected model (config 4)
+    theta0 = jnp.zeros(5, _dtype(args))
+    d = pipe.corrected(theta0)
+    gfn = jax.grad(lambda t: 0.5 * jnp.sum((pipe.corrected(t) - d) ** 2))
+    g = gfn(theta0 + 0.1)
+    eps = 1e-3 if args.dtype == "float32" else 1e-6
+    fd = []
+    for i in range(5):
+        e = jnp.zeros(5, _dtype(args)).at[i].set(eps)
+        f = lambda t: 0.5 * jnp.sum((pipe.corrected(t) - d) ** 2)
+        fd.append((float(f(theta0 + 0.1 + e)) - float(f(theta0 + 0.1 - e))) / (2 * eps))
+    gd_err = float(jnp.max(jnp.abs(g - jnp.asarray(fd, _dtype(args))) / (jnp.abs(g) + 1e-8)))
+    log.log("gradcheck", rel_err=gd_err)
+    if args.out:
+        save_checkpoint(args.out, (pipe.surrogate.params, pipe.rom.Ahat, pipe.rom.V), meta=cfg.to_dict())
+    s = log.summary()
+    print(json.dumps({
+        "rom_rel_err": s["rom_rel_err"]["value"],
+        "corrected_rel_err": s["corrected_rel_err"]["value"],
+        "gradcheck_rel_err": gd_err,
+    }))
+
+
+def cmd_invert(args) -> None:
+    from bayesianinferencedl_tpu.api import build_pipeline, run_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics)
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=4000),
+        rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        mcmc=MCMCConfig(
+            n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
+            beta=args.beta, noise_sigma=args.noise, likelihood=args.likelihood, seed=args.seed,
+        ),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    mesh = None
+    if args.shard and jax.device_count() > 1:
+        from bayesianinferencedl_tpu.parallel import device_mesh
+
+        mesh = device_mesh()
+    inv = run_inversion(pipe, metrics=log, mesh=mesh)
+    post_mean = np.asarray(inv.result.samples.mean(axis=(0, 1)))
+    print(json.dumps({
+        "likelihood": args.likelihood,
+        "samples_per_sec": inv.samples_per_sec,
+        "ess_min": float(jnp.min(inv.ess)),
+        "ess_per_sec": inv.ess_per_sec,
+        "accept_rate": float(jnp.mean(inv.result.accept_rate)),
+        "rhat_max": float(jnp.max(inv.rhat)),
+        "posterior_mean_log_k": post_mean.tolist(),
+        "theta_true": np.asarray(inv.theta_true).tolist(),
+    }))
+
+
+def cmd_pipeline(args) -> None:
+    cmd_invert(args)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="bayesianinferencedl_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("fom", help="config 1: single FOM solve")
+    _add_common(p)
+    p.add_argument("--k", type=float, nargs=5, default=[1.0, 1.0, 1.0, 1.0, 1.0])
+    p.set_defaults(fn=cmd_fom)
+
+    p = sub.add_parser("snapshots", help="config 2: batched FOM solves")
+    _add_common(p)
+    p.add_argument("--n", type=int, default=256)
+    p.add_argument("--out", type=str, default=None)
+    p.set_defaults(fn=cmd_snapshots)
+
+    p = sub.add_parser("rom", help="config 3: reduced basis + rel-err")
+    _add_common(p)
+    p.add_argument("--n-snapshots", type=int, default=256)
+    p.add_argument("--r", type=int, default=40)
+    p.add_argument("--method", choices=["pod", "greedy"], default="pod")
+    p.add_argument("--out", type=str, default=None)
+    p.set_defaults(fn=cmd_rom)
+
+    for name, fn in [("surrogate", cmd_surrogate), ("invert", cmd_invert), ("pipeline", cmd_pipeline)]:
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("--n-snapshots", type=int, default=256)
+        p.add_argument("--r", type=int, default=40)
+        p.add_argument("--n-train", type=int, default=1024)
+        p.add_argument("--epochs", type=int, default=300)
+        p.add_argument("--out", type=str, default=None)
+        if name != "surrogate":
+            p.add_argument("--chains", type=int, default=1024)
+            p.add_argument("--steps", type=int, default=10_000)
+            p.add_argument("--burn", type=int, default=1_000)
+            p.add_argument("--beta", type=float, default=0.25)
+            p.add_argument("--noise", type=float, default=1e-3)
+            p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument("--shard", action="store_true")
+        p.set_defaults(fn=fn)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Typed configuration objects (SURVEY.md §5 "Config / flag system").
+
+The reference drives everything through argparse flags and hard-coded script
+constants; here every stage of the pipeline is parameterized by a frozen
+dataclass that serializes to/from plain dicts so it can be embedded in every
+checkpoint and metrics record for reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _asdict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Thermal-fin mesh resolution. ``resolution`` n gives cell size h=0.25/n."""
+
+    resolution: int = 4
+
+    def to_dict(self):
+        return _asdict(self)
+
+
+@dataclass(frozen=True)
+class FEMConfig:
+    """Full-order model configuration (SURVEY.md §7 stage 2).
+
+    biot: Robin boundary coefficient Bi on the exterior boundary.
+    cg_tol / cg_maxiter: batched Jacobi-PCG stopping controls; the iteration
+        budget is fixed per-batch (vmap-uniform) with an early-exit predicate
+        on the batch-max residual.
+    refine_steps: rounds of f32-solve + high-precision-residual iterative
+        refinement used to push accuracy below plain-f32 PCG (SURVEY.md §7
+        "Hard parts" #1).
+    """
+
+    biot: float = 0.1
+    cg_tol: float = 1e-10
+    cg_maxiter: int = 2000
+    refine_steps: int = 0
+    dtype: str = "float32"
+
+    def to_dict(self):
+        return _asdict(self)
+
+
+@dataclass(frozen=True)
+class ROMConfig:
+    """Reduced-order model configuration (SURVEY.md §7 stage 3)."""
+
+    n_snapshots: int = 256
+    basis_size: int = 40
+    method: str = "pod"  # "pod" | "greedy"
+    greedy_candidates: int = 256
+    seed: int = 0
+
+    def to_dict(self):
+        return _asdict(self)
+
+
+@dataclass(frozen=True)
+class SurrogateConfig:
+    """ROM-error NN surrogate (SURVEY.md §7 stage 4; reference: Keras MLP)."""
+
+    hidden: Tuple[int, ...] = (64, 64)
+    activation: str = "tanh"
+    learning_rate: float = 1e-3
+    batch_size: int = 128
+    epochs: int = 500
+    n_train: int = 1024
+    seed: int = 0
+
+    def to_dict(self):
+        return _asdict(self)
+
+
+@dataclass(frozen=True)
+class PriorConfig:
+    """Log-normal prior over conductivities: theta = log k ~ N(mean, sigma^2 I)."""
+
+    mean: float = 0.0
+    sigma: float = 0.6
+    dim: int = 5
+
+    def to_dict(self):
+        return _asdict(self)
+
+
+@dataclass(frozen=True)
+class MCMCConfig:
+    """pCN chain configuration (SURVEY.md §7 stage 5)."""
+
+    n_chains: int = 1024
+    n_steps: int = 10_000
+    n_burn: int = 1_000
+    beta: float = 0.25
+    noise_sigma: float = 1e-3
+    likelihood: str = "rom_nn"  # "fom" | "rom" | "rom_nn"
+    seed: int = 0
+    thin: int = 1
+
+    def to_dict(self):
+        return _asdict(self)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. The chain/snapshot batch axis is sharded over
+    ``axis_name`` across all visible devices (ICI within a slice)."""
+
+    axis_name: str = "devices"
+    n_devices: Optional[int] = None  # None -> all of jax.devices()
+
+    def to_dict(self):
+        return _asdict(self)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Everything needed for the full end-to-end inversion pipeline."""
+
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    fem: FEMConfig = field(default_factory=FEMConfig)
+    rom: ROMConfig = field(default_factory=ROMConfig)
+    surrogate: SurrogateConfig = field(default_factory=SurrogateConfig)
+    prior: PriorConfig = field(default_factory=PriorConfig)
+    mcmc: MCMCConfig = field(default_factory=MCMCConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def to_dict(self):
+        return _asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "PipelineConfig":
+        return cls(
+            mesh=MeshConfig(**d.get("mesh", {})),
+            fem=FEMConfig(**d.get("fem", {})),
+            rom=ROMConfig(**{k: (tuple(v) if k == "hidden" else v) for k, v in d.get("rom", {}).items()}),
+            surrogate=SurrogateConfig(
+                **{k: (tuple(v) if k == "hidden" else v) for k, v in d.get("surrogate", {}).items()}
+            ),
+            prior=PriorConfig(**d.get("prior", {})),
+            mcmc=MCMCConfig(**d.get("mcmc", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+        )

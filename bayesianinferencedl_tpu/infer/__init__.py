@@ -1,0 +1,13 @@
+"""Bayesian inversion layer (SURVEY.md §1 L5, §7 stage 5).
+
+Rebuilds the reference's MUQ2-based MCMC machinery (SURVEY.md §2a #10) as
+pure-JAX kernels: the pCN proposal/accept step is a pure function
+(state, key) -> state with the likelihood inlined, vmapped over thousands of
+chains and shard_mapped over the device mesh — eliminating the per-step
+Python<->C++ boundary crossing the reference pays (SURVEY.md §3.5).
+"""
+
+from bayesianinferencedl_tpu.infer.priors import GaussianPrior  # noqa: F401
+from bayesianinferencedl_tpu.infer.pcn import PCNState, pcn_init, pcn_step, run_pcn  # noqa: F401
+from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation  # noqa: F401
+from bayesianinferencedl_tpu.infer.diagnostics import effective_sample_size, rhat  # noqa: F401

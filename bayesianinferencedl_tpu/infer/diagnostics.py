@@ -1,0 +1,65 @@
+"""MCMC diagnostics: ESS, R-hat, acceptance (SURVEY.md §5 metrics row;
+BASELINE figure of merit "MCMC effective samples/sec").
+
+All computed on-device so multi-chip runs can psum-reduce them over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _autocorr_fft(x: jax.Array) -> jax.Array:
+    """Normalized autocorrelation of a 1-D series via FFT."""
+    n = x.shape[0]
+    x = x - jnp.mean(x)
+    nfft = 2 * n  # power-of-2 not required by XLA FFT
+    f = jnp.fft.rfft(x, n=nfft)
+    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft)[:n]
+    return acf / jnp.maximum(acf[0], jnp.finfo(x.dtype).tiny)
+
+
+def effective_sample_size(chains: jax.Array) -> jax.Array:
+    """ESS per scalar component, Geyer initial-monotone-ish estimator.
+
+    chains: (n_steps, n_chains, d) or (n_steps, n_chains). Returns (d,) (or
+    scalar) total ESS across chains: per-chain ESS summed.
+
+    Uses the truncated positive-pair-sum rule on the chain-averaged
+    autocorrelation (standard split-free variant; SURVEY.md §4 posterior
+    diagnostics).
+    """
+    if chains.ndim == 2:
+        chains = chains[..., None]
+    n, c, d = chains.shape
+
+    def per_series(x):  # (n,)
+        rho = _autocorr_fft(x)
+        # pair sums rho[2t+1] + rho[2t+2]
+        n_pairs = (n - 1) // 2
+        pair = rho[1 : 1 + 2 * n_pairs].reshape(n_pairs, 2).sum(1)
+        pos = pair > 0
+        # keep pairs until the first non-positive one (monotone cut)
+        keep = jnp.cumprod(pos.astype(x.dtype))
+        tau = 1.0 + 2.0 * jnp.sum(pair * keep)
+        return n / jnp.maximum(tau, 1.0)
+
+    ess = jax.vmap(jax.vmap(per_series, in_axes=1), in_axes=2)(chains)  # (d, c)
+    return jnp.sum(ess, axis=1)
+
+
+def rhat(chains: jax.Array) -> jax.Array:
+    """Gelman-Rubin potential scale reduction over chains.
+
+    chains: (n_steps, n_chains, d) -> (d,).
+    """
+    if chains.ndim == 2:
+        chains = chains[..., None]
+    n = chains.shape[0]
+    chain_means = jnp.mean(chains, axis=0)  # (c, d)
+    chain_vars = jnp.var(chains, axis=0, ddof=1)  # (c, d)
+    W = jnp.mean(chain_vars, axis=0)
+    B = n * jnp.var(chain_means, axis=0, ddof=1)
+    var_plus = (n - 1) / n * W + B / n
+    return jnp.sqrt(var_plus / jnp.maximum(W, jnp.finfo(chains.dtype).tiny))

@@ -1,0 +1,166 @@
+"""Preconditioned Crank-Nicolson MCMC (SURVEY.md §3.5, A.5; BASELINE config 5).
+
+The chain step is a pure function ``(state, key) -> state`` with the forward
+model inlined, so `scan` over steps x `vmap` over chains compiles the entire
+sampler into a single XLA program — the reference pays a Python<->C++ MUQ
+boundary crossing *every step*; here there are zero host round-trips.
+
+pCN proposal (prior N(m, C)):   theta' = m + sqrt(1-b^2)(theta - m) + b L xi
+acceptance:                     min(1, exp(Phi(theta) - Phi(theta')))
+with Phi the data misfit only — the prior cancels exactly, making the kernel
+dimension-robust (A.5).
+
+Step-size adaptation: with small observation noise the posterior concentrates
+far below the prior scale and any fixed beta either crawls or stalls, so
+burn-in runs per-chain Robbins-Monro adaptation of log beta toward a target
+acceptance rate (0.234); sampling then freezes the adapted per-chain betas.
+Per-chain adaptation is embarrassingly parallel — it needs no cross-chain or
+cross-device communication, so the sharded path is identical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bayesianinferencedl_tpu.infer.priors import GaussianPrior
+
+TARGET_ACCEPT = 0.234
+
+
+class PCNState(NamedTuple):
+    theta: jax.Array  # (..., d)
+    phi: jax.Array  # (...,) data misfit at theta
+    n_accept: jax.Array  # (...,) int32
+
+
+class PCNResult(NamedTuple):
+    state: PCNState
+    samples: jax.Array  # (n_kept, n_chains, d)
+    phi_trace: jax.Array  # (n_kept, n_chains)
+    accept_rate: jax.Array  # (n_chains,)
+    beta: jax.Array  # (n_chains,) final (possibly adapted) step sizes
+
+
+def pcn_init(misfit_fn: Callable, theta0: jax.Array) -> PCNState:
+    """theta0: (n_chains, d) initial states (e.g. prior samples).
+
+    n_accept is derived from phi0 (not a fresh constant) so it inherits the
+    device-varying axis under shard_map (jax vma semantics)."""
+    phi0 = jax.vmap(misfit_fn)(theta0)
+    return PCNState(theta=theta0, phi=phi0, n_accept=(phi0 * 0).astype(jnp.int32))
+
+
+def pcn_step(
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    beta: jax.Array,
+    state: PCNState,
+    key: jax.Array,
+) -> tuple[PCNState, jax.Array]:
+    """One pCN step for a batch of chains (leading axis of state.theta).
+
+    beta: scalar or per-chain (n_chains,). Returns (state, accept mask)."""
+    k_prop, k_acc = jax.random.split(key)
+    dtype = state.theta.dtype
+    beta = jnp.asarray(beta, dtype)
+    b = beta[..., None] if beta.ndim == state.theta.ndim - 1 else beta
+    xi = jax.random.normal(k_prop, state.theta.shape, dtype) @ prior.chol.T
+    mean = prior.mean
+    prop = mean + jnp.sqrt(1.0 - b**2) * (state.theta - mean) + b * xi
+    phi_prop = jax.vmap(misfit_fn)(prop)
+    log_alpha = state.phi - phi_prop
+    u = jax.random.uniform(k_acc, state.phi.shape, dtype)
+    accept = jnp.log(u) < log_alpha
+    theta = jnp.where(accept[..., None], prop, state.theta)
+    phi = jnp.where(accept, phi_prop, state.phi)
+    new = PCNState(theta=theta, phi=phi, n_accept=state.n_accept + accept.astype(jnp.int32))
+    return new, accept
+
+
+@partial(jax.jit, static_argnames=("misfit_fn", "n_steps", "n_burn", "thin", "adapt"))
+def run_pcn(
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    thin: int = 1,
+    adapt: bool = True,
+) -> PCNResult:
+    """Run pCN chains: scan over steps, vmap over chains, fully on-device.
+
+    theta0: (n_chains, d). Burn-in adapts per-chain beta toward 23.4%
+    acceptance (adapt=True), then sampling keeps every ``thin``-th sample.
+    """
+    state = pcn_init(misfit_fn, theta0)
+    dtype = theta0.dtype
+    log_beta0 = jnp.log(jnp.full(state.phi.shape, beta, dtype)) + state.phi * 0
+
+    k_burn, k_main = jax.random.split(key)
+    if n_burn > 0:
+        def burn_body(carry, inp):
+            s, lb = carry
+            t, k = inp
+            s, acc = pcn_step(misfit_fn, prior, jnp.exp(lb), s, k)
+            if adapt:
+                eta = 0.5 / (1.0 + t) ** 0.6
+                lb = lb + eta * (acc.astype(dtype) - dtype.type(TARGET_ACCEPT))
+                lb = jnp.clip(lb, jnp.log(1e-4), jnp.log(0.9999))
+            return (s, lb), None
+
+        ts = jnp.arange(n_burn, dtype=dtype)
+        (state, log_beta), _ = jax.lax.scan(
+            burn_body, (state, log_beta0), (ts, jax.random.split(k_burn, n_burn))
+        )
+        state = state._replace(n_accept=state.n_accept * 0)  # keeps vma axes
+    else:
+        log_beta = log_beta0
+
+    beta_final = jnp.exp(log_beta)
+
+    def keep_body(s, k):
+        s2, _ = pcn_step(misfit_fn, prior, beta_final, s, k)
+        return s2, (s2.theta, s2.phi)
+
+    def drop_body(s, k):
+        s2, _ = pcn_step(misfit_fn, prior, beta_final, s, k)
+        return s2, None
+
+    n_keep_steps = n_steps - n_burn
+    if thin > 1:
+        def thin_body(s, ks):
+            s, _ = jax.lax.scan(drop_body, s, ks)
+            return s, (s.theta, s.phi)
+
+        n_out = n_keep_steps // thin
+        keys = jax.random.split(k_main, n_out * thin).reshape(n_out, thin, 2)
+        state, (samples, phis) = jax.lax.scan(thin_body, state, keys)
+        n_ran = n_out * thin
+    else:
+        state, (samples, phis) = jax.lax.scan(
+            keep_body, state, jax.random.split(k_main, n_keep_steps)
+        )
+        n_ran = n_keep_steps
+
+    accept_rate = state.n_accept.astype(jnp.float32) / max(n_ran, 1)
+    return PCNResult(
+        state=state, samples=samples, phi_trace=phis, accept_rate=accept_rate, beta=beta_final
+    )
+
+
+def gaussian_misfit(forward: Callable, data: jax.Array, noise_sigma: float) -> Callable:
+    """Phi(theta) = ||d - G(theta)||^2 / (2 sigma^2) — the standard likelihood
+    potential for all three forward models (FOM / ROM / ROM+NN)."""
+
+    def phi(theta):
+        r = forward(theta) - data
+        return 0.5 * jnp.sum(r * r) / noise_sigma**2
+
+    return phi

@@ -1,0 +1,65 @@
+"""End-to-end pipeline test: the minimum slice of SURVEY.md §7 plus the
+paper's three-way posterior comparison (SURVEY.md Appendix C) at toy scale."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianinferencedl_tpu.api import build_pipeline, run_inversion
+from bayesianinferencedl_tpu.config import (
+    FEMConfig,
+    MCMCConfig,
+    MeshConfig,
+    PipelineConfig,
+    ROMConfig,
+    SurrogateConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=1),
+        fem=FEMConfig(cg_tol=1e-11, cg_maxiter=2000),
+        rom=ROMConfig(n_snapshots=64, basis_size=24),
+        surrogate=SurrogateConfig(hidden=(32, 32), n_train=256, epochs=100, batch_size=64),
+        mcmc=MCMCConfig(n_chains=32, n_steps=1500, n_burn=500, beta=0.3, noise_sigma=1e-3),
+    )
+    return build_pipeline(cfg, dtype=jnp.float64)
+
+
+def test_offline_artifacts_quality(pipe):
+    s = {}
+    # ROM is accurate; NN correction reduces the residual further
+    ds = pipe.dataset
+    rom_rel = float(jnp.linalg.norm(ds.error) / jnp.linalg.norm(ds.y_fom))
+    y_corr = pipe.corrected.batch(ds.log_k)
+    corr_rel = float(jnp.linalg.norm(y_corr - ds.y_fom) / jnp.linalg.norm(ds.y_fom))
+    assert rom_rel < 5e-3
+    assert corr_rel < rom_rel
+
+
+def test_inversion_recovers_truth(pipe):
+    inv = run_inversion(pipe, likelihood="rom_nn", key=jax.random.PRNGKey(11))
+    post_mean = np.asarray(inv.result.samples.mean(axis=(0, 1)))
+    theta_true = np.asarray(inv.theta_true)
+    # with 1e-3 noise the posterior concentrates near the truth
+    assert np.abs(post_mean - theta_true).max() < 0.25, (post_mean, theta_true)
+    assert float(jnp.mean(inv.result.accept_rate)) > 0.05
+
+
+def test_three_way_likelihood_comparison(pipe):
+    """FOM, ROM, ROM+NN posteriors must be mutually consistent on a well-
+    resolved problem (Appendix C claim structure)."""
+    key = jax.random.PRNGKey(5)
+    theta_true = pipe.prior.sample(key)
+    means = {}
+    for like in ["fom", "rom", "rom_nn"]:
+        inv = run_inversion(pipe, likelihood=like, theta_true=theta_true, key=key)
+        means[like] = np.asarray(inv.result.samples.mean(axis=(0, 1)))
+    # ROM is accurate here, so all three agree; rom_nn at least as close to fom as rom
+    d_rom = np.linalg.norm(means["rom"] - means["fom"])
+    d_nn = np.linalg.norm(means["rom_nn"] - means["fom"])
+    assert d_nn < 0.2
+    assert d_rom < 0.2

@@ -1,0 +1,57 @@
+"""Pallas fused-PCG kernel tests, run in interpreter mode on CPU
+(compiled-mode validation happens on the real chip; see bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from bayesianinferencedl_tpu.fem import oracle
+from bayesianinferencedl_tpu.fem.dia import StencilOperator, assemble_fin_dia
+from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+
+BIOT = 0.1
+
+
+@pytest.fixture(scope="module")
+def op32(mesh_r1):
+    host = assemble_fin_dia(mesh_r1, pad_to=128)
+    return StencilOperator.from_host(host, biot=BIOT, dtype=jnp.float32)
+
+
+def test_pallas_pcg_matches_scipy(mesh_r1, op32):
+    ks = np.exp(np.random.default_rng(0).normal(0, 0.4, (4, 5))).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        u, iters = solve_fom_stencil_pallas(op32, jnp.asarray(ks), tol=1e-6, maxiter=800)
+    assert (np.asarray(iters) > 0).all() and (np.asarray(iters) < 800).all()
+
+    n_res = mesh_r1.resolution
+    h = 0.25 / n_res
+    ny = 16 * n_res
+    gi = np.rint((mesh_r1.nodes[:, 0] + 3.0) / h).astype(int)
+    gj = np.rint(mesh_r1.nodes[:, 1] / h).astype(int)
+    gid = gi * (ny + 1) + gj
+    for b in range(4):
+        u_ref = oracle.solve(mesh_r1, ks[b], BIOT)
+        rel = np.linalg.norm(np.asarray(u[b])[gid] - u_ref) / np.linalg.norm(u_ref)
+        assert rel < 5e-5, (b, rel)
+
+
+def test_grid_roundtrip(op32):
+    v = jnp.arange(op32.n, dtype=jnp.float32)
+    a = op32.to_grid(v)
+    v2 = op32.from_grid(a)
+    np.testing.assert_array_equal(np.asarray(v2[: op32.n_grid]), np.asarray(v[: op32.n_grid]))
+
+
+def test_vals_grid_matches_flat(op32):
+    k = jnp.asarray([0.5, 1.5, 2.5, 0.8, 1.2], jnp.float32)
+    planes = op32.vals_grid(k)
+    vals = op32.vals(k)
+    x0, y0 = op32.grid_shape0
+    np.testing.assert_allclose(
+        np.asarray(planes[:, :x0, :y0].reshape(7, -1).T),
+        np.asarray(vals[: op32.n_grid]),
+        atol=0,
+    )

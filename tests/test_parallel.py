@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4 'multi-device tests without a TPU pod')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesianinferencedl_tpu.infer import GaussianPrior
+from bayesianinferencedl_tpu.infer.pcn import gaussian_misfit
+from bayesianinferencedl_tpu.models.surrogate import MLP, adam_init
+from bayesianinferencedl_tpu.parallel import device_mesh, dp_train_step, sharded_pcn, sharded_snapshots
+
+
+def test_mesh_has_8_devices():
+    mesh = device_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_pcn_runs_and_matches_stats():
+    mesh = device_mesh()
+    prior = GaussianPrior.iid(3, sigma=1.0, dtype=jnp.float64)
+    H = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3)))
+    data = jnp.asarray(np.random.default_rng(1).standard_normal(4))
+    misfit = gaussian_misfit(lambda t: H @ t, data, 0.5)
+    theta0 = prior.sample(jax.random.PRNGKey(0), (64,))
+    res = sharded_pcn(
+        mesh, misfit, prior, theta0, jax.random.PRNGKey(1), n_steps=2000, n_burn=500, beta=0.4
+    )
+    assert res.samples.shape == (1500, 64, 3)
+    # analytic posterior mean check (coarse)
+    Cpost = np.linalg.inv(np.asarray(H.T @ H) / 0.25 + np.eye(3))
+    mu = Cpost @ np.asarray(H.T @ data) / 0.25
+    emp = np.asarray(res.samples).reshape(-1, 3).mean(0)
+    np.testing.assert_allclose(emp, mu, atol=0.08)
+    # different devices actually decorrelated: chains on different shards differ
+    s0 = np.asarray(res.samples[:, 0, 0])
+    s8 = np.asarray(res.samples[:, 8, 0])
+    assert np.abs(np.corrcoef(s0, s8)[0, 1]) < 0.5
+
+
+def test_sharded_snapshots_match_local(op_r1_f64):
+    mesh = device_mesh()
+    from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots, sample_log_uniform
+
+    ks = sample_log_uniform(jax.random.PRNGKey(5), 16)
+    S_local = generate_snapshots(op_r1_f64, ks, tol=1e-12)
+    S_shard = sharded_snapshots(mesh, op_r1_f64, ks, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(S_shard), np.asarray(S_local), rtol=1e-9, atol=1e-11)
+
+
+def test_dp_train_step_matches_single_device():
+    mesh = device_mesh()
+    mlp = MLP(sizes=(5, 16, 3), activation="tanh")
+    params = mlp.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+    opt = adam_init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 5), jnp.float64)
+    y = jax.random.normal(jax.random.PRNGKey(2), (64, 3), jnp.float64)
+
+    p_dp, _, loss_dp = dp_train_step(mesh, mlp, params, opt, x, y, 1e-3)
+
+    # single-device reference step
+    from bayesianinferencedl_tpu.models.surrogate import adam_update
+
+    def loss_fn(pp):
+        return jnp.mean((mlp.apply(pp, x) - y) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(params)
+    p_ref, _ = adam_update(params, g_ref, opt, 1e-3)
+
+    assert abs(float(loss_dp) - float(l_ref)) < 1e-10
+    for (W1, b1), (W2, b2) in zip(p_dp, p_ref):
+        np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), atol=1e-10)
