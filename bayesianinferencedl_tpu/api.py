@@ -17,6 +17,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bayesianinferencedl_tpu.config import PipelineConfig
 from bayesianinferencedl_tpu.data.datasets import ErrorDataset, generate_error_dataset
@@ -57,14 +58,34 @@ class Pipeline:
         raise ValueError(f"unknown likelihood {likelihood!r}")
 
 
+def make_fom_solver(fin: FiveParamFin, *, tol: float, maxiter: int, use_pallas: Optional[bool] = None):
+    """Batched FOM solver ks -> u batch. On TPU with the f32 stencil operator
+    this is the fused Pallas PCG (fast compile + ~6x runtime); elsewhere the
+    vmapped implicit-diff solve."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and hasattr(fin.op, "vals_grid") and fin.op.dtype == jnp.float32:
+        from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+
+        return lambda ks: solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=maxiter)[0]
+    from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots as _gen
+
+    return lambda ks: _gen(fin.op, ks, tol=tol, maxiter=maxiter)
+
+
 def build_pipeline(
     config: PipelineConfig = PipelineConfig(),
     *,
     dtype=jnp.float32,
     metrics: Optional[MetricsLogger] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Pipeline:
+    """use_pallas: route the batched FOM sweeps (snapshots + error dataset)
+    through the fused Pallas PCG kernel. Default: on when running on TPU."""
     log = metrics or MetricsLogger()
     cfg = config
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     with log.timer("build_fom"):
         fin = FiveParamFin.create(
@@ -74,10 +95,17 @@ def build_pipeline(
             cg_tol=cfg.fem.cg_tol,
             cg_maxiter=cfg.fem.cg_maxiter,
         )
-    log.log("fom_built", n_dof=fin.op.n_dof, n_padded=fin.op.n)
+    log.log("fom_built", n_dof=fin.op.n_dof, n_padded=fin.op.n, pallas=use_pallas)
+
+    fom_solver = None
+    if use_pallas and hasattr(fin.op, "vals_grid") and dtype == jnp.float32:
+        fom_solver = make_fom_solver(
+            fin, tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter, use_pallas=True
+        )
 
     key = jax.random.PRNGKey(cfg.rom.seed)
     k_snap = sample_log_uniform(key, cfg.rom.n_snapshots).astype(dtype)
+    host_algebra = hasattr(fin.host, "to_scipy_components")
     with log.timer("snapshots"):
         if cfg.rom.method == "greedy":
             V = greedy_basis(
@@ -85,17 +113,31 @@ def build_pipeline(
                 tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter,
             ).V
         else:
-            S = generate_snapshots(fin.op, k_snap, tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter)
+            if fom_solver is not None:
+                S = fom_solver(k_snap)
+            else:
+                S = generate_snapshots(
+                    fin.op, k_snap, tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter
+                )
             S.block_until_ready()
-            V = pod_basis(S, cfg.rom.basis_size).V
+            if host_algebra:
+                # device solves, but f64 host POD — see rom.pod.pod_basis_host
+                from bayesianinferencedl_tpu.rom.pod import pod_basis_host
+
+                V, _ = pod_basis_host(S, cfg.rom.basis_size)
+            else:
+                V = pod_basis(S, cfg.rom.basis_size).V
     with log.timer("project_rom"):
-        rom = ReducedOperator.project(fin.op, V)
-    log.log("rom_built", r=rom.r, method=cfg.rom.method)
+        if host_algebra and cfg.rom.method != "greedy":
+            rom = ReducedOperator.project_host(fin.host, cfg.fem.biot, V, dtype=dtype)
+        else:
+            rom = ReducedOperator.project(fin.op, V)
+    log.log("rom_built", r=rom.r, method=cfg.rom.method, f64_offline=host_algebra)
 
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
             fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 1), cfg.surrogate.n_train,
-            tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter,
+            tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter, fom_solver=fom_solver,
         )
         ds.error.block_until_ready()
     rom_rel_err = float(jnp.linalg.norm(ds.error) / jnp.linalg.norm(ds.y_fom))
@@ -127,6 +169,88 @@ def build_pipeline(
     return Pipeline(
         config=cfg, fin=fin, rom=rom, surrogate=surrogate, corrected=corrected,
         dataset=ds, prior=prior,
+    )
+
+
+def run_pcn_checkpointed(
+    misfit_fn,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    segment: int = 1000,
+    ckpt_path: str = "chain_ckpt.npz",
+    resume: bool = True,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """pCN with periodic chain-state checkpoints and exact resume
+    (SURVEY.md §5 'Failure detection / elastic recovery').
+
+    The run is split into ``segment``-step chunks; after each chunk the full
+    sampler state (chain states, adapted per-chain betas, RNG key, step
+    counter) is written to one npz. A killed run restarted with the same
+    arguments reloads the last checkpoint and continues with the identical
+    RNG stream, so the surviving samples are bit-identical to an uninterrupted
+    run's corresponding segments.
+    """
+    import os
+
+    from bayesianinferencedl_tpu.infer.pcn import PCNResult, pcn_init, run_pcn
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    log = metrics or MetricsLogger()
+    state = pcn_init(misfit_fn, theta0)
+    betas = jnp.full(state.phi.shape, beta, state.theta.dtype)
+    step_done = 0
+    chunks = []
+
+    exemplar = (state, betas, key)
+    chunk_steps: list = []
+    if resume and os.path.exists(ckpt_path):
+        (state, betas, key), meta = load_checkpoint(ckpt_path, exemplar)
+        step_done = int(meta["step"])
+        chunk_steps = list(meta.get("chunk_steps", []))
+        # reload the sample chunks the dead run already persisted
+        for s in chunk_steps:
+            z = np.load(f"{ckpt_path}.samples_{s}.npz")
+            chunks.append((z["samples"], z["phis"]))
+        log.log("chain_resume", step=step_done, chunks=len(chunks))
+
+    res = None
+    while step_done < n_steps:
+        this = min(segment, n_steps - step_done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - step_done, 0), this)
+        res = run_pcn(
+            misfit_fn, prior, state.theta, sub,
+            n_steps=this, n_burn=burn, beta=betas, thin=1, adapt=True,
+        )
+        state, betas = res.state, res.beta  # adapted per-chain betas persist
+        step_done += this
+        if res.samples.shape[0] > 0:
+            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
+            np.savez_compressed(
+                f"{ckpt_path}.samples_{step_done}.npz",
+                samples=np.asarray(res.samples),
+                phis=np.asarray(res.phi_trace),
+            )
+            chunk_steps.append(step_done)
+        save_checkpoint(
+            ckpt_path, (state, betas, key), meta={"step": step_done, "chunk_steps": chunk_steps}
+        )
+        log.log("chain_checkpoint", step=step_done, accept=float(jnp.mean(res.accept_rate)))
+
+    samples = np.concatenate([c[0] for c in chunks], axis=0) if chunks else None
+    phis = np.concatenate([c[1] for c in chunks], axis=0) if chunks else None
+    return PCNResult(
+        state=state,
+        samples=jnp.asarray(samples) if samples is not None else None,
+        phi_trace=jnp.asarray(phis) if phis is not None else None,
+        accept_rate=res.accept_rate,
+        beta=betas,
     )
 
 

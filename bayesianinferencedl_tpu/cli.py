@@ -61,17 +61,19 @@ def cmd_fom(args) -> None:
 
 
 def cmd_snapshots(args) -> None:
-    from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots, sample_log_uniform
+    from bayesianinferencedl_tpu.api import make_fom_solver
+    from bayesianinferencedl_tpu.rom.snapshots import sample_log_uniform
     from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
 
     log = MetricsLogger(args.metrics, run_config=vars(args))
     fin = _fin(args)
+    solver = make_fom_solver(fin, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
     ks = sample_log_uniform(jax.random.PRNGKey(args.seed), args.n).astype(_dtype(args))
     with log.timer("snapshots_compile"):
-        S = generate_snapshots(fin.op, ks, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
+        S = solver(ks)
         S.block_until_ready()
     t0 = time.perf_counter()
-    S = generate_snapshots(fin.op, ks, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
+    S = solver(ks)
     S.block_until_ready()
     dt = time.perf_counter() - t0
     log.log("snapshots", seconds=dt, solves_per_sec=args.n / dt)
@@ -81,24 +83,28 @@ def cmd_snapshots(args) -> None:
 
 
 def cmd_rom(args) -> None:
-    from bayesianinferencedl_tpu.rom import ReducedOperator, greedy_basis, pod_basis
-    from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots, sample_log_uniform
-    from bayesianinferencedl_tpu.fem.solve import solve_fom
+    from bayesianinferencedl_tpu.api import make_fom_solver
+    from bayesianinferencedl_tpu.rom import ReducedOperator, greedy_basis
+    from bayesianinferencedl_tpu.rom.pod import pod_basis_host
+    from bayesianinferencedl_tpu.rom.snapshots import sample_log_uniform
     from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
 
     log = MetricsLogger(args.metrics, run_config=vars(args))
     fin = _fin(args)
+    solver = make_fom_solver(fin, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
     key = jax.random.PRNGKey(args.seed)
     ks = sample_log_uniform(key, args.n_snapshots).astype(_dtype(args))
     if args.method == "greedy":
         V = greedy_basis(fin.op, ks, args.r, tol=fin.cg_tol, maxiter=fin.cg_maxiter).V
+        rom = ReducedOperator.project(fin.op, V)
     else:
-        S = generate_snapshots(fin.op, ks, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
-        V = pod_basis(S, args.r).V
-    rom = ReducedOperator.project(fin.op, V)
+        S = solver(ks)
+        V, _ = pod_basis_host(np.asarray(S), args.r)
+        rom = ReducedOperator.project_host(fin.host, args.biot, V, dtype=_dtype(args))
 
     k_test = sample_log_uniform(jax.random.PRNGKey(args.seed + 1), 64).astype(_dtype(args))
-    y_fom = jax.vmap(lambda k: fin.op.observe(solve_fom(fin.op, k, tol=fin.cg_tol, maxiter=fin.cg_maxiter)))(k_test)
+    u_test = solver(k_test)
+    y_fom = jax.vmap(fin.op.observe)(u_test)
     y_rom = rom.forward_batch(k_test)
     rel = float(jnp.linalg.norm(y_rom - y_fom) / jnp.linalg.norm(y_fom))
     log.log("rom_rel_err", value=rel, r=args.r, method=args.method)

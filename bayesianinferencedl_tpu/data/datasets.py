@@ -42,18 +42,26 @@ def generate_error_dataset(
     tol: float = 1e-10,
     maxiter: int = 3000,
     chunk: int | None = None,
+    fom_solver=None,
 ) -> ErrorDataset:
+    """fom_solver: optional batched solver ks -> u batch (e.g. the fused
+    Pallas PCG, ops.solve_fom_stencil_pallas); default is the vmapped
+    implicit-diff solve."""
     ks = sample_log_uniform(key, n_samples, lo=lo, hi=hi).astype(op.dtype)
 
-    def fom_qoi(k):
-        return op.observe(solve_fom(op, k, tol=tol, maxiter=maxiter))
-
-    if chunk is None:
-        y_fom = jax.vmap(fom_qoi)(ks)
+    if fom_solver is not None:
+        u = fom_solver(ks)
+        y_fom = jax.vmap(op.observe)(u)
     else:
-        pad = (-n_samples) % chunk
-        ks_p = jnp.concatenate([ks, ks[: pad]]) if pad else ks
-        y_fom = jax.lax.map(jax.vmap(fom_qoi), ks_p.reshape(-1, chunk, ks.shape[1]))
-        y_fom = y_fom.reshape(-1, y_fom.shape[-1])[:n_samples]
+        def fom_qoi(k):
+            return op.observe(solve_fom(op, k, tol=tol, maxiter=maxiter))
+
+        if chunk is None:
+            y_fom = jax.vmap(fom_qoi)(ks)
+        else:
+            pad = (-n_samples) % chunk
+            ks_p = jnp.concatenate([ks, ks[:pad]]) if pad else ks
+            y_fom = jax.lax.map(jax.vmap(fom_qoi), ks_p.reshape(-1, chunk, ks.shape[1]))
+            y_fom = y_fom.reshape(-1, y_fom.shape[-1])[:n_samples]
     y_rom = rom.forward_batch(ks)
     return ErrorDataset(log_k=jnp.log(ks), error=y_fom - y_rom, y_fom=y_fom, y_rom=y_rom)

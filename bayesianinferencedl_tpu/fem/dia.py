@@ -50,6 +50,32 @@ class FinFEMDiaHost:
     def n(self) -> int:
         return self.comp_vals.shape[0]
 
+    def to_scipy_components(self):
+        """float64 scipy CSR matrices ([A_1..A_5], M_ext) of this host —
+        for exact offline algebra (f64 Galerkin projection) and oracles."""
+        import scipy.sparse as sp
+
+        n = self.n
+        rows = np.arange(n)
+        n_comp = self.comp_vals.shape[2]
+        mats = []
+        for ch in range(n_comp + 1):
+            data_all, r_all, c_all = [], [], []
+            for s, off in enumerate(self.offsets):
+                vals = self.comp_vals[:, s, ch] if ch < n_comp else self.ext_mass[:, s]
+                cols = rows + int(off)
+                ok = (cols >= 0) & (cols < n) & (vals != 0)
+                data_all.append(vals[ok])
+                r_all.append(rows[ok])
+                c_all.append(cols[ok])
+            mats.append(
+                sp.coo_matrix(
+                    (np.concatenate(data_all), (np.concatenate(r_all), np.concatenate(c_all))),
+                    shape=(n, n),
+                ).tocsr()
+            )
+        return mats[:-1], mats[-1]
+
 
 def assemble_fin_dia(mesh: FinMesh, pad_to: int = 128) -> FinFEMDiaHost:
     """Assemble the affine fin operator in stencil form on the full grid.
@@ -185,9 +211,12 @@ class StencilOperator:
         return max(abs(o) for o in self.offsets)
 
     def vals(self, k: jax.Array) -> jax.Array:
+        # elementwise multiply-sum, NOT tensordot: TPU matmuls default to
+        # bfloat16 MXU passes, which caps the assembled operator (and hence
+        # every solve) at ~1e-3 relative accuracy; the VPU keeps full f32.
         k = jnp.asarray(k, self.dtype)
         return (
-            jnp.tensordot(self.comp_vals, k, axes=([-1], [0]))
+            jnp.sum(self.comp_vals * k[None, None, :], axis=-1)
             + self.dtype.type(self.biot) * self.ext_mass
             + self.fixed
         )
@@ -217,7 +246,8 @@ class StencilOperator:
         return vals[:, self.offsets.index(0)]
 
     def observe(self, u: jax.Array) -> jax.Array:
-        return self.qoi @ u
+        """QoI map y = B u (full f32 — see vals() on TPU matmul precision)."""
+        return jnp.dot(self.qoi, u, precision=jax.lax.Precision.HIGHEST)
 
     # --- 2-D grid view (for the fused Pallas PCG kernel, ops/pcg_stencil) --
     @property

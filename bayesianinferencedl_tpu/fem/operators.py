@@ -73,10 +73,14 @@ class FinOperator:
         return self.comp_vals.dtype
 
     def vals(self, k: jax.Array) -> jax.Array:
-        """ELL values of A(k): one small contraction, differentiable in k."""
+        """ELL values of A(k): one small contraction, differentiable in k.
+
+        Elementwise multiply-sum rather than tensordot — TPU matmuls default
+        to bfloat16 MXU passes, which would cap the assembled operator at
+        ~1e-3 relative accuracy; the VPU keeps full f32."""
         k = jnp.asarray(k, dtype=self.dtype)
         return (
-            jnp.tensordot(self.comp_vals, k, axes=([-1], [0]))
+            jnp.sum(self.comp_vals * k[None, None, :], axis=-1)
             + self.dtype.type(self.biot) * self.ext_mass
             + self.fixed
         )
@@ -103,8 +107,9 @@ class FinOperator:
         return vals[jnp.arange(vals.shape[0]), self.diag_slot]
 
     def observe(self, u: jax.Array) -> jax.Array:
-        """QoI map y = B u: per-region average temperatures."""
-        return self.qoi @ u
+        """QoI map y = B u: per-region average temperatures (full f32 —
+        see vals() on TPU matmul precision)."""
+        return jnp.dot(self.qoi, u, precision=jax.lax.Precision.HIGHEST)
 
     def materialize(self, k: jax.Array) -> jax.Array:
         """Dense A(k) (tests / small meshes only)."""

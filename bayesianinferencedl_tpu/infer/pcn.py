@@ -101,7 +101,10 @@ def run_pcn(
     """
     state = pcn_init(misfit_fn, theta0)
     dtype = theta0.dtype
-    log_beta0 = jnp.log(jnp.full(state.phi.shape, beta, dtype)) + state.phi * 0
+    # beta may be a scalar or per-chain array (e.g. adapted betas carried
+    # across a checkpoint/resume boundary)
+    beta_arr = jnp.broadcast_to(jnp.asarray(beta, dtype), state.phi.shape)
+    log_beta0 = jnp.log(beta_arr) + state.phi * 0
 
     k_burn, k_main = jax.random.split(key)
     if n_burn > 0:

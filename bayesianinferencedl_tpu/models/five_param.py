@@ -50,7 +50,21 @@ class FiveParamFin:
         if layout == "dia":
             from bayesianinferencedl_tpu.fem.dia import StencilOperator, assemble_fin_dia
 
-            host = assemble_fin_dia(mesh, pad_to=pad_to)
+            # prefer the native C++ assembler when its library is available;
+            # the NumPy path is the oracle (tests pin them equal)
+            host = None
+            try:
+                from bayesianinferencedl_tpu.native import (
+                    assemble_fin_dia_native,
+                    native_available,
+                )
+
+                if native_available():
+                    host = assemble_fin_dia_native(resolution, pad_to=pad_to)
+            except Exception:
+                host = None
+            if host is None:
+                host = assemble_fin_dia(mesh, pad_to=pad_to)
             op = StencilOperator.from_host(host, biot=biot, dtype=dtype)
         else:
             host = assemble_fin(mesh, pad_to=pad_to)

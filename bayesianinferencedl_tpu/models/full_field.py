@@ -76,7 +76,9 @@ class ElementOperator:
         """u -> A(k) u, matrix-free (stiffness part only)."""
         ke = self.elem_conductivity(k_nodal)
         u_e = u[self.tri]  # (nt, 3)
-        w_e = ke[:, None] * jnp.einsum("eab,eb->ea", self.Ke_unit, u_e)
+        w_e = ke[:, None] * jnp.einsum(
+            "eab,eb->ea", self.Ke_unit, u_e, precision=jax.lax.Precision.HIGHEST
+        )
         contrib = w_e.reshape(-1)[self.scatter_perm]
         return jax.ops.segment_sum(
             contrib, self.scatter_ids, num_segments=self.n, indices_are_sorted=True
@@ -128,7 +130,9 @@ class RandomField(NamedTuple):
     def sample(self, key: jax.Array, n_samples: int | None = None) -> jax.Array:
         shape = (self.n_features,) if n_samples is None else (n_samples, self.n_features)
         z = jax.random.normal(key, shape, dtype=self.features.dtype)
-        return self.mean + self.sigma * z @ self.features.T
+        return self.mean + self.sigma * jnp.dot(
+            z, self.features.T, precision=jax.lax.Precision.HIGHEST
+        )
 
 
 @dataclass
@@ -200,3 +204,27 @@ class FullFieldFin:
 
     def sample_prior(self, key: jax.Array, n_samples: int | None = None) -> jax.Array:
         return self.field.sample(key, n_samples)
+
+    # --- coefficient-space view for dimension-robust inversion -------------
+    def theta_from_coeff(self, z: jax.Array) -> jax.Array:
+        """RFF coefficients z (M,) -> nodal log-conductivity field."""
+        return self.field.mean + self.field.sigma * jnp.dot(
+            self.field.features, z, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def forward_coeff(self, z: jax.Array) -> jax.Array:
+        """G in coefficient space: z -> observables. With the standard-normal
+        prior on z this is exactly the whitened-coordinate setup pCN wants —
+        the full-field inverse problem becomes an M-dimensional pCN chain
+        whose cost per step is one FOM solve, fully fused on device
+        (SURVEY.md §2a #4 + A.5)."""
+        return self.forward(self.theta_from_coeff(z))
+
+    def coeff_prior(self, dtype=None):
+        """N(0, I_M) prior over RFF coefficients."""
+        from bayesianinferencedl_tpu.infer.priors import GaussianPrior
+
+        return GaussianPrior.iid(
+            self.field.n_features, mean=0.0, sigma=1.0,
+            dtype=dtype or self.field.features.dtype,
+        )

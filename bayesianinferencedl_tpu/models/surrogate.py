@@ -41,12 +41,16 @@ class MLP(NamedTuple):
         return params
 
     def apply(self, params, x: jax.Array) -> jax.Array:
+        # full-f32 matmuls: the surrogate predicts QoI-scale corrections
+        # (~1e-3 absolute), below bfloat16 MXU resolution, and the matrices
+        # are tiny anyway (TPU matmul default would be bf16 passes).
+        hi = jax.lax.Precision.HIGHEST
         act = _ACTIVATIONS[self.activation]
         h = x
         for W, b in params[:-1]:
-            h = act(h @ W + b)
+            h = act(jnp.dot(h, W, precision=hi) + b)
         W, b = params[-1]
-        return h @ W + b
+        return jnp.dot(h, W, precision=hi) + b
 
 
 class AdamState(NamedTuple):

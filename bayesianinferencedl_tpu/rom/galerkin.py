@@ -42,29 +42,59 @@ class ReducedOperator:
     @classmethod
     def project(cls, op: FinOperator, V: jax.Array) -> "ReducedOperator":
         """Offline Galerkin projection of the affine components onto span(V)."""
+        hi = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes
         # A_i V via matrix-free component applies, vmapped over basis columns.
         AiV = jnp.stack(
             [jax.vmap(lambda v, i=i: op.apply_component(i, v), in_axes=1, out_axes=1)(V) for i in range(5)]
         )  # (5, n, r)
-        Ahat = jnp.einsum("nr,cns->crs", V, AiV)
+        Ahat = jnp.einsum("nr,cns->crs", V, AiV, precision=hi)
         # apply_ext_mass includes the padding-identity entries, but those only
         # touch padding rows, where every snapshot (hence every basis vector)
         # is exactly zero — so the projection sees the pure boundary mass.
         MV = jax.vmap(op.apply_ext_mass, in_axes=1, out_axes=1)(V)
-        Mhat = V.T @ MV
+        Mhat = jnp.dot(V.T, MV, precision=hi)
         return cls(
             Ahat=Ahat,
             Mhat=Mhat,
-            Fhat=V.T @ op.F_root,
-            Bhat=op.qoi @ V,
+            Fhat=jnp.dot(V.T, op.F_root, precision=hi),
+            Bhat=jnp.dot(op.qoi, V, precision=hi),
             V=V,
             biot=float(op.biot),
         )
 
+    @classmethod
+    def project_host(cls, host, biot: float, V, dtype=jnp.float32) -> "ReducedOperator":
+        """Exact float64 offline projection on the host, cast to the online
+        dtype. ``host`` is a FinFEMDiaHost (or anything exposing
+        to_scipy_components / F_root / qoi). The f64 algebra preserves the
+        ROM's true Kolmogorov accuracy, which f32 on-device projection
+        cannot (see rom.pod.pod_basis_host)."""
+        import numpy as np
+
+        comps, M_ext = host.to_scipy_components()
+        V = np.asarray(V, np.float64)
+        Ahat = np.stack([V.T @ (A @ V) for A in comps])
+        Mhat = V.T @ (M_ext @ V)
+        Fhat = V.T @ np.asarray(host.F_root, np.float64)
+        Bhat = np.asarray(host.qoi, np.float64) @ V
+        return cls(
+            Ahat=jnp.asarray(Ahat, dtype),
+            Mhat=jnp.asarray(Mhat, dtype),
+            Fhat=jnp.asarray(Fhat, dtype),
+            Bhat=jnp.asarray(Bhat, dtype),
+            V=jnp.asarray(V, dtype),
+            biot=float(biot),
+        )
+
     def assemble(self, k: jax.Array) -> jax.Array:
-        """Dense r x r reduced system matrix Ahat(k)."""
+        """Dense r x r reduced system matrix Ahat(k). Elementwise contraction
+        over the 5 components (full f32; TPU tensordot would route through
+        bfloat16 MXU passes — see fem.dia.StencilOperator.vals)."""
         k = jnp.asarray(k, dtype=self.Ahat.dtype)
-        return jnp.tensordot(k, self.Ahat, axes=([0], [0])) + self.Ahat.dtype.type(self.biot) * self.Mhat
+        return (
+            jnp.sum(self.Ahat * k[:, None, None], axis=0)
+            + self.Ahat.dtype.type(self.biot) * self.Mhat
+        )
 
     def solve(self, k: jax.Array) -> jax.Array:
         """Online reduced solve: u_r(k), shape (r,). Differentiable in k."""
@@ -74,7 +104,7 @@ class ReducedOperator:
 
     def forward(self, k: jax.Array) -> jax.Array:
         """G_ROM: k -> QoI of the lifted reduced solution, y_r = (B V) u_r."""
-        return self.Bhat @ self.solve(k)
+        return jnp.dot(self.Bhat, self.solve(k), precision=jax.lax.Precision.HIGHEST)
 
     def forward_batch(self, ks: jax.Array) -> jax.Array:
         return jax.vmap(self.forward)(ks)

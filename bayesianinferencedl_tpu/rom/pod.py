@@ -37,3 +37,30 @@ def pod_basis(snapshots: jnp.ndarray, r: int) -> PODResult:
 def orthonormality_error(V: jnp.ndarray) -> jnp.ndarray:
     r = V.shape[1]
     return jnp.max(jnp.abs(V.T @ V - jnp.eye(r, dtype=V.dtype)))
+
+
+def pod_basis_host(snapshots, r: int):
+    """float64 host-side POD (NumPy) regardless of snapshot dtype.
+
+    The Gram matrix's condition number is kappa(S)^2, so float32 eigh destroys
+    every mode below ~sqrt(eps32) relative energy — at r=40 that is a ~2%
+    reconstruction floor. The offline POD is cheap, so it always runs in f64
+    on the host; only the projected operators are cast down for the online
+    path (SURVEY.md §7 Hard parts #1 applied to the ROM).
+
+    Returns (V: (n, r) float64 ndarray, singular_values: (N,) ndarray).
+    """
+    import numpy as np
+
+    S = np.asarray(snapshots, dtype=np.float64)
+    G = S @ S.T
+    w, W = np.linalg.eigh(G)
+    w = w[::-1]
+    W = W[:, ::-1]
+    w_pos = np.maximum(w, 0.0)
+    sv = np.sqrt(w_pos)
+    inv = np.where(sv > sv[0] * 1e-14, 1.0 / np.maximum(sv, np.finfo(np.float64).tiny), 0.0)
+    V = S.T @ (W[:, :r] * inv[:r][None, :])
+    # one Gram-Schmidt pass to clean the trailing modes
+    Q, _ = np.linalg.qr(V)
+    return Q, sv

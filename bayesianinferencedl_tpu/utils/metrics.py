@@ -45,6 +45,36 @@ class MetricsLogger:
         return out
 
 
+class profile_trace:
+    """Context manager around jax.profiler.trace (SURVEY.md §5 tracing row).
+
+    with profile_trace("/tmp/jax-trace"):
+        run_hot_path()
+    then inspect with TensorBoard / xprof. No-op if profiling is unavailable.
+    """
+
+    def __init__(self, log_dir: str | Path):
+        self.log_dir = str(log_dir)
+        self._active = False
+
+    def __enter__(self):
+        try:
+            import jax
+
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception:
+            self._active = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
+
+
 class _Timer:
     def __init__(self, logger: MetricsLogger, event: str):
         self.logger = logger

@@ -75,6 +75,29 @@ def test_random_field_statistics(mesh_r1, host_r1):
     np.testing.assert_allclose(np.asarray(s[:, mesh_r1.n_nodes :]), 0.0, atol=1e-12)
 
 
+def test_coeff_space_inversion_smoke(mesh_r1, host_r1):
+    """Dimension-robust pCN on RFF coefficients: the full-field inverse
+    problem runs end-to-end and the posterior mean fits the data better than
+    the prior mean (SURVEY.md §2a #4 / A.5)."""
+    from bayesianinferencedl_tpu.infer.pcn import gaussian_misfit, run_pcn
+
+    fin = FullFieldFin.create(
+        mesh_r1, host_r1, biot=0.1, dtype=jnp.float64,
+        n_features=32, sigma=0.4, cg_tol=1e-10, cg_maxiter=1500,
+    )
+    prior = fin.coeff_prior()
+    z_true = prior.sample(jax.random.PRNGKey(0))
+    data = fin.forward_coeff(z_true)
+    noise = 1e-3
+    misfit = gaussian_misfit(fin.forward_coeff, data, noise)
+    z0 = prior.sample(jax.random.PRNGKey(1), (8,))
+    res = run_pcn(misfit, prior, z0, jax.random.PRNGKey(2), n_steps=300, n_burn=150, beta=0.3)
+    z_post = res.samples.mean(axis=(0, 1))
+    fit_post = float(jnp.linalg.norm(fin.forward_coeff(z_post) - data))
+    fit_prior = float(jnp.linalg.norm(fin.forward_coeff(jnp.zeros_like(z_post)) - data))
+    assert fit_post < fit_prior
+
+
 def test_full_field_forward_differentiable(mesh_r1, host_r1):
     fin = _fin(mesh_r1, host_r1)
     theta = jnp.zeros(host_r1.n)
