@@ -109,6 +109,80 @@ class ReducedOperator:
     def forward_batch(self, ks: jax.Array) -> jax.Array:
         return jax.vmap(self.forward)(ks)
 
+    # --- fast online solve for the MCMC hot loop ---------------------------
+    def preconditioner(self, k_ref: jax.Array | None = None) -> jax.Array:
+        """Dense P0 = Ahat(k_ref)^{-1} (default k_ref = 1), the fixed
+        preconditioner for :meth:`solve_pcg`. Computed once offline in f64 on
+        the host for accuracy, returned in the online dtype."""
+        import numpy as np
+
+        k_ref = np.ones(self.Ahat.shape[0]) if k_ref is None else np.asarray(k_ref, np.float64)
+        A = np.tensordot(k_ref, np.asarray(self.Ahat, np.float64), axes=1) + self.biot * np.asarray(
+            self.Mhat, np.float64
+        )
+        return jnp.asarray(np.linalg.inv(A), self.Ahat.dtype)
+
+    def solve_pcg(self, k: jax.Array, P0: jax.Array, n_iters: int = 25) -> jax.Array:
+        """Reduced solve by preconditioned CG with a FIXED iteration count.
+
+        XLA's batched Cholesky runs the r x r factorization at ~5 GFLOP/s on
+        TPU (sequential panels), making it 99% of the pCN step cost. This
+        route has no factorization at all: A(k) u is five shared-weight
+        (batch, r) @ (r, r) matmuls and the preconditioner is one more — pure
+        MXU work under vmap. With P0 = Ahat(1)^{-1} and log-normal k, ~25
+        iterations reach ~1e-6, far below observation noise. Fixed iterations
+        keep the cost constant and scan/vmap-friendly (no convergence
+        branch). Use precision=HIGHEST throughout (TPU bf16 default would
+        re-introduce the 1e-3 floor)."""
+        hi = jax.lax.Precision.HIGHEST
+        k = jnp.asarray(k, self.Ahat.dtype)
+
+        def amat(p):
+            # sum_i k_i (Ahat_i p) + biot (Mhat p); vmap turns these into
+            # shared-weight batched matmuls
+            Ap = jnp.einsum("c,crs,s->r", k, self.Ahat, p, precision=hi)
+            return Ap + self.Ahat.dtype.type(self.biot) * jnp.dot(self.Mhat, p, precision=hi)
+
+        def prec(v):
+            return jnp.dot(P0, v, precision=hi)
+
+        def pcg_solve(mv, b):
+            x = prec(b)  # warm start: P0 b is already close
+            r_ = b - mv(x)
+            z = prec(r_)
+            p = z
+            rz = jnp.vdot(r_, z)
+
+            def body(_, carry):
+                x, r_, p, rz = carry
+                Ap = mv(p)
+                pAp = jnp.vdot(p, Ap)
+                alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+                x = x + alpha * p
+                r_ = r_ - alpha * Ap
+                z = prec(r_)
+                rz_new = jnp.vdot(r_, z)
+                beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+                return x, r_, z + beta * p, rz_new
+
+            x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r_, p, rz))
+            return x
+
+        # Implicit differentiation: reverse-mode through converged CG
+        # iterations produces 0/0 cotangents (denormal residuals); the
+        # adjoint solve reuses the same preconditioned CG.
+        return jax.lax.custom_linear_solve(amat, self.Fhat, solve=pcg_solve, symmetric=True)
+
+    def fast_forward(self, P0: jax.Array, n_iters: int = 25):
+        """k -> y_r via solve_pcg; the likelihood kernel for the MCMC hot
+        loop (vmap over chains gives pure-MXU batched matmuls)."""
+        hi = jax.lax.Precision.HIGHEST
+
+        def f(k):
+            return jnp.dot(self.Bhat, self.solve_pcg(k, P0, n_iters), precision=hi)
+
+        return f
+
     def lift(self, u_r: jax.Array) -> jax.Array:
         return self.V @ u_r
 

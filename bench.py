@@ -62,7 +62,8 @@ def main() -> None:
 
     log_ks = jnp.log(ks)
     big = jnp.tile(log_ks, (64, 1))  # 16384 corrected-forward evals
-    corr_batch = jax.jit(pipe.corrected.batch)
+    fwd = pipe.forward_fn("rom_nn")
+    corr_batch = jax.jit(jax.vmap(fwd))
     yc = corr_batch(big)
     yc.block_until_ready()
     t0 = time.perf_counter()
