@@ -284,6 +284,7 @@ def run_inversion(
     pipe: Pipeline,
     *,
     likelihood: Optional[str] = None,
+    sampler: Optional[str] = None,
     theta_true: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     mesh=None,
@@ -292,13 +293,15 @@ def run_inversion(
     """Synthetic-data Bayesian inversion (BASELINE config 5).
 
     Draws theta_true from the prior (or uses the given one), simulates noisy
-    observations with the FOM, then runs pCN with the requested likelihood.
+    observations with the FOM, then runs the configured sampler (pCN /
+    Laplace-proposal MH / generalized pCN) with the requested likelihood.
     """
     log = metrics or MetricsLogger()
     cfg = pipe.config.mcmc
     like = likelihood or cfg.likelihood
+    smp = sampler or cfg.sampler
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-    k_true, k_noise, k_init, k_chain = jax.random.split(key, 4)
+    k_true, k_noise, k_init, k_chain, k_map = jax.random.split(key, 5)
 
     dtype = pipe.prior.mean.dtype
     if theta_true is None:
@@ -308,19 +311,42 @@ def run_inversion(
 
     fwd = pipe.forward_fn(like)
     misfit = gaussian_misfit(fwd, data, cfg.noise_sigma)
-    theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
 
-    run = lambda: run_pcn(
-        misfit, pipe.prior, theta0, k_chain,
-        n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
-    )
-    if mesh is not None:
-        from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn
+    if smp in ("laplace_mh", "gpcn"):
+        # offline: MAP (multistart BFGS) + Gauss-Newton Laplace approximation
+        from bayesianinferencedl_tpu.infer.map import find_map_multistart, laplace_approximation
+        from bayesianinferencedl_tpu.infer.samplers import run_gpcn, run_laplace_mh
 
-        run = lambda: sharded_pcn(
-            mesh, misfit, pipe.prior, theta0, k_chain,
+        with log.timer("map_laplace"):
+            theta_map, nlp = find_map_multistart(misfit, pipe.prior, k_map, n_starts=8)
+            lap = laplace_approximation(
+                fwd, data, cfg.noise_sigma, pipe.prior, theta_map
+            )
+        log.log("map", nlp=float(nlp), theta_map=np.asarray(theta_map).tolist())
+        theta0 = lap.sample(k_init, (cfg.n_chains,))
+        if smp == "laplace_mh":
+            run = lambda: run_laplace_mh(
+                misfit, pipe.prior, lap, theta0, k_chain,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn,
+            )
+        else:
+            run = lambda: run_gpcn(
+                misfit, pipe.prior, lap, theta0, k_chain,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+            )
+    else:
+        theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
+        run = lambda: run_pcn(
+            misfit, pipe.prior, theta0, k_chain,
             n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
         )
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn
+
+            run = lambda: sharded_pcn(
+                mesh, misfit, pipe.prior, theta0, k_chain,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
+            )
 
     # compile, then time the steady-state run
     res = run()
@@ -346,6 +372,7 @@ def run_inversion(
     log.log(
         "inversion",
         likelihood=like,
+        sampler=smp,
         wall_seconds=wall,
         samples_per_sec=out.samples_per_sec,
         ess_min=float(jnp.min(ess)),

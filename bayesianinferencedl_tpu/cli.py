@@ -167,7 +167,8 @@ def cmd_invert(args) -> None:
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
         mcmc=MCMCConfig(
             n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
-            beta=args.beta, noise_sigma=args.noise, likelihood=args.likelihood, seed=args.seed,
+            beta=args.beta, noise_sigma=args.noise, likelihood=args.likelihood,
+            sampler=args.sampler, seed=args.seed,
         ),
     )
     pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
@@ -180,6 +181,7 @@ def cmd_invert(args) -> None:
     post_mean = np.asarray(inv.result.samples.mean(axis=(0, 1)))
     print(json.dumps({
         "likelihood": args.likelihood,
+        "sampler": args.sampler,
         "samples_per_sec": inv.samples_per_sec,
         "ess_min": float(jnp.min(inv.ess)),
         "ess_per_sec": inv.ess_per_sec,
@@ -187,6 +189,45 @@ def cmd_invert(args) -> None:
         "rhat_max": float(jnp.max(inv.rhat)),
         "posterior_mean_log_k": post_mean.tolist(),
         "theta_true": np.asarray(inv.theta_true).tolist(),
+    }))
+
+
+def cmd_map(args) -> None:
+    """Deterministic inversion: MAP point + Laplace credible intervals
+    (SURVEY.md §2a #9, the reference's regularized least-squares fit)."""
+    from bayesianinferencedl_tpu.api import build_pipeline
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.infer.map import find_map_multistart, laplace_approximation
+    from bayesianinferencedl_tpu.infer.pcn import gaussian_misfit
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics)
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=4000),
+        rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    key = jax.random.PRNGKey(args.seed)
+    k_true, k_noise, k_map = jax.random.split(key, 3)
+    theta_true = pipe.prior.sample(k_true)
+    data = pipe.fin.forward(jnp.exp(theta_true)) + args.noise * jax.random.normal(
+        k_noise, (pipe.fin.op.n_obs,), _dtype(args)
+    )
+    fwd = pipe.forward_fn(args.likelihood)
+    misfit = gaussian_misfit(fwd, data, args.noise)
+    theta_map, nlp = find_map_multistart(misfit, pipe.prior, k_map, n_starts=8)
+    lap = laplace_approximation(fwd, data, args.noise, pipe.prior, theta_map)
+    sd = np.sqrt(np.diag(np.asarray(lap.cov)))
+    print(json.dumps({
+        "theta_map": np.asarray(theta_map).tolist(),
+        "theta_true": np.asarray(theta_true).tolist(),
+        "laplace_sd": sd.tolist(),
+        "k_map": np.exp(np.asarray(theta_map)).tolist(),
+        "nlp": float(nlp),
     }))
 
 
@@ -217,7 +258,12 @@ def main(argv=None) -> None:
     p.add_argument("--out", type=str, default=None)
     p.set_defaults(fn=cmd_rom)
 
-    for name, fn in [("surrogate", cmd_surrogate), ("invert", cmd_invert), ("pipeline", cmd_pipeline)]:
+    for name, fn in [
+        ("surrogate", cmd_surrogate),
+        ("invert", cmd_invert),
+        ("pipeline", cmd_pipeline),
+        ("map", cmd_map),
+    ]:
         p = sub.add_parser(name)
         _add_common(p)
         p.add_argument("--n-snapshots", type=int, default=256)
@@ -225,13 +271,17 @@ def main(argv=None) -> None:
         p.add_argument("--n-train", type=int, default=1024)
         p.add_argument("--epochs", type=int, default=300)
         p.add_argument("--out", type=str, default=None)
-        if name != "surrogate":
+        if name == "map":
+            p.add_argument("--noise", type=float, default=1e-3)
+            p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+        elif name != "surrogate":
             p.add_argument("--chains", type=int, default=1024)
             p.add_argument("--steps", type=int, default=10_000)
             p.add_argument("--burn", type=int, default=1_000)
             p.add_argument("--beta", type=float, default=0.25)
             p.add_argument("--noise", type=float, default=1e-3)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument("--sampler", choices=["pcn", "laplace_mh", "gpcn"], default="pcn")
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)
 

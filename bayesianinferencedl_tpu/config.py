@@ -94,7 +94,12 @@ class PriorConfig:
 
 @dataclass(frozen=True)
 class MCMCConfig:
-    """pCN chain configuration (SURVEY.md §7 stage 5)."""
+    """MCMC configuration (SURVEY.md §7 stage 5).
+
+    sampler: "pcn" (prior-referenced, adaptive per-chain beta),
+             "laplace_mh" (independence MH with the Laplace approximation as
+             proposal), or "gpcn" (pCN wrt the Laplace reference measure).
+    """
 
     n_chains: int = 1024
     n_steps: int = 10_000
@@ -102,6 +107,7 @@ class MCMCConfig:
     beta: float = 0.25
     noise_sigma: float = 1e-3
     likelihood: str = "rom_nn"  # "fom" | "rom" | "rom_nn"
+    sampler: str = "pcn"  # "pcn" | "laplace_mh" | "gpcn"
     seed: int = 0
     thin: int = 1
 

@@ -75,6 +75,12 @@ def main() -> None:
     # --- the headline: pCN throughput with the fused ROM+NN likelihood ------
     inv = run_inversion(pipe, metrics=log)
 
+    # --- effective-sample rate with the Laplace-proposal sampler ------------
+    # (BASELINE metric names "MCMC effective samples/sec"; the independence
+    # sampler with the Laplace approximation as proposal is the framework's
+    # best ESS/sec configuration)
+    inv_mh = run_inversion(pipe, sampler="laplace_mh", metrics=log)
+
     kept_per_chain = inv.result.samples.shape[0]
     chain_steps_per_sec = kept_per_chain / inv.wall_seconds  # steps/sec along one chain (all chains in parallel)
     north_star_rate = 1e4 / 60.0  # BASELINE: 1e4 pCN samples in < 60 s
@@ -91,6 +97,9 @@ def main() -> None:
             "ess_per_sec": round(inv.ess_per_sec, 2),
             "accept_rate": round(float(jnp.mean(inv.result.accept_rate)), 3),
             "rhat_max": round(float(jnp.max(inv.rhat)), 4),
+            "laplace_mh_ess_per_sec": round(inv_mh.ess_per_sec, 2),
+            "laplace_mh_ess_min": round(float(jnp.min(inv_mh.ess)), 1),
+            "laplace_mh_rhat_max": round(float(jnp.max(inv_mh.rhat)), 4),
             "fom_solves_per_sec": round(fom_sps, 2),
             "rom_nn_solves_per_sec": round(corr_sps, 2),
             "rom_rel_err": log.summary().get("rom_rel_err", {}).get("value"),

@@ -49,6 +49,25 @@ def test_inversion_recovers_truth(pipe):
     assert float(jnp.mean(inv.result.accept_rate)) > 0.05
 
 
+def test_laplace_sampler_inversion(pipe):
+    """gpcn + laplace_mh samplers through the full pipeline: consistent
+    posterior means and (near-)unit acceptance for the independence sampler
+    near the Gaussian regime."""
+    key = jax.random.PRNGKey(21)
+    theta_true = pipe.prior.sample(key)
+    inv_pcn = run_inversion(pipe, likelihood="rom_nn", sampler="pcn", theta_true=theta_true, key=key)
+    inv_mh = run_inversion(pipe, likelihood="rom_nn", sampler="laplace_mh", theta_true=theta_true, key=key)
+    inv_g = run_inversion(pipe, likelihood="rom_nn", sampler="gpcn", theta_true=theta_true, key=key)
+    m_pcn = np.asarray(inv_pcn.result.samples.mean(axis=(0, 1)))
+    m_mh = np.asarray(inv_mh.result.samples.mean(axis=(0, 1)))
+    m_g = np.asarray(inv_g.result.samples.mean(axis=(0, 1)))
+    np.testing.assert_allclose(m_mh, m_g, atol=0.1)
+    np.testing.assert_allclose(m_mh, m_pcn, atol=0.2)
+    assert float(jnp.mean(inv_mh.result.accept_rate)) > 0.3
+    # Laplace samplers mix far better: ESS per kept sample
+    assert float(jnp.min(inv_mh.ess)) > 2 * float(jnp.min(inv_pcn.ess))
+
+
 def test_three_way_likelihood_comparison(pipe):
     """FOM, ROM, ROM+NN posteriors must be mutually consistent on a well-
     resolved problem (Appendix C claim structure)."""
