@@ -71,6 +71,31 @@ class Pipeline:
             return self.corrected
         raise ValueError(f"unknown likelihood {likelihood!r}")
 
+    def batched_forward_fn(self, likelihood: str) -> Callable:
+        """(n_chains, d) -> (n_chains, m) forward map for the chain hot loop.
+
+        For the FOM likelihood on TPU this routes the whole proposal batch
+        through the fused Pallas PCG kernel in one call per MCMC step —
+        full-order-likelihood MCMC as a single XLA program; otherwise it is
+        the vmapped per-theta forward."""
+        if (
+            likelihood == "fom"
+            and jax.default_backend() == "tpu"
+            and hasattr(self.fin.op, "vals_grid")
+            and self.fin.op.dtype == jnp.float32
+        ):
+            from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+
+            op = self.fin.op
+            tol, maxiter = self.fin.cg_tol, self.fin.cg_maxiter
+
+            def fwd_batch(thetas):
+                u, _ = solve_fom_stencil_pallas(op, jnp.exp(thetas), tol=tol, maxiter=maxiter)
+                return jax.vmap(op.observe)(u)
+
+            return fwd_batch
+        return jax.vmap(self.forward_fn(likelihood))
+
 
 def make_fom_solver(fin: FiveParamFin, *, tol: float, maxiter: int, use_pallas: Optional[bool] = None):
     """Batched FOM solver ks -> u batch. On TPU with the f32 stencil operator
@@ -336,10 +361,24 @@ def run_inversion(
             )
     else:
         theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
-        run = lambda: run_pcn(
-            misfit, pipe.prior, theta0, k_chain,
-            n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
-        )
+        fwd_b = pipe.batched_forward_fn(like)
+        misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
+        if like == "fom":
+            # full-order solves per step: segment the run so no single device
+            # program outlives the runtime's execution watchdog
+            from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
+
+            run = lambda: run_pcn_segmented(
+                misfit_b, pipe.prior, theta0, k_chain,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                segment=64, batched=True,
+            )
+        else:
+            run = lambda: run_pcn(
+                misfit_b, pipe.prior, theta0, k_chain,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
+                batched=True,
+            )
         if mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn
 

@@ -45,12 +45,16 @@ class PCNResult(NamedTuple):
     beta: jax.Array  # (n_chains,) final (possibly adapted) step sizes
 
 
-def pcn_init(misfit_fn: Callable, theta0: jax.Array) -> PCNState:
+def pcn_init(misfit_fn: Callable, theta0: jax.Array, *, batched: bool = False) -> PCNState:
     """theta0: (n_chains, d) initial states (e.g. prior samples).
+
+    batched=True marks misfit_fn as operating on the whole (n_chains, d)
+    batch at once — used to route the FOM likelihood through the fused
+    Pallas batch solver instead of a vmapped per-chain solve.
 
     n_accept is derived from phi0 (not a fresh constant) so it inherits the
     device-varying axis under shard_map (jax vma semantics)."""
-    phi0 = jax.vmap(misfit_fn)(theta0)
+    phi0 = misfit_fn(theta0) if batched else jax.vmap(misfit_fn)(theta0)
     return PCNState(theta=theta0, phi=phi0, n_accept=(phi0 * 0).astype(jnp.int32))
 
 
@@ -60,6 +64,8 @@ def pcn_step(
     beta: jax.Array,
     state: PCNState,
     key: jax.Array,
+    *,
+    batched: bool = False,
 ) -> tuple[PCNState, jax.Array]:
     """One pCN step for a batch of chains (leading axis of state.theta).
 
@@ -71,7 +77,7 @@ def pcn_step(
     xi = jax.random.normal(k_prop, state.theta.shape, dtype) @ prior.chol.T
     mean = prior.mean
     prop = mean + jnp.sqrt(1.0 - b**2) * (state.theta - mean) + b * xi
-    phi_prop = jax.vmap(misfit_fn)(prop)
+    phi_prop = misfit_fn(prop) if batched else jax.vmap(misfit_fn)(prop)
     log_alpha = state.phi - phi_prop
     u = jax.random.uniform(k_acc, state.phi.shape, dtype)
     accept = jnp.log(u) < log_alpha
@@ -81,7 +87,7 @@ def pcn_step(
     return new, accept
 
 
-@partial(jax.jit, static_argnames=("misfit_fn", "n_steps", "n_burn", "thin", "adapt"))
+@partial(jax.jit, static_argnames=("misfit_fn", "n_steps", "n_burn", "thin", "adapt", "batched"))
 def run_pcn(
     misfit_fn: Callable,
     prior: GaussianPrior,
@@ -93,13 +99,17 @@ def run_pcn(
     beta: float = 0.25,
     thin: int = 1,
     adapt: bool = True,
+    batched: bool = False,
 ) -> PCNResult:
     """Run pCN chains: scan over steps, vmap over chains, fully on-device.
 
     theta0: (n_chains, d). Burn-in adapts per-chain beta toward 23.4%
     acceptance (adapt=True), then sampling keeps every ``thin``-th sample.
+    batched=True: misfit_fn takes the whole (n_chains, d) batch (e.g. the
+    fused Pallas FOM solver).
     """
-    state = pcn_init(misfit_fn, theta0)
+    state = pcn_init(misfit_fn, theta0, batched=batched)
+    step_fn = partial(pcn_step, batched=batched)
     dtype = theta0.dtype
     # beta may be a scalar or per-chain array (e.g. adapted betas carried
     # across a checkpoint/resume boundary)
@@ -111,7 +121,7 @@ def run_pcn(
         def burn_body(carry, inp):
             s, lb = carry
             t, k = inp
-            s, acc = pcn_step(misfit_fn, prior, jnp.exp(lb), s, k)
+            s, acc = step_fn(misfit_fn, prior, jnp.exp(lb), s, k)
             if adapt:
                 eta = 0.5 / (1.0 + t) ** 0.6
                 lb = lb + eta * (acc.astype(dtype) - dtype.type(TARGET_ACCEPT))
@@ -129,11 +139,11 @@ def run_pcn(
     beta_final = jnp.exp(log_beta)
 
     def keep_body(s, k):
-        s2, _ = pcn_step(misfit_fn, prior, beta_final, s, k)
+        s2, _ = step_fn(misfit_fn, prior, beta_final, s, k)
         return s2, (s2.theta, s2.phi)
 
     def drop_body(s, k):
-        s2, _ = pcn_step(misfit_fn, prior, beta_final, s, k)
+        s2, _ = step_fn(misfit_fn, prior, beta_final, s, k)
         return s2, None
 
     n_keep_steps = n_steps - n_burn
@@ -158,12 +168,63 @@ def run_pcn(
     )
 
 
+def run_pcn_segmented(
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    segment: int = 64,
+    batched: bool = False,
+) -> PCNResult:
+    """pCN split into fixed-size segments dispatched from the host.
+
+    For expensive likelihoods (full-order solves in every step) a single XLA
+    program would execute for minutes; some TPU runtimes kill device programs
+    after ~1 minute. Each segment is one compiled program (identical shapes,
+    so compilation happens once); chain state and adapted per-chain betas are
+    carried across segments, making the result distributionally identical to
+    one long run."""
+    import numpy as np
+
+    thetas = theta0
+    betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+    done = 0
+    samples_chunks, phi_chunks = [], []
+    accept_rate = None
+    while done < n_steps:
+        this = min(segment, n_steps - done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - done, 0), this)
+        res = run_pcn(
+            misfit_fn, prior, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, thin=1, adapt=True, batched=batched,
+        )
+        thetas, betas = res.state.theta, res.beta
+        accept_rate = res.accept_rate
+        done += this
+        if res.samples.shape[0] > 0:
+            samples_chunks.append(np.asarray(res.samples))
+            phi_chunks.append(np.asarray(res.phi_trace))
+    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
+    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
+    return PCNResult(
+        state=res.state, samples=samples, phi_trace=phis, accept_rate=accept_rate, beta=betas
+    )
+
+
 def gaussian_misfit(forward: Callable, data: jax.Array, noise_sigma: float) -> Callable:
     """Phi(theta) = ||d - G(theta)||^2 / (2 sigma^2) — the standard likelihood
-    potential for all three forward models (FOM / ROM / ROM+NN)."""
+    potential for all three forward models (FOM / ROM / ROM+NN).
+
+    Reduces over the last axis only, so it works unchanged for a per-theta
+    forward ((m,) residual) and for a chain-batched forward ((B, m))."""
 
     def phi(theta):
         r = forward(theta) - data
-        return 0.5 * jnp.sum(r * r) / noise_sigma**2
+        return 0.5 * jnp.sum(r * r, axis=-1) / noise_sigma**2
 
     return phi

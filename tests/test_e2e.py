@@ -70,15 +70,20 @@ def test_laplace_sampler_inversion(pipe):
 
 def test_three_way_likelihood_comparison(pipe):
     """FOM, ROM, ROM+NN posteriors must be mutually consistent on a well-
-    resolved problem (Appendix C claim structure)."""
+    resolved problem (Appendix C claim structure). The near-iid Laplace
+    independence sampler keeps Monte-Carlo error far below the comparison
+    threshold (random-walk pCN mixes too slowly in the weakly-identified
+    directions for a mean comparison at this scale)."""
     key = jax.random.PRNGKey(5)
     theta_true = pipe.prior.sample(key)
     means = {}
     for like in ["fom", "rom", "rom_nn"]:
-        inv = run_inversion(pipe, likelihood=like, theta_true=theta_true, key=key)
+        inv = run_inversion(
+            pipe, likelihood=like, sampler="laplace_mh", theta_true=theta_true, key=key
+        )
         means[like] = np.asarray(inv.result.samples.mean(axis=(0, 1)))
     # ROM is accurate here, so all three agree; rom_nn at least as close to fom as rom
     d_rom = np.linalg.norm(means["rom"] - means["fom"])
     d_nn = np.linalg.norm(means["rom_nn"] - means["fom"])
-    assert d_nn < 0.2
-    assert d_rom < 0.2
+    assert d_nn < 0.1, (means,)
+    assert d_rom < 0.1, (means,)
