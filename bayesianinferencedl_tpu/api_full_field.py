@@ -1,0 +1,234 @@
+"""Full-field (nodal conductivity) pipeline: offline build + online Bayesian
+inversion in random-feature coefficient space (SURVEY.md §2a #4, A.2, A.5).
+
+Mirrors api.build_pipeline for the non-affine case: FOM solves share the
+fused Pallas stencil kernel (assembly from the nodal field is itself a
+7-point stencil — fem/dia_nonaffine.py), the ROM is affinized through a
+conductivity-POD basis (rom/nonaffine.py), and the NN error surrogate takes
+the RFF coefficients z as input, so the corrected likelihood is again fully
+fused for the chain hot loop. The prior over z is N(0, I) — exactly pCN's
+reference measure, making the full-field inverse problem dimension-robust.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesianinferencedl_tpu.fem.assemble import assemble_fin
+from bayesianinferencedl_tpu.fem.dia import assemble_fin_dia
+from bayesianinferencedl_tpu.fem.dia_nonaffine import NodalStencilOperator, assemble_nodal_coeff
+from bayesianinferencedl_tpu.fem.solve import solve_fom
+from bayesianinferencedl_tpu.geometry.mesh import build_fin_mesh
+from bayesianinferencedl_tpu.infer.diagnostics import effective_sample_size, rhat
+from bayesianinferencedl_tpu.infer.pcn import gaussian_misfit, run_pcn
+from bayesianinferencedl_tpu.infer.priors import GaussianPrior
+from bayesianinferencedl_tpu.models.full_field import RandomField
+from bayesianinferencedl_tpu.models.surrogate import TrainedSurrogate, train_surrogate
+from bayesianinferencedl_tpu.rom.nonaffine import AffinizedReducedOperator
+from bayesianinferencedl_tpu.rom.pod import pod_basis_host
+from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+
+@dataclass
+class FullFieldPipeline:
+    op: NodalStencilOperator
+    field: RandomField
+    rom: AffinizedReducedOperator
+    surrogate: TrainedSurrogate
+    prior: GaussianPrior  # N(0, I) over RFF coefficients z
+    P0: jax.Array
+    rom_pcg_iters: int = 25
+    cg_tol: float = 1e-7
+    cg_maxiter: int = 2000
+
+    def theta(self, z: jax.Array) -> jax.Array:
+        """z -> nodal log-conductivity field."""
+        f = self.field
+        return f.mean + f.sigma * jnp.dot(
+            f.features, z, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def conductivity(self, z: jax.Array) -> jax.Array:
+        return jnp.exp(self.theta(z))
+
+    def forward_fn(self, likelihood: str) -> Callable:
+        """z -> observables, per likelihood family."""
+        if likelihood == "fom":
+            return lambda z: self.op.observe(
+                solve_fom(self.op, self.conductivity(z), tol=self.cg_tol, maxiter=self.cg_maxiter)
+            )
+        if likelihood == "rom":
+            ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters)
+            return lambda z: ff(self.conductivity(z))
+        if likelihood == "rom_nn":
+            ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters)
+            return lambda z: ff(self.conductivity(z)) + self.surrogate.predict(z)
+        raise ValueError(f"unknown likelihood {likelihood!r}")
+
+    def batched_forward_fn(self, likelihood: str) -> Callable:
+        if likelihood == "fom" and jax.default_backend() == "tpu" and self.op.dtype == jnp.float32:
+            from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+
+            def fwd_b(zs):
+                ks = jax.vmap(self.conductivity)(zs)
+                u, _ = solve_fom_stencil_pallas(self.op, ks, tol=self.cg_tol, maxiter=self.cg_maxiter)
+                return jax.vmap(self.op.observe)(u)
+
+            return fwd_b
+        return jax.vmap(self.forward_fn(likelihood))
+
+
+def build_full_field_pipeline(
+    *,
+    resolution: int = 4,
+    biot: float = 0.1,
+    dtype=jnp.float32,
+    ell: float = 1.0,
+    sigma: float = 0.5,
+    n_features: int = 64,
+    n_snapshots: int = 256,
+    basis_size: int = 40,
+    k_basis_size: int = 40,
+    n_train: int = 1024,
+    surrogate_hidden=(128, 128),
+    surrogate_steps: int = 3000,
+    cg_tol: float = 1e-7,
+    cg_maxiter: int = 2000,
+    seed: int = 0,
+    use_pallas: Optional[bool] = None,
+    metrics: Optional[MetricsLogger] = None,
+) -> FullFieldPipeline:
+    log = metrics or MetricsLogger()
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and dtype == jnp.float32
+
+    with log.timer("build_fom"):
+        mesh = build_fin_mesh(resolution)
+        host = assemble_fin_dia(mesh, pad_to=128)
+        G_host = assemble_nodal_coeff(mesh, host)
+        from bayesianinferencedl_tpu.fem.dia import StencilOperator
+
+        op = NodalStencilOperator(
+            base=StencilOperator.from_host(host, biot=biot, dtype=dtype),
+            G=jnp.asarray(G_host, dtype),
+        )
+        field = RandomField.create(
+            mesh, host.n, ell=ell, sigma=sigma, n_features=n_features, seed=seed, dtype=dtype
+        )
+    log.log("fom_built", n_dof=op.n_dof, n_features=n_features, pallas=use_pallas)
+
+    if use_pallas:
+        from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+
+        solver = lambda ks: solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=cg_maxiter)[0]
+    else:
+        solver = lambda ks: jax.vmap(
+            lambda k: solve_fom(op, k, tol=cg_tol, maxiter=cg_maxiter)
+        )(ks)
+
+    key = jax.random.PRNGKey(seed)
+    k_z, k_ds = jax.random.split(key)
+    with log.timer("snapshots"):
+        thetas = field.sample(k_z, n_snapshots)  # (N, n)
+        ks = jnp.exp(thetas)
+        S = solver(ks)
+        S.block_until_ready()
+    with log.timer("pod"):
+        V, _ = pod_basis_host(np.asarray(S), basis_size)
+        W, _ = pod_basis_host(np.asarray(ks), k_basis_size)
+    with log.timer("project_rom"):
+        rom = AffinizedReducedOperator.project_host(op, G_host, V, W, dtype=dtype)
+    c_ref = jnp.asarray(np.asarray(jax.vmap(rom.coeffs)(ks)).mean(axis=0), dtype)
+    P0 = rom.preconditioner(c_ref)
+    log.log("rom_built", r=rom.r, m_k=rom.m_k)
+
+    with log.timer("error_dataset"):
+        zs = jax.random.normal(k_ds, (n_train, n_features), dtype)
+        thetas_t = field.mean + field.sigma * zs @ field.features.T
+        ks_t = jnp.exp(thetas_t)
+        y_fom = jax.vmap(op.observe)(solver(ks_t))
+        ff = rom.fast_forward(P0, 25)
+        y_rom = jax.vmap(ff)(ks_t)
+        err = y_fom - y_rom
+        err.block_until_ready()
+    rom_rel = float(jnp.linalg.norm(err) / jnp.linalg.norm(y_fom))
+    log.log("rom_rel_err", value=rom_rel)
+
+    with log.timer("train_surrogate"):
+        surrogate, losses = train_surrogate(
+            zs, err, hidden=tuple(surrogate_hidden), steps=surrogate_steps, seed=seed
+        )
+        losses.block_until_ready()
+    y_corr = y_rom + jax.vmap(surrogate.predict)(zs)
+    corr_rel = float(jnp.linalg.norm(y_corr - y_fom) / jnp.linalg.norm(y_fom))
+    log.log("corrected_rel_err", value=corr_rel, rom_rel_err=rom_rel)
+
+    prior = GaussianPrior.iid(n_features, mean=0.0, sigma=1.0, dtype=dtype)
+    return FullFieldPipeline(
+        op=op, field=field, rom=rom, surrogate=surrogate, prior=prior, P0=P0,
+        cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+    )
+
+
+def run_full_field_inversion(
+    pipe: FullFieldPipeline,
+    *,
+    likelihood: str = "rom_nn",
+    n_chains: int = 1024,
+    n_steps: int = 5000,
+    n_burn: int = 1000,
+    beta: float = 0.3,
+    noise_sigma: float = 1e-3,
+    z_true: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """pCN over RFF coefficients with synthetic FOM data. Returns
+    (result, z_true, data, ess, rhat, wall_seconds)."""
+    from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
+
+    log = metrics or MetricsLogger()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_true, k_noise, k_init, k_chain = jax.random.split(key, 4)
+    dtype = pipe.prior.mean.dtype
+
+    if z_true is None:
+        z_true = pipe.prior.sample(k_true)
+    y_true = pipe.op.observe(
+        solve_fom(pipe.op, pipe.conductivity(z_true), tol=pipe.cg_tol, maxiter=pipe.cg_maxiter)
+    )
+    data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+
+    fwd_b = pipe.batched_forward_fn(likelihood)
+    misfit = gaussian_misfit(fwd_b, data, noise_sigma)
+    theta0 = pipe.prior.sample(k_init, (n_chains,))
+
+    runner = run_pcn_segmented if likelihood == "fom" else run_pcn
+    kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True)
+    if likelihood == "fom":
+        kwargs["segment"] = 64
+
+    res = runner(misfit, pipe.prior, theta0, k_chain, **kwargs)
+    res.samples.block_until_ready()
+    t0 = time.perf_counter()
+    res = runner(misfit, pipe.prior, theta0, k_chain, **kwargs)
+    res.samples.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    ess = effective_sample_size(res.samples)
+    r = rhat(res.samples)
+    log.log(
+        "ff_inversion",
+        likelihood=likelihood,
+        wall_seconds=wall,
+        samples_per_sec=res.samples.shape[0] * res.samples.shape[1] / wall,
+        ess_min=float(jnp.min(ess)),
+        accept_rate=float(jnp.mean(res.accept_rate)),
+    )
+    return res, z_true, data, ess, r, wall

@@ -1,0 +1,60 @@
+"""End-to-end full-field pipeline at toy scale (api_full_field.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianinferencedl_tpu.api_full_field import (
+    build_full_field_pipeline,
+    run_full_field_inversion,
+)
+
+
+@pytest.fixture(scope="module")
+def ffpipe():
+    return build_full_field_pipeline(
+        resolution=1,
+        dtype=jnp.float64,
+        n_features=16,
+        n_snapshots=48,
+        # deliberately coarse ROM (r=6): its error must dominate the NN's
+        # generalization error for the correction to be measurable at toy
+        # training sizes — the regime the method is for (Appendix C claim 1)
+        basis_size=6,
+        k_basis_size=32,
+        n_train=384,
+        surrogate_hidden=(48, 48),
+        surrogate_steps=3000,
+        cg_tol=1e-11,
+        cg_maxiter=3000,
+        use_pallas=False,
+    )
+
+
+def test_ff_corrected_beats_rom(ffpipe):
+    pipe = ffpipe
+    zs = jax.random.normal(jax.random.PRNGKey(33), (32, 16), jnp.float64)
+    fwd_fom = pipe.batched_forward_fn("fom")
+    fwd_rom = pipe.batched_forward_fn("rom")
+    fwd_nn = pipe.batched_forward_fn("rom_nn")
+    y_f, y_r, y_n = fwd_fom(zs), fwd_rom(zs), fwd_nn(zs)
+    e_rom = float(jnp.linalg.norm(y_r - y_f) / jnp.linalg.norm(y_f))
+    e_nn = float(jnp.linalg.norm(y_n - y_f) / jnp.linalg.norm(y_f))
+    assert e_rom < 0.05
+    assert e_nn < e_rom
+
+
+def test_ff_inversion_smoke(ffpipe):
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        ffpipe, likelihood="rom_nn", n_chains=16, n_steps=800, n_burn=400,
+        noise_sigma=1e-3, key=jax.random.PRNGKey(4),
+    )
+    assert res.samples.shape == (400, 16, 16)
+    # posterior-mean field fits the data better than the prior mean
+    z_post = res.samples.mean(axis=(0, 1))
+    fwd = ffpipe.forward_fn("rom_nn")
+    fit_post = float(jnp.linalg.norm(fwd(z_post) - data))
+    fit_prior = float(jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data))
+    assert fit_post < fit_prior
+    assert float(jnp.mean(res.accept_rate)) > 0.05  # adapted beta

@@ -1,0 +1,122 @@
+"""Non-affine stencil operator + affinized ROM tests (fem/dia_nonaffine.py,
+rom/nonaffine.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianinferencedl_tpu.fem.dia import StencilOperator, assemble_fin_dia
+from bayesianinferencedl_tpu.fem.dia_nonaffine import NodalStencilOperator, assemble_nodal_coeff
+from bayesianinferencedl_tpu.fem.solve import solve_fom
+from bayesianinferencedl_tpu.rom.nonaffine import AffinizedReducedOperator
+from bayesianinferencedl_tpu.rom.pod import pod_basis_host
+
+
+@pytest.fixture(scope="module")
+def setup(mesh_r1):
+    host = assemble_fin_dia(mesh_r1, pad_to=128)
+    G = assemble_nodal_coeff(mesh_r1, host)
+    op = NodalStencilOperator(
+        base=StencilOperator.from_host(host, biot=0.1, dtype=jnp.float64),
+        G=jnp.asarray(G),
+    )
+    return mesh_r1, host, G, op
+
+
+def _gid(mesh):
+    h = 0.25 / mesh.resolution
+    ny = 16 * mesh.resolution
+    gi = np.rint((mesh.nodes[:, 0] + 3.0) / h).astype(int)
+    gj = np.rint(mesh.nodes[:, 1] / h).astype(int)
+    return gi * (ny + 1) + gj, ny
+
+
+def test_constant_field_matches_affine(setup):
+    """k = const nodal field reproduces the affine operator at k_i = const."""
+    mesh, host, G, op = setup
+    kval = 1.7
+    k_nodal = jnp.full(op.n, kval)
+    vals_na = op.vals(k_nodal)
+    vals_aff = op.base.vals(jnp.full(5, kval))
+    np.testing.assert_allclose(np.asarray(vals_na), np.asarray(vals_aff), atol=1e-11)
+
+
+def test_variable_field_solve_vs_scipy(setup):
+    """Matches an independent SciPy assembly with element-mean conductivity."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from bayesianinferencedl_tpu.fem import oracle, p1
+
+    mesh, host, G, op = setup
+    gid, ny = _gid(mesh)
+    theta = np.zeros(op.n)
+    theta[gid] = 0.4 * np.sin(2 * mesh.nodes[:, 0]) + 0.1 * mesh.nodes[:, 1]
+    k = np.exp(theta)
+
+    u = np.asarray(solve_fom(op, jnp.asarray(k), tol=1e-12, maxiter=4000))
+
+    n = mesh.n_nodes
+    Ke, _ = p1.element_stiffness(mesh.nodes, mesh.triangles)
+    ke = k[gid][mesh.triangles].mean(axis=1)
+    rows = np.repeat(mesh.triangles, 3, axis=1).reshape(-1)
+    cols = np.tile(mesh.triangles, (1, 3)).reshape(-1)
+    A = sp.coo_matrix(((ke[:, None, None] * Ke).reshape(-1), (rows, cols)), shape=(n, n)).tocsr()
+    A = A + 0.1 * oracle.boundary_mass(mesh, "ext")
+    u_ref = spla.spsolve(A.tocsc(), oracle.root_load(mesh))
+    rel = np.linalg.norm(u[gid] - u_ref) / np.linalg.norm(u_ref)
+    assert rel < 1e-8
+
+
+def test_affinized_rom_exact_in_span(setup):
+    """If k lies exactly in span(W) the affinized ROM equals the direct
+    Galerkin ROM — zero affinization error (the linear-in-k property)."""
+    mesh, host, G, op = setup
+    rng = np.random.default_rng(0)
+    # snapshots
+    thetas = 0.3 * rng.standard_normal((24, op.n))
+    thetas[:, host.n_grid:] = 0.0
+    ks = np.exp(thetas)
+    S = np.stack([np.asarray(solve_fom(op, jnp.asarray(k), tol=1e-12, maxiter=4000)) for k in ks])
+    V, _ = pod_basis_host(S, 10)
+    W, _ = pod_basis_host(ks, 24)  # full span of the snapshots' k
+    rom = AffinizedReducedOperator.project_host(op, G, V, W, dtype=jnp.float64)
+
+    k_test = jnp.asarray(ks[3])
+    # direct Galerkin: Vt A(k) V via the device operator
+    vals = op.vals(k_test)
+    AV = jnp.stack([op.matvec(vals, jnp.asarray(V[:, j])) for j in range(V.shape[1])], axis=1)
+    A_direct = jnp.asarray(V).T @ AV
+    A_affin = rom.assemble(rom.coeffs(k_test))
+    np.testing.assert_allclose(np.asarray(A_affin), np.asarray(A_direct), atol=1e-9)
+
+
+def test_affinized_rom_accuracy_and_fast_path(setup):
+    mesh, host, G, op = setup
+    rng = np.random.default_rng(1)
+    thetas = 0.3 * rng.standard_normal((48, op.n))
+    thetas[:, host.n_grid:] = 0.0
+    # smooth the fields a bit (random fields are smooth; pure white noise
+    # has no low-rank k structure)
+    from bayesianinferencedl_tpu.models.full_field import RandomField
+
+    field = RandomField.create(mesh, host.n, ell=1.0, sigma=0.4, n_features=24, dtype=jnp.float64)
+    thetas = np.asarray(field.sample(jax.random.PRNGKey(0), 48))
+    ks = np.exp(thetas)
+    S = np.stack([np.asarray(solve_fom(op, jnp.asarray(k), tol=1e-12, maxiter=4000)) for k in ks])
+    V, _ = pod_basis_host(S, 20)
+    W, _ = pod_basis_host(ks, 24)
+    rom = AffinizedReducedOperator.project_host(op, G, V, W, dtype=jnp.float64)
+
+    k_test = jnp.exp(field.sample(jax.random.PRNGKey(9), 8))
+    y_fom = jnp.stack([op.observe(solve_fom(op, k, tol=1e-12, maxiter=4000)) for k in k_test])
+    y_rom = rom.forward_batch(k_test)
+    rel = float(jnp.linalg.norm(y_rom - y_fom) / jnp.linalg.norm(y_fom))
+    assert rel < 2e-2, rel  # r=20 from 48 snapshots; NN absorbs the rest
+
+    # fast PCG path matches Cholesky path
+    c_ref = jnp.asarray(np.asarray(jax.vmap(rom.coeffs)(jnp.asarray(ks))).mean(axis=0))
+    P0 = rom.preconditioner(c_ref)
+    ff = rom.fast_forward(P0, 30)
+    y_fast = jax.vmap(ff)(k_test)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_rom), atol=1e-8)
