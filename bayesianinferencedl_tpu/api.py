@@ -47,7 +47,10 @@ class Pipeline:
     dataset: ErrorDataset
     prior: GaussianPrior
     P0: Optional[jax.Array] = None  # reduced-space preconditioner Ahat(1)^{-1}
-    rom_pcg_iters: int = 20
+    # 15 preconditioned-CG iterations reach ~5e-6 relative solve error —
+    # two orders below the corrected model's own accuracy — at ~20% higher
+    # chain throughput than 20 iterations
+    rom_pcg_iters: int = 15
 
     def forward_fn(self, likelihood: str) -> Callable:
         """theta(=log k) -> predicted observables, for each likelihood family.
@@ -70,6 +73,74 @@ class Pipeline:
                 return lambda t: ff(jnp.exp(t)) + self.surrogate.predict(t)
             return self.corrected
         raise ValueError(f"unknown likelihood {likelihood!r}")
+
+    # --- artifact persistence (SURVEY.md §2a #12: the reference's saved
+    # Keras weights / datasets / bases, unified in one npz format) ----------
+    def save(self, path) -> None:
+        """Persist every offline artifact (ROM operators + basis, NN params
+        + normalizer, preconditioner, dataset, config) to one npz."""
+        from bayesianinferencedl_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            (self.rom, self.surrogate.params, self.surrogate.norm, self.P0, self.dataset),
+            meta={
+                "config": self.config.to_dict(),
+                "rom_pcg_iters": self.rom_pcg_iters,
+                "surrogate_sizes": list(self.surrogate.mlp.sizes),
+                "surrogate_activation": self.surrogate.mlp.activation,
+            },
+        )
+
+    @classmethod
+    def load(cls, path, *, dtype=jnp.float32) -> "Pipeline":
+        """Rebuild a pipeline from saved artifacts (re-assembles the mesh/FOM
+        from the config — meshes are deterministic — and restores the rest)."""
+        from bayesianinferencedl_tpu.models.surrogate import MLP, Normalizer
+        from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint
+        import numpy as _np
+
+        z = _np.load(path)
+        import json as _json
+
+        meta = _json.loads(bytes(z["__meta__"]).decode())
+        cfg = PipelineConfig.from_dict(meta["config"])
+        fin = FiveParamFin.create(
+            resolution=cfg.mesh.resolution, biot=cfg.fem.biot, dtype=dtype,
+            cg_tol=cfg.fem.cg_tol, cg_maxiter=cfg.fem.cg_maxiter,
+        )
+        mlp = MLP(sizes=tuple(meta["surrogate_sizes"]), activation=meta["surrogate_activation"])
+        params_ex = mlp.init(jax.random.PRNGKey(0), dtype=dtype)
+        n_obs = mlp.sizes[-1]
+        d = mlp.sizes[0]
+        norm_ex = Normalizer(
+            x_mean=jnp.zeros(d, dtype), x_std=jnp.ones(d, dtype),
+            y_mean=jnp.zeros(n_obs, dtype), y_std=jnp.ones(n_obs, dtype),
+        )
+        r = cfg.rom.basis_size
+        rom_ex = ReducedOperator(
+            Ahat=jnp.zeros((5, r, r), dtype), Mhat=jnp.zeros((r, r), dtype),
+            Fhat=jnp.zeros(r, dtype), Bhat=jnp.zeros((n_obs, r), dtype),
+            V=jnp.zeros((fin.op.n, r), dtype), biot=cfg.fem.biot,
+        )
+        ds_ex = ErrorDataset(
+            log_k=jnp.zeros((cfg.surrogate.n_train, d), dtype),
+            error=jnp.zeros((cfg.surrogate.n_train, n_obs), dtype),
+            y_fom=jnp.zeros((cfg.surrogate.n_train, n_obs), dtype),
+            y_rom=jnp.zeros((cfg.surrogate.n_train, n_obs), dtype),
+        )
+        exemplar = (rom_ex, params_ex, norm_ex, jnp.zeros((r, r), dtype), ds_ex)
+        (rom, params, norm, P0, ds), meta2 = load_checkpoint(path, exemplar)
+        surrogate = TrainedSurrogate(mlp=mlp, params=params, norm=norm)
+        prior = GaussianPrior.iid(
+            cfg.prior.dim, mean=cfg.prior.mean, sigma=cfg.prior.sigma, dtype=dtype
+        )
+        return cls(
+            config=cfg, fin=fin, rom=rom, surrogate=surrogate,
+            corrected=CorrectedForward(rom=rom, surrogate=surrogate),
+            dataset=ds, prior=prior, P0=P0,
+            rom_pcg_iters=int(meta["rom_pcg_iters"]),
+        )
 
     def batched_forward_fn(self, likelihood: str) -> Callable:
         """(n_chains, d) -> (n_chains, m) forward map for the chain hot loop.
@@ -365,7 +436,12 @@ def run_inversion(
         misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
         if like == "fom":
             # full-order solves per step: segment the run so no single device
-            # program outlives the runtime's execution watchdog
+            # program outlives the runtime's execution watchdog. (Warm-
+            # starting each proposal's CG from the chain state was measured
+            # and rejected: Jacobi-PCG here is convergence-RATE limited, so a
+            # closer x0 saves only ~5% of iterations — less than the cost of
+            # carrying the (C, n) solution field through the scan. See
+            # run_pcn_aux / the kernel's x0 input for the machinery.)
             from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
 
             run = lambda: run_pcn_segmented(

@@ -168,6 +168,77 @@ def run_pcn(
     )
 
 
+@partial(jax.jit, static_argnames=("misfit_aux_fn", "n_steps", "n_burn", "adapt"))
+def run_pcn_aux(
+    misfit_aux_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    aux0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    adapt: bool = True,
+) -> tuple[PCNResult, jax.Array]:
+    """Batched pCN whose likelihood carries per-chain auxiliary state.
+
+    misfit_aux_fn(props (C, d), aux) -> (phi (C,), aux_prop) — e.g. the FOM
+    likelihood returning its solution field, which warm-starts the next
+    proposal's CG solve (local proposals -> few iterations). aux is selected
+    per chain on accept exactly like theta. Returns (PCNResult, final aux).
+    """
+    dtype = theta0.dtype
+    phi0, aux_at0 = misfit_aux_fn(theta0, aux0)
+    state = PCNState(theta=theta0, phi=phi0, n_accept=(phi0 * 0).astype(jnp.int32))
+    aux = aux_at0
+    beta_arr = jnp.broadcast_to(jnp.asarray(beta, dtype), state.phi.shape)
+    log_beta0 = jnp.log(beta_arr) + state.phi * 0
+
+    def step(s, aux, lb, key_t, t):
+        k_prop, k_acc = jax.random.split(key_t)
+        b = jnp.exp(lb)[..., None]
+        xi = jax.random.normal(k_prop, s.theta.shape, dtype) @ prior.chol.T
+        prop = prior.mean + jnp.sqrt(1.0 - b**2) * (s.theta - prior.mean) + b * xi
+        phi_prop, aux_prop = misfit_aux_fn(prop, aux)
+        u = jax.random.uniform(k_acc, s.phi.shape, dtype)
+        accept = jnp.log(u) < (s.phi - phi_prop)
+        theta = jnp.where(accept[..., None], prop, s.theta)
+        phi = jnp.where(accept, phi_prop, s.phi)
+        aux = jnp.where(accept.reshape((-1,) + (1,) * (aux.ndim - 1)), aux_prop, aux)
+        s = PCNState(theta=theta, phi=phi, n_accept=s.n_accept + accept.astype(jnp.int32))
+        if adapt:
+            eta = jnp.where(t < n_burn, 0.5 / (1.0 + t.astype(dtype)) ** 0.6, 0.0)
+            lb = jnp.clip(
+                lb + eta * (accept.astype(dtype) - dtype.type(TARGET_ACCEPT)),
+                jnp.log(1e-4), jnp.log(0.9999),
+            )
+        return s, aux, lb, accept
+
+    def body(carry, inp):
+        s, aux, lb = carry
+        t, k = inp
+        s, aux, lb, _ = step(s, aux, lb, k, t)
+        return (s, aux, lb), (s.theta, s.phi)
+
+    ts = jnp.arange(n_steps, dtype=dtype)
+    (state, aux, log_beta), (samples, phis) = jax.lax.scan(
+        body, (state, aux, log_beta0), (ts, jax.random.split(key, n_steps))
+    )
+    kept = max(n_steps - n_burn, 0)
+    accept_rate = state.n_accept.astype(jnp.float32) / max(n_steps, 1)
+    return (
+        PCNResult(
+            state=state,
+            samples=samples[n_steps - kept:],
+            phi_trace=phis[n_steps - kept:],
+            accept_rate=accept_rate,
+            beta=jnp.exp(log_beta),
+        ),
+        aux,
+    )
+
+
 def run_pcn_segmented(
     misfit_fn: Callable,
     prior: GaussianPrior,

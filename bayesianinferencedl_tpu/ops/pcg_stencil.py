@@ -55,8 +55,12 @@ def _stencil_matvec(vals_ref, p):
     return acc
 
 
-def _pcg_kernel(tol2_ref, vals_ref, F_ref, out_ref, it_ref, *, maxiter: int):
-    """One batch sample's full PCG. vals_ref: (7, X, Y); F_ref: (X, Y)."""
+def _pcg_kernel(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, maxiter: int):
+    """One batch sample's full PCG. vals_ref: (7, X, Y); F_ref, x0_ref: (X, Y).
+
+    x0 is a warm start (pass zeros for a cold solve) — inside MCMC the
+    current state's solution cuts the iteration count several-fold because
+    proposals are local."""
     F = F_ref[:]
     diag = vals_ref[DIAG_SLOT]
     inv_diag = jnp.where(diag != 0.0, pl.reciprocal(jnp.where(diag != 0.0, diag, 1.0), approx=False), 0.0)
@@ -64,10 +68,10 @@ def _pcg_kernel(tol2_ref, vals_ref, F_ref, out_ref, it_ref, *, maxiter: int):
     b_nrm2 = jnp.sum(F * F)
     tol2 = tol2_ref[0] * b_nrm2
 
-    r0 = F  # x0 = 0
+    x0 = x0_ref[:]
+    r0 = F - _stencil_matvec(vals_ref, x0)
     z0 = inv_diag * r0
     rz0 = jnp.sum(r0 * z0)
-    x0 = jnp.zeros_like(F)
 
     def cond(c):
         x, r, p, rz, it = c
@@ -95,6 +99,7 @@ def _pcg_kernel(tol2_ref, vals_ref, F_ref, out_ref, it_ref, *, maxiter: int):
 def pcg_stencil_batch(
     vals2d: jax.Array,  # (B, 7, X, Y) pre-assembled diagonal planes
     F2d: jax.Array,  # (X, Y)
+    x02d: jax.Array | None = None,  # (B, X, Y) warm starts (None = zeros)
     *,
     tol: float = 1e-7,
     maxiter: int = 2000,
@@ -108,6 +113,8 @@ def pcg_stencil_batch(
     assert seven == 7
     dtype = vals2d.dtype
     tol2 = jnp.asarray([tol * tol], dtype)
+    if x02d is None:
+        x02d = jnp.zeros((B, X, Y), dtype)
 
     out_shape = (
         jax.ShapeDtypeStruct((B, X, Y), dtype),
@@ -120,6 +127,7 @@ def pcg_stencil_batch(
         in_specs=[
             pl.BlockSpec((1, 7, X, Y), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((X, Y), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, X, Y), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, X, Y), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -127,16 +135,25 @@ def pcg_stencil_batch(
         ),
     )
 
-    def kern(tol2_ref, vals_ref, F_ref, out_ref, it_ref):
+    def kern(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref):
         _pcg_kernel(
             tol2_ref,
             vals_ref.at[0],
             F_ref,
+            x0_ref.at[0],
             out_ref.at[0],
             it_ref.at[0],
             maxiter=maxiter,
         )
 
+    # cost estimate for the scheduler: per sample ~maxiter/4 typical CG
+    # iterations of a 7-point stencil (14 flops/cell) + 3 reductions
+    est_iters = max(maxiter // 4, 64)
+    cost = pl.CostEstimate(
+        flops=int(B * est_iters * X * Y * 20),
+        bytes_accessed=int(B * (7 + 4) * X * Y * 4),
+        transcendentals=0,
+    )
     x, iters = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -144,20 +161,24 @@ def pcg_stencil_batch(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 100),
         ),
-    )(tol2, vals2d, F2d)
+        cost_estimate=cost,
+    )(tol2, vals2d, F2d, x02d)
     return x, iters[:, 0, 0]
 
 
-def solve_fom_stencil_pallas(op, ks: jax.Array, *, tol: float = 1e-7, maxiter: int = 2000):
+def solve_fom_stencil_pallas(
+    op, ks: jax.Array, *, tol: float = 1e-7, maxiter: int = 2000, x0: jax.Array | None = None
+):
     """Batched FOM solve through the fused Pallas kernel.
 
     op: fem.dia.StencilOperator; ks: (B, 5). Returns (u: (B, n) flat,
-    iters: (B,)). Non-differentiable fast path (snapshot generation,
-    dataset sweeps); the implicit-diff jnp path in fem.solve stays the
-    gradient route.
+    iters: (B,)). x0: optional (B, n) flat warm starts. Non-differentiable
+    fast path (snapshot generation, dataset sweeps, MCMC); the implicit-diff
+    jnp path in fem.solve stays the gradient route.
     """
     vals2d = jax.vmap(op.vals_grid)(ks)  # (B, 7, X, Y)
     F2d = op.to_grid(op.F_root)
-    x2d, iters = pcg_stencil_batch(vals2d, F2d, tol=tol, maxiter=maxiter)
+    x02d = None if x0 is None else jax.vmap(op.to_grid)(x0)
+    x2d, iters = pcg_stencil_batch(vals2d, F2d, x02d, tol=tol, maxiter=maxiter)
     u = jax.vmap(op.from_grid)(x2d)
     return u, iters

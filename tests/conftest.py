@@ -23,6 +23,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# CI NaN mode (SURVEY.md §5 'race detection / sanitizers' row: JAX purity
+# makes data races structurally absent; numeric sanitation = NaN trapping).
+# Enable with BIDL_DEBUG_NANS=1 — every op that produces a NaN raises at its
+# source instead of propagating.
+if os.environ.get("BIDL_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
