@@ -13,3 +13,4 @@ from bayesianinferencedl_tpu.parallel.sharding import (  # noqa: F401
     sharded_snapshots,
     dp_train_step,
 )
+from bayesianinferencedl_tpu.parallel.domain import solve_fom_domain_sharded  # noqa: F401

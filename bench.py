@@ -73,7 +73,13 @@ def main() -> None:
     log.log("forward_solves_per_sec", fom=fom_sps, rom_nn=corr_sps, speedup=corr_sps / fom_sps)
 
     # --- the headline: pCN throughput with the fused ROM+NN likelihood ------
-    inv = run_inversion(pipe, metrics=log)
+    # (shards the chain batch over the ICI mesh when >1 device is visible)
+    mesh = None
+    if jax.device_count() > 1:
+        from bayesianinferencedl_tpu.parallel import device_mesh
+
+        mesh = device_mesh()
+    inv = run_inversion(pipe, metrics=log, mesh=mesh)
 
     # --- effective-sample rate with the Laplace-proposal sampler ------------
     # (BASELINE metric names "MCMC effective samples/sec"; the independence

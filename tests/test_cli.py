@@ -1,0 +1,59 @@
+"""CLI smoke tests (subprocess, CPU) — the user-facing surface parses and the
+fast config-ladder commands produce valid JSON."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",  # overridden by plugin; the flag below is what counts
+    "BIDL_FORCE_CPU": "1",
+}
+
+
+def _run(args, timeout=600):
+    # Force CPU inside the subprocess via a sitecustomize-style -c wrapper
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv=['cli']+%r;"
+        "from bayesianinferencedl_tpu.cli import main; main()"
+    ) % (args,)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout, env=ENV,
+    )
+    return out
+
+
+def test_cli_help():
+    out = _run(["--help"])
+    assert out.returncode == 0
+    for cmd in ["fom", "snapshots", "rom", "surrogate", "invert", "map", "invert-ff"]:
+        assert cmd in out.stdout
+
+
+def test_cli_fom_json():
+    out = _run(["fom", "--resolution", "1", "--k", "1", "1", "1", "1", "1"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert len(rec["qoi"]) == 5
+    assert all(v > 0 for v in rec["qoi"])
+
+
+def test_cli_rom_json():
+    out = _run(["rom", "--resolution", "1", "--n-snapshots", "32", "--r", "10"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["rel_err_vs_fom"] < 0.05
+
+
+def test_cli_bad_args():
+    out = _run(["fom", "--k", "1", "2"])
+    assert out.returncode != 0
+    out = _run(["nonsense"])
+    assert out.returncode != 0
