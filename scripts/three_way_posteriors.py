@@ -87,7 +87,9 @@ def main() -> None:
             for like, res in results.items()
         },
     }
-    Path(f"{args.out}.json").write_text(json.dumps(summary, indent=2))
+    out_path = Path(f"{args.out}.json")
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(summary, indent=2))
     print(json.dumps({k: v for k, v in summary.items() if not isinstance(v, dict)}, indent=2))
 
     # marginal posterior figure

@@ -29,6 +29,23 @@ def pipe():
     return build_pipeline(cfg, dtype=jnp.float64)
 
 
+def test_greedy_pipeline_builds():
+    """build_pipeline with the greedy RB method (SURVEY.md §3.3 greedy path
+    through the full offline stack)."""
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=1),
+        fem=FEMConfig(cg_tol=1e-10, cg_maxiter=1500),
+        rom=ROMConfig(n_snapshots=32, basis_size=8, method="greedy", greedy_candidates=32),
+        surrogate=SurrogateConfig(hidden=(16, 16), n_train=64, epochs=20),
+    )
+    p = build_pipeline(cfg, dtype=jnp.float64)
+    y = p.forward_fn("rom_nn")(jnp.zeros(5))
+    assert np.isfinite(np.asarray(y)).all()
+    ds = p.dataset
+    rel = float(jnp.linalg.norm(ds.error) / jnp.linalg.norm(ds.y_fom))
+    assert rel < 0.2  # r=8 greedy basis is coarse but sane
+
+
 def test_offline_artifacts_quality(pipe):
     s = {}
     # ROM is accurate; NN correction reduces the residual further
