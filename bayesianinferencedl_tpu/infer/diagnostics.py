@@ -49,6 +49,26 @@ def effective_sample_size(chains: jax.Array) -> jax.Array:
     return jnp.sum(ess, axis=1)
 
 
+def ks_distance(samples_a: jax.Array, samples_b: jax.Array) -> jax.Array:
+    """Two-sample Kolmogorov-Smirnov distance per marginal (SURVEY.md §4
+    'KS distance between chains' posterior-quality oracle).
+
+    samples_*: (N, d) flattened chain samples. Returns (d,) sup-norm ECDF
+    differences. On-device (sort + searchsorted)."""
+    a = samples_a.reshape(-1, samples_a.shape[-1])
+    b = samples_b.reshape(-1, samples_b.shape[-1])
+
+    def per_dim(x, y):
+        xs = jnp.sort(x)
+        ys = jnp.sort(y)
+        grid = jnp.concatenate([xs, ys])
+        Fa = jnp.searchsorted(xs, grid, side="right") / x.shape[0]
+        Fb = jnp.searchsorted(ys, grid, side="right") / y.shape[0]
+        return jnp.max(jnp.abs(Fa - Fb))
+
+    return jax.vmap(per_dim, in_axes=1)(a, b)
+
+
 def rhat(chains: jax.Array) -> jax.Array:
     """Gelman-Rubin potential scale reduction over chains.
 

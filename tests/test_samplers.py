@@ -61,6 +61,33 @@ def test_laplace_samplers_beat_pcn_on_concentrated_posterior():
     assert ess_mh > 3 * ess_pcn, (ess_mh, ess_pcn)
 
 
+def test_ks_distance():
+    from bayesianinferencedl_tpu.infer.diagnostics import ks_distance
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (4000, 2), jnp.float64)
+    b = jax.random.normal(jax.random.PRNGKey(1), (4000, 2), jnp.float64)
+    d_same = np.asarray(ks_distance(a, b))
+    assert (d_same < 0.05).all()
+    c = b + jnp.asarray([1.0, 0.0])
+    d_shift = np.asarray(ks_distance(a, c))
+    assert d_shift[0] > 0.3 and d_shift[1] < 0.05
+
+
+def test_laplace_mh_matches_pcn_in_ks():
+    """Same-posterior check via KS distance (SURVEY.md §4)."""
+    from bayesianinferencedl_tpu.infer.diagnostics import ks_distance
+
+    misfit, prior, lap, mu, Cpost = _setup(seed=3)
+    theta0 = lap.sample(jax.random.PRNGKey(0), (16,))
+    res_mh = run_laplace_mh(misfit, prior, lap, theta0, jax.random.PRNGKey(1), n_steps=4000, n_burn=500)
+    res_pcn = run_pcn(misfit, prior, theta0, jax.random.PRNGKey(2), n_steps=8000, n_burn=2000, beta=0.5)
+    d = np.asarray(ks_distance(
+        res_mh.samples.reshape(-1, 3), res_pcn.samples.reshape(-1, 3)
+    ))
+    assert (d < 0.06).all(), d
+
+
 def test_gpcn_nonlinear_consistency():
     """On a (mildly) non-Gaussian target gpCN and laplace-MH agree with plain
     pCN moments (all target the same posterior)."""
