@@ -45,7 +45,12 @@ def effective_sample_size(chains: jax.Array) -> jax.Array:
         tau = 1.0 + 2.0 * jnp.sum(pair * keep)
         return n / jnp.maximum(tau, 1.0)
 
-    ess = jax.vmap(jax.vmap(per_series, in_axes=1), in_axes=2)(chains)  # (d, c)
+    # sequential over the parameter axis (lax.map) so the FFT workspace is
+    # one dimension's chains at a time — keeps memory bounded for large
+    # chain counts (the all-at-once vmap materializes d * c spectra)
+    ess = jax.lax.map(
+        lambda x: jax.vmap(per_series, in_axes=1)(x), jnp.moveaxis(chains, 2, 0)
+    )  # (d, c)
     return jnp.sum(ess, axis=1)
 
 

@@ -41,7 +41,7 @@ def main() -> None:
         rom=ROMConfig(n_snapshots=256, basis_size=40),
         surrogate=SurrogateConfig(hidden=(64, 64), n_train=1024, epochs=300),
         mcmc=MCMCConfig(
-            n_chains=1024, n_steps=10_000, n_burn=1_000, beta=0.25,
+            n_chains=4096, n_steps=10_000, n_burn=1_000, beta=0.25,
             noise_sigma=1e-3, likelihood="rom_nn",
         ),
     )
@@ -92,7 +92,7 @@ def main() -> None:
     north_star_rate = 1e4 / 60.0  # BASELINE: 1e4 pCN samples in < 60 s
 
     out = {
-        "metric": "pcn_samples_per_sec_rom_nn_1024chains",
+        "metric": "pcn_samples_per_sec_rom_nn_4096chains",
         "value": round(inv.samples_per_sec, 2),
         "unit": "samples/sec",
         "vs_baseline": round(inv.samples_per_sec / north_star_rate, 2),

@@ -45,6 +45,25 @@ def test_ff_corrected_beats_rom(ffpipe):
     assert e_nn < e_rom
 
 
+def test_ff_laplace_sampler(ffpipe):
+    """gpCN (Laplace-referenced) in coefficient space. (Pure independence MH
+    collapses here: in 16 dims with the deliberately-coarse r=6 ROM + NN the
+    posterior is non-Gaussian enough that global proposals are rejected —
+    the autoregressive gpCN variant is the robust Laplace-informed choice.)"""
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        ffpipe, likelihood="rom_nn", sampler="gpcn", beta=0.15,
+        n_chains=16, n_steps=600, n_burn=100, noise_sigma=1e-3,
+        key=jax.random.PRNGKey(6),
+    )
+    assert res.samples.shape == (500, 16, 16)
+    assert float(jnp.mean(res.accept_rate)) > 0.1
+    fwd = ffpipe.forward_fn("rom_nn")
+    z_post = res.samples.mean(axis=(0, 1))
+    assert float(jnp.linalg.norm(fwd(z_post) - data)) < float(
+        jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data)
+    )
+
+
 def test_ff_inversion_smoke(ffpipe):
     res, z_true, data, ess, r, wall = run_full_field_inversion(
         ffpipe, likelihood="rom_nn", n_chains=16, n_steps=800, n_burn=400,
