@@ -66,6 +66,24 @@ def test_inversion_recovers_truth(pipe):
     assert float(jnp.mean(inv.result.accept_rate)) > 0.05
 
 
+def test_cross_sampler_ks_on_fin(pipe):
+    """Two independent sampler implementations (pCN, Laplace-MH) target the
+    same fin posterior: marginal KS distances must be small (SURVEY.md §4
+    posterior-quality oracle, on the real problem rather than a toy)."""
+    from bayesianinferencedl_tpu.infer.diagnostics import ks_distance
+
+    key = jax.random.PRNGKey(31)
+    theta_true = pipe.prior.sample(key)
+    inv_a = run_inversion(pipe, likelihood="rom_nn", sampler="laplace_mh",
+                          theta_true=theta_true, key=key)
+    inv_b = run_inversion(pipe, likelihood="rom_nn", sampler="gpcn",
+                          theta_true=theta_true, key=key)
+    d = np.asarray(ks_distance(
+        inv_a.result.samples.reshape(-1, 5), inv_b.result.samples.reshape(-1, 5)
+    ))
+    assert (d < 0.08).all(), d
+
+
 def test_laplace_sampler_inversion(pipe):
     """gpcn + laplace_mh samplers through the full pipeline: consistent
     posterior means and (near-)unit acceptance for the independence sampler
