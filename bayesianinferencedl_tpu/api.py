@@ -245,10 +245,12 @@ def build_pipeline(
     log.log("rom_built", r=rom.r, method=cfg.rom.method, f64_offline=host_algebra)
 
     P0 = rom.preconditioner()
-    # route dataset ROM forwards through the factorization-free path: same
-    # values as Cholesky to ~1e-6, and the only option for f64-on-TPU
-    # validation runs (TPU f64 has matmuls but no dense linalg)
-    rom_fwd = rom.fast_forward(P0, 25)
+    # route dataset ROM forwards through the factorization-free path: the
+    # only option for f64-on-TPU validation runs (TPU f64 has matmuls but no
+    # dense linalg). 60 iterations: the dataset's log-uniform k range spans
+    # ratio-100 conductivities where P0 = Ahat(1)^{-1} is a weak
+    # preconditioner, and the offline sweep is cheap.
+    rom_fwd = rom.fast_forward(P0, 60)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
             fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 1), cfg.surrogate.n_train,

@@ -34,6 +34,21 @@ def test_checkpoint_chain_state_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(key), np.asarray(k2))
 
 
+def test_profile_trace_smoke(tmp_path):
+    """jax.profiler trace wrapper (SURVEY.md §5 tracing row): produces trace
+    output and never raises even if profiling is unavailable."""
+    from bayesianinferencedl_tpu.utils.metrics import profile_trace
+
+    with profile_trace(tmp_path / "trace"):
+        x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        x.block_until_ready()
+    # best-effort: if the profiler is active, it must have written something
+    import os
+
+    if (tmp_path / "trace").exists():
+        assert any(os.scandir(tmp_path / "trace"))
+
+
 def test_metrics_jsonl(tmp_path):
     log = MetricsLogger(tmp_path / "m.jsonl", run_config={"resolution": 2})
     log.log("cg_solve", iters=37, relres=1e-9)
