@@ -51,6 +51,9 @@ class Pipeline:
     # two orders below the corrected model's own accuracy — at ~20% higher
     # chain throughput than 20 iterations
     rom_pcg_iters: int = 15
+    # None = full-f32 (HIGHEST); lax.Precision.DEFAULT = bf16 turbo mode
+    # (see ROMConfig.online_precision)
+    rom_precision: Optional[object] = None
 
     def forward_fn(self, likelihood: str) -> Callable:
         """theta(=log k) -> predicted observables, for each likelihood family.
@@ -64,12 +67,12 @@ class Pipeline:
             return lambda t: self.fin.forward(jnp.exp(t))
         if likelihood == "rom":
             if self.P0 is not None:
-                ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters)
+                ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters, self.rom_precision)
                 return lambda t: ff(jnp.exp(t))
             return lambda t: self.rom.forward(jnp.exp(t))
         if likelihood == "rom_nn":
             if self.P0 is not None:
-                ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters)
+                ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters, self.rom_precision)
                 return lambda t: ff(jnp.exp(t)) + self.surrogate.predict(t)
             return self.corrected
         raise ValueError(f"unknown likelihood {likelihood!r}")
@@ -140,6 +143,9 @@ class Pipeline:
             corrected=CorrectedForward(rom=rom, surrogate=surrogate),
             dataset=ds, prior=prior, P0=P0,
             rom_pcg_iters=int(meta["rom_pcg_iters"]),
+            rom_precision=(
+                None if cfg.rom.online_precision == "highest" else jax.lax.Precision.DEFAULT
+            ),
         )
 
     def batched_forward_fn(self, likelihood: str) -> Callable:
@@ -245,12 +251,15 @@ def build_pipeline(
     log.log("rom_built", r=rom.r, method=cfg.rom.method, f64_offline=host_algebra)
 
     P0 = rom.preconditioner()
-    # route dataset ROM forwards through the factorization-free path: the
-    # only option for f64-on-TPU validation runs (TPU f64 has matmuls but no
-    # dense linalg). 60 iterations: the dataset's log-uniform k range spans
-    # ratio-100 conductivities where P0 = Ahat(1)^{-1} is a weak
-    # preconditioner, and the offline sweep is cheap.
-    rom_fwd = rom.fast_forward(P0, 60)
+    rom_prec = None if cfg.rom.online_precision == "highest" else jax.lax.Precision.DEFAULT
+    # route dataset ROM forwards through the factorization-free path AT THE
+    # DEPLOYED PRECISION, so the surrogate learns (and corrects) the exact
+    # forward the chains evaluate — including any systematic bf16 solver
+    # error in "fast" mode. Also the only option for f64-on-TPU validation
+    # (TPU f64 has matmuls but no dense linalg). 60 iterations: the
+    # dataset's log-uniform k range spans ratio-100 conductivities where
+    # P0 = Ahat(1)^{-1} is a weak preconditioner; the offline sweep is cheap.
+    rom_fwd = rom.fast_forward(P0, 60 if rom_prec is None else 15, rom_prec)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
             fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 1), cfg.surrogate.n_train,
@@ -287,7 +296,7 @@ def build_pipeline(
     )
     return Pipeline(
         config=cfg, fin=fin, rom=rom, surrogate=surrogate, corrected=corrected,
-        dataset=ds, prior=prior, P0=P0,
+        dataset=ds, prior=prior, P0=P0, rom_precision=rom_prec,
     )
 
 

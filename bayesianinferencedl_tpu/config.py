@@ -52,12 +52,22 @@ class FEMConfig:
 
 @dataclass(frozen=True)
 class ROMConfig:
-    """Reduced-order model configuration (SURVEY.md §7 stage 3)."""
+    """Reduced-order model configuration (SURVEY.md §7 stage 3).
+
+    online_precision: "highest" (full f32 online solves; default) or "fast"
+    (single-pass bf16 CG matmuls, ~1.4-2x chain throughput; the NN surrogate
+    is trained on the same path and absorbs most of the systematic solver
+    error, but the residual ~1e-3-scale bias shifts tight posteriors —
+    measured full-pipeline posterior KS 0.05-0.3 at 1e-3 observation noise.
+    Opt-in for exploratory runs or noise >= ~1e-2; keep "highest" for final
+    posteriors).
+    """
 
     n_snapshots: int = 256
     basis_size: int = 40
     method: str = "pod"  # "pod" | "greedy"
     greedy_candidates: int = 256
+    online_precision: str = "highest"  # "highest" | "fast"
     seed: int = 0
 
     def to_dict(self):

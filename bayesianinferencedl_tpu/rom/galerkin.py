@@ -122,7 +122,9 @@ class ReducedOperator:
         )
         return jnp.asarray(np.linalg.inv(A), self.Ahat.dtype)
 
-    def solve_pcg(self, k: jax.Array, P0: jax.Array, n_iters: int = 25) -> jax.Array:
+    def solve_pcg(
+        self, k: jax.Array, P0: jax.Array, n_iters: int = 25, precision=None
+    ) -> jax.Array:
         """Reduced solve by preconditioned CG with a FIXED iteration count.
 
         XLA's batched Cholesky runs the r x r factorization at ~5 GFLOP/s on
@@ -132,9 +134,19 @@ class ReducedOperator:
         MXU work under vmap. With P0 = Ahat(1)^{-1} and log-normal k, ~25
         iterations reach ~1e-6, far below observation noise. Fixed iterations
         keep the cost constant and scan/vmap-friendly (no convergence
-        branch). Use precision=HIGHEST throughout (TPU bf16 default would
-        re-introduce the 1e-3 floor)."""
-        hi = jax.lax.Precision.HIGHEST
+        branch).
+
+        precision: None -> HIGHEST (full f32; default — the TPU bf16 matmul
+        default would floor the solve at ~1e-3). Passing
+        lax.Precision.DEFAULT runs the CG matmuls single-pass bf16: the
+        solve saturates at ~3e-2 relative error but the chain step is ~2.1x
+        faster; pair it with an NN surrogate TRAINED ON THE SAME PATH, which
+        absorbs most of the systematic solver error (measured: corrected
+        residual 2.8e-3; full-pipeline posterior KS vs the full-precision
+        run ranges 0.05-0.3 at noise=1e-3 depending on the truth location —
+        use for exploratory runs or observation noise >= ~1e-2, not for
+        final tight-noise posteriors). See ROMConfig.online_precision."""
+        hi = jax.lax.Precision.HIGHEST if precision is None else precision
         k = jnp.asarray(k, self.Ahat.dtype)
 
         def amat(p):
@@ -173,13 +185,16 @@ class ReducedOperator:
         # adjoint solve reuses the same preconditioned CG.
         return jax.lax.custom_linear_solve(amat, self.Fhat, solve=pcg_solve, symmetric=True)
 
-    def fast_forward(self, P0: jax.Array, n_iters: int = 25):
+    def fast_forward(self, P0: jax.Array, n_iters: int = 25, precision=None):
         """k -> y_r via solve_pcg; the likelihood kernel for the MCMC hot
-        loop (vmap over chains gives pure-MXU batched matmuls)."""
+        loop (vmap over chains gives pure-MXU batched matmuls). See
+        solve_pcg for the precision option."""
         hi = jax.lax.Precision.HIGHEST
 
         def f(k):
-            return jnp.dot(self.Bhat, self.solve_pcg(k, P0, n_iters), precision=hi)
+            return jnp.dot(
+                self.Bhat, self.solve_pcg(k, P0, n_iters, precision=precision), precision=hi
+            )
 
         return f
 

@@ -50,3 +50,14 @@ def test_fast_forward_differentiable(rom):
     ff = rom.fast_forward(P0, 20)
     g = jax.grad(lambda t: jnp.sum(ff(jnp.exp(t))))(jnp.zeros(5))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fast_forward_precision_plumbing(rom):
+    """precision argument threads through (on CPU both give f64-exact
+    results; this pins the API, the TPU behavior is measured in docs)."""
+    import jax as _jax
+
+    P0 = rom.preconditioner()
+    y_hi = rom.fast_forward(P0, 25, None)(jnp.ones(5))
+    y_fast = rom.fast_forward(P0, 25, _jax.lax.Precision.DEFAULT)(jnp.ones(5))
+    np.testing.assert_allclose(np.asarray(y_hi), np.asarray(y_fast), rtol=1e-10)
