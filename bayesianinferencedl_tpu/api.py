@@ -24,7 +24,7 @@ from bayesianinferencedl_tpu.data.datasets import ErrorDataset, generate_error_d
 from bayesianinferencedl_tpu.fem.solve import solve_fom
 from bayesianinferencedl_tpu.infer.diagnostics import effective_sample_size, rhat
 from bayesianinferencedl_tpu.infer.pcn import PCNResult, gaussian_misfit, run_pcn
-from bayesianinferencedl_tpu.infer.priors import GaussianPrior
+from bayesianinferencedl_tpu.infer.priors import BoxPrior, GaussianPrior
 from bayesianinferencedl_tpu.models.corrected import CorrectedForward
 from bayesianinferencedl_tpu.models.five_param import FiveParamFin
 from bayesianinferencedl_tpu.models.surrogate import TrainedSurrogate, train_surrogate
@@ -84,9 +84,13 @@ class Pipeline:
         + normalizer, preconditioner, dataset, config) to one npz."""
         from bayesianinferencedl_tpu.utils.checkpoint import save_checkpoint
 
+        # jax.tree.leaves silently drops a None P0, mis-aligning every later
+        # leaf against load()'s exemplar (which always includes a P0 array) —
+        # materialize the default preconditioner instead of saving None.
+        P0 = self.P0 if self.P0 is not None else self.rom.preconditioner()
         save_checkpoint(
             path,
-            (self.rom, self.surrogate.params, self.surrogate.norm, self.P0, self.dataset),
+            (self.rom, self.surrogate.params, self.surrogate.norm, P0, self.dataset),
             meta={
                 "config": self.config.to_dict(),
                 "rom_pcg_iters": self.rom_pcg_iters,
@@ -135,9 +139,7 @@ class Pipeline:
         exemplar = (rom_ex, params_ex, norm_ex, jnp.zeros((r, r), dtype), ds_ex)
         (rom, params, norm, P0, ds), meta2 = load_checkpoint(path, exemplar)
         surrogate = TrainedSurrogate(mlp=mlp, params=params, norm=norm)
-        prior = GaussianPrior.iid(
-            cfg.prior.dim, mean=cfg.prior.mean, sigma=cfg.prior.sigma, dtype=dtype
-        )
+        prior = make_prior(cfg.prior, dtype)
         return cls(
             config=cfg, fin=fin, rom=rom, surrogate=surrogate,
             corrected=CorrectedForward(rom=rom, surrogate=surrogate),
@@ -161,10 +163,14 @@ class Pipeline:
             and hasattr(self.fin.op, "vals_grid")
             and self.fin.op.dtype == jnp.float32
         ):
-            from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+            from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
 
             op = self.fin.op
-            tol, maxiter = self.fin.cg_tol, self.fin.cg_maxiter
+            tol = self.fin.cg_tol
+            # the kernel's static loop bound must stay tight (Mosaic runtime
+            # scales with the bound itself — CLAUDE.md rule 7); the config's
+            # cg_maxiter governs the jnp path, the kernel gets the derived cap
+            maxiter = min(self.fin.cg_maxiter, derived_maxiter(op.resolution))
 
             def fwd_batch(thetas):
                 u, _ = solve_fom_stencil_pallas(op, jnp.exp(thetas), tol=tol, maxiter=maxiter)
@@ -174,6 +180,17 @@ class Pipeline:
         return jax.vmap(self.forward_fn(likelihood))
 
 
+def make_prior(cfg_prior, dtype=jnp.float32):
+    """PriorConfig -> prior object. kind='gaussian' gives the log-normal-k
+    GaussianPrior on theta = log k; 'uniform'/'log_uniform' give the
+    probit-push-forward BoxPrior on k (SURVEY.md A.5)."""
+    if cfg_prior.kind == "gaussian":
+        return GaussianPrior.iid(cfg_prior.dim, mean=cfg_prior.mean, sigma=cfg_prior.sigma, dtype=dtype)
+    return BoxPrior.create(
+        cfg_prior.dim, low=cfg_prior.low, high=cfg_prior.high, kind=cfg_prior.kind, dtype=dtype
+    )
+
+
 def make_fom_solver(fin: FiveParamFin, *, tol: float, maxiter: int, use_pallas: Optional[bool] = None):
     """Batched FOM solver ks -> u batch. On TPU with the f32 stencil operator
     this is the fused Pallas PCG (fast compile + ~6x runtime); elsewhere the
@@ -181,9 +198,11 @@ def make_fom_solver(fin: FiveParamFin, *, tol: float, maxiter: int, use_pallas: 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and hasattr(fin.op, "vals_grid") and fin.op.dtype == jnp.float32:
-        from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+        from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
 
-        return lambda ks: solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=maxiter)[0]
+        # keep the kernel's static loop bound tight (CLAUDE.md rule 7)
+        mi = min(maxiter, derived_maxiter(fin.op.resolution))
+        return lambda ks: solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=mi)[0]
     from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots as _gen
 
     return lambda ks: _gen(fin.op, ks, tol=tol, maxiter=maxiter)
@@ -224,10 +243,18 @@ def build_pipeline(
     host_algebra = hasattr(fin.host, "to_scipy_components")
     with log.timer("snapshots"):
         if cfg.rom.method == "greedy":
-            V = greedy_basis(
+            gres = greedy_basis(
                 fin.op, k_snap[: cfg.rom.greedy_candidates], cfg.rom.basis_size,
                 tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter,
-            ).V
+            )
+            if host_algebra:
+                # same offline-f64 / online-f32 split as the POD path: the
+                # device Gram-Schmidt leaves f32-floor cross-terms in V^T V
+                from bayesianinferencedl_tpu.rom.greedy import orthonormalize_host
+
+                V = orthonormalize_host(gres.snapshots)
+            else:
+                V = gres.V
         else:
             if fom_solver is not None:
                 S = fom_solver(k_snap)
@@ -244,7 +271,7 @@ def build_pipeline(
             else:
                 V = pod_basis(S, cfg.rom.basis_size).V
     with log.timer("project_rom"):
-        if host_algebra and cfg.rom.method != "greedy":
+        if host_algebra:
             rom = ReducedOperator.project_host(fin.host, cfg.fem.biot, V, dtype=dtype)
         else:
             rom = ReducedOperator.project(fin.op, V)
@@ -291,9 +318,7 @@ def build_pipeline(
     corr_rel_err = float(jnp.linalg.norm(y_corr - ds.y_fom) / jnp.linalg.norm(ds.y_fom))
     log.log("corrected_rel_err", value=corr_rel_err, rom_rel_err=rom_rel_err)
 
-    prior = GaussianPrior.iid(
-        cfg.prior.dim, mean=cfg.prior.mean, sigma=cfg.prior.sigma, dtype=dtype
-    )
+    prior = make_prior(cfg.prior, dtype)
     return Pipeline(
         config=cfg, fin=fin, rom=rom, surrogate=surrogate, corrected=corrected,
         dataset=ds, prior=prior, P0=P0, rom_precision=rom_prec,
@@ -334,12 +359,16 @@ def run_pcn_checkpointed(
     betas = jnp.full(state.phi.shape, beta, state.theta.dtype)
     step_done = 0
     chunks = []
+    acc_steps = 0
+    acc_counts = None
 
-    exemplar = (state, betas, key)
+    acc_counts = jnp.zeros_like(state.phi)
+    exemplar = (state, betas, key, acc_counts)
     chunk_steps: list = []
     if resume and os.path.exists(ckpt_path):
-        (state, betas, key), meta = load_checkpoint(ckpt_path, exemplar)
+        (state, betas, key, acc_counts), meta = load_checkpoint(ckpt_path, exemplar)
         step_done = int(meta["step"])
+        acc_steps = int(meta.get("accept_steps", 0))
         chunk_steps = list(meta.get("chunk_steps", []))
         # reload the sample chunks the dead run already persisted
         for s in chunk_steps:
@@ -358,6 +387,12 @@ def run_pcn_checkpointed(
         )
         state, betas = res.state, res.beta  # adapted per-chain betas persist
         step_done += this
+        # each segment's accept_rate covers only its own post-burn steps —
+        # accumulate counts so the returned rate covers the whole run
+        kept = this - burn
+        if kept > 0:
+            acc_counts = acc_counts + res.accept_rate * kept
+            acc_steps += kept
         if res.samples.shape[0] > 0:
             chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
             np.savez_compressed(
@@ -367,7 +402,9 @@ def run_pcn_checkpointed(
             )
             chunk_steps.append(step_done)
         save_checkpoint(
-            ckpt_path, (state, betas, key), meta={"step": step_done, "chunk_steps": chunk_steps}
+            ckpt_path,
+            (state, betas, key, acc_counts),
+            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
         )
         log.log("chain_checkpoint", step=step_done, accept=float(jnp.mean(res.accept_rate)))
 
@@ -377,7 +414,7 @@ def run_pcn_checkpointed(
         state=state,
         samples=jnp.asarray(samples) if samples is not None else None,
         phi_trace=jnp.asarray(phis) if phis is not None else None,
-        accept_rate=res.accept_rate,
+        accept_rate=acc_counts / max(acc_steps, 1),
         beta=betas,
     )
 
@@ -418,12 +455,18 @@ def run_inversion(
     k_true, k_noise, k_init, k_chain, k_map = jax.random.split(key, 5)
 
     dtype = pipe.prior.mean.dtype
+    # working coordinates: theta = log k for GaussianPrior (to_theta is the
+    # identity); whitened z for BoxPrior (uniform/log-uniform on k realized
+    # as the probit push-forward — SURVEY.md A.5). All samplers run in the
+    # working coordinates; the forward model composes through to_theta.
+    to_theta = pipe.prior.to_theta
     if theta_true is None:
         theta_true = pipe.prior.sample(k_true)
-    y_true = pipe.fin.forward(jnp.exp(theta_true))
+    y_true = pipe.fin.forward(jnp.exp(to_theta(theta_true)))
     data = y_true + cfg.noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
 
-    fwd = pipe.forward_fn(like)
+    fwd_theta = pipe.forward_fn(like)
+    fwd = lambda x: fwd_theta(to_theta(x))
     misfit = gaussian_misfit(fwd, data, cfg.noise_sigma)
 
     if smp in ("laplace_mh", "gpcn"):
@@ -450,7 +493,8 @@ def run_inversion(
             )
     else:
         theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
-        fwd_b = pipe.batched_forward_fn(like)
+        fwd_b_theta = pipe.batched_forward_fn(like)
+        fwd_b = lambda xs: fwd_b_theta(to_theta(xs))  # to_theta is elementwise
         misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
         if like == "fom":
             # full-order solves per step: segment the run so no single device
@@ -460,25 +504,35 @@ def run_inversion(
             # closer x0 saves only ~5% of iterations — less than the cost of
             # carrying the (C, n) solution field through the scan. See
             # run_pcn_aux / the kernel's x0 input for the machinery.)
-            from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn_segmented
 
-            run = lambda: run_pcn_segmented(
-                misfit_b, pipe.prior, theta0, k_chain,
-                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
-                segment=64, batched=True,
+                run = lambda: sharded_pcn_segmented(
+                    mesh, misfit_b, pipe.prior, theta0, k_chain,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    segment=64, batched=True,
+                )
+            else:
+                from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
+
+                run = lambda: run_pcn_segmented(
+                    misfit_b, pipe.prior, theta0, k_chain,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    segment=64, batched=True,
+                )
+        elif mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn
+
+            run = lambda: sharded_pcn(
+                mesh, misfit_b, pipe.prior, theta0, k_chain,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
+                batched=True,
             )
         else:
             run = lambda: run_pcn(
                 misfit_b, pipe.prior, theta0, k_chain,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
                 batched=True,
-            )
-        if mesh is not None:
-            from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn
-
-            run = lambda: sharded_pcn(
-                mesh, misfit, pipe.prior, theta0, k_chain,
-                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
             )
 
     # compile, then time the steady-state run

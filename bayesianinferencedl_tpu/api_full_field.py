@@ -73,11 +73,15 @@ class FullFieldPipeline:
 
     def batched_forward_fn(self, likelihood: str) -> Callable:
         if likelihood == "fom" and jax.default_backend() == "tpu" and self.op.dtype == jnp.float32:
-            from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+            from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
+
+            # tight static kernel bound (CLAUDE.md rule 7); config bound
+            # still governs the jnp path
+            mi = min(self.cg_maxiter, derived_maxiter(self.op.resolution))
 
             def fwd_b(zs):
                 ks = jax.vmap(self.conductivity)(zs)
-                u, _ = solve_fom_stencil_pallas(self.op, ks, tol=self.cg_tol, maxiter=self.cg_maxiter)
+                u, _ = solve_fom_stencil_pallas(self.op, ks, tol=self.cg_tol, maxiter=mi)
                 return jax.vmap(self.op.observe)(u)
 
             return fwd_b
@@ -124,9 +128,10 @@ def build_full_field_pipeline(
     log.log("fom_built", n_dof=op.n_dof, n_features=n_features, pallas=use_pallas)
 
     if use_pallas:
-        from bayesianinferencedl_tpu.ops.pcg_stencil import solve_fom_stencil_pallas
+        from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
 
-        solver = lambda ks: solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=cg_maxiter)[0]
+        mi = min(cg_maxiter, derived_maxiter(op.resolution))
+        solver = lambda ks: solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=mi)[0]
     else:
         solver = lambda ks: jax.vmap(
             lambda k: solve_fom(op, k, tol=cg_tol, maxiter=cg_maxiter)
@@ -150,7 +155,13 @@ def build_full_field_pipeline(
 
     with log.timer("error_dataset"):
         zs = jax.random.normal(k_ds, (n_train, n_features), dtype)
-        thetas_t = field.mean + field.sigma * zs @ field.features.T
+        # same HIGHEST-precision contraction as the deployed chain path
+        # (theta_from_coeff / field.sample) — the surrogate must train on
+        # exactly the inputs the chains evaluate, and default matmul
+        # precision is bf16 on TPU
+        thetas_t = field.mean + field.sigma * jnp.matmul(
+            zs, field.features.T, precision=jax.lax.Precision.HIGHEST
+        )
         ks_t = jnp.exp(thetas_t)
         y_fom = jax.vmap(op.observe)(solver(ks_t))
         ff = rom.fast_forward(P0, 25)

@@ -33,13 +33,23 @@ def _dtype(args):
     return jnp.float64 if args.dtype == "float64" else jnp.float32
 
 
+def _cg_maxiter(args) -> int:
+    """f32: resolution-scaled tight bound (the Pallas kernel's runtime scales
+    with the static bound itself — CLAUDE.md rule 7; expected Jacobi-PCG
+    iterations ~80 x resolution). f64 runs the dynamic jnp while_loop, where a
+    loose cap is free — keep headroom for the 1e-10 tolerance."""
+    if args.dtype == "float64":
+        return 4000
+    return max(480, 120 * args.resolution)
+
+
 def _fin(args):
     from bayesianinferencedl_tpu.models.five_param import FiveParamFin
 
     return FiveParamFin.create(
         resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
         cg_tol=1e-10 if args.dtype == "float64" else 1e-7,
-        cg_maxiter=4000,
+        cg_maxiter=_cg_maxiter(args),
     )
 
 
@@ -95,8 +105,11 @@ def cmd_rom(args) -> None:
     key = jax.random.PRNGKey(args.seed)
     ks = sample_log_uniform(key, args.n_snapshots).astype(_dtype(args))
     if args.method == "greedy":
-        V = greedy_basis(fin.op, ks, args.r, tol=fin.cg_tol, maxiter=fin.cg_maxiter).V
-        rom = ReducedOperator.project(fin.op, V)
+        from bayesianinferencedl_tpu.rom.greedy import orthonormalize_host
+
+        gres = greedy_basis(fin.op, ks, args.r, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
+        V = orthonormalize_host(gres.snapshots)  # offline f64, like the POD path
+        rom = ReducedOperator.project_host(fin.host, args.biot, V, dtype=_dtype(args))
     else:
         S = solver(ks)
         V, _ = pod_basis_host(np.asarray(S), args.r)
@@ -124,7 +137,7 @@ def cmd_surrogate(args) -> None:
     log = MetricsLogger(args.metrics)
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=args.resolution),
-        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=4000),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
         rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
     )
@@ -162,7 +175,7 @@ def cmd_invert(args) -> None:
     log = MetricsLogger(args.metrics)
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=args.resolution),
-        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=4000),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
         rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
         mcmc=MCMCConfig(
@@ -206,7 +219,7 @@ def cmd_map(args) -> None:
     log = MetricsLogger(args.metrics)
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=args.resolution),
-        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=4000),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
         rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
     )

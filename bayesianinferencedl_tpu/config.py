@@ -92,11 +92,21 @@ class SurrogateConfig:
 
 @dataclass(frozen=True)
 class PriorConfig:
-    """Log-normal prior over conductivities: theta = log k ~ N(mean, sigma^2 I)."""
+    """Prior over conductivities (SURVEY.md A.5).
+
+    kind="gaussian": theta = log k ~ N(mean, sigma^2 I) (log-normal k).
+    kind="uniform" / "log_uniform": k_i ~ U[low, high] (resp. log k_i
+    uniform on [log low, log high]), realized as the probit push-forward of
+    a standard Gaussian so pCN's reference measure stays exactly Gaussian
+    (infer.priors.BoxPrior); mean/sigma are ignored.
+    """
 
     mean: float = 0.0
     sigma: float = 0.6
     dim: int = 5
+    kind: str = "gaussian"  # "gaussian" | "uniform" | "log_uniform"
+    low: float = 0.1
+    high: float = 10.0
 
     def to_dict(self):
         return _asdict(self)

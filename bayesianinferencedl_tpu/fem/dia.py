@@ -210,6 +210,12 @@ class StencilOperator:
     def max_offset(self) -> int:
         return max(abs(o) for o in self.offsets)
 
+    @property
+    def resolution(self) -> int:
+        """Mesh resolution, recovered from the stencil layout: the second-
+        largest offset is ny+1 with ny = 16 * resolution (assemble_fin_dia)."""
+        return (self.offsets[-2] - 1) // 16
+
     def vals(self, k: jax.Array) -> jax.Array:
         # elementwise multiply-sum, NOT tensordot: TPU matmuls default to
         # bfloat16 MXU passes, which caps the assembled operator (and hence

@@ -107,6 +107,10 @@ class NodalStencilOperator:
         return self.base.dtype
 
     @property
+    def resolution(self):
+        return self.base.resolution
+
+    @property
     def offsets(self):
         return self.base.offsets
 

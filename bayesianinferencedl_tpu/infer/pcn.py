@@ -264,8 +264,9 @@ def run_pcn_segmented(
     thetas = theta0
     betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
     done = 0
+    acc_steps = 0
+    acc_counts = None
     samples_chunks, phi_chunks = [], []
-    accept_rate = None
     while done < n_steps:
         this = min(segment, n_steps - done)
         key, sub = jax.random.split(key)
@@ -275,13 +276,21 @@ def run_pcn_segmented(
             n_steps=this, n_burn=burn, beta=betas, thin=1, adapt=True, batched=batched,
         )
         thetas, betas = res.state.theta, res.beta
-        accept_rate = res.accept_rate
+        # each run_pcn call re-zeroes n_accept after its burn phase, so its
+        # accept_rate covers only this segment's post-burn steps — accumulate
+        # counts so the returned rate covers the WHOLE post-burn run
+        kept = this - burn
+        if kept > 0:
+            counts = res.accept_rate * kept
+            acc_counts = counts if acc_counts is None else acc_counts + counts
+            acc_steps += kept
         done += this
         if res.samples.shape[0] > 0:
             samples_chunks.append(np.asarray(res.samples))
             phi_chunks.append(np.asarray(res.phi_trace))
     samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
     phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
+    accept_rate = acc_counts / max(acc_steps, 1) if acc_counts is not None else res.accept_rate
     return PCNResult(
         state=res.state, samples=samples, phi_trace=phis, accept_rate=accept_rate, beta=betas
     )

@@ -166,8 +166,21 @@ def pcg_stencil_batch(
     return x, iters[:, 0, 0]
 
 
+def derived_maxiter(resolution: int) -> int:
+    """Tight static loop bound for the fused PCG kernel: ~1.5x the measured
+    Jacobi-PCG iteration count (~80 x resolution at tol=1e-7 over the
+    log-uniform conductivity range).
+
+    The bound must be TIGHT: Mosaic's scheduling of the while_loop degrades
+    with the static trip-count bound itself — measured 12x slower at
+    maxiter=8000 vs 3000 at IDENTICAL iteration counts (323) on the r=4 mesh
+    (CLAUDE.md rule 7). The kernel is f32, so tolerances below ~1e-7 are not
+    reachable anyway and don't need extra headroom."""
+    return max(480, 120 * int(resolution))
+
+
 def solve_fom_stencil_pallas(
-    op, ks: jax.Array, *, tol: float = 1e-7, maxiter: int = 2000, x0: jax.Array | None = None
+    op, ks: jax.Array, *, tol: float = 1e-7, maxiter: int | None = None, x0: jax.Array | None = None
 ):
     """Batched FOM solve through the fused Pallas kernel.
 
@@ -175,7 +188,13 @@ def solve_fom_stencil_pallas(
     iters: (B,)). x0: optional (B, n) flat warm starts. Non-differentiable
     fast path (snapshot generation, dataset sweeps, MCMC); the implicit-diff
     jnp path in fem.solve stays the gradient route.
+
+    maxiter=None derives the tight resolution-scaled loop bound (see
+    derived_maxiter) — prefer it: a hand-picked loose bound silently costs
+    up to 12x runtime (Mosaic scheduling artifact).
     """
+    if maxiter is None:
+        maxiter = derived_maxiter(op.resolution)
     vals2d = jax.vmap(op.vals_grid)(ks)  # (B, 7, X, Y)
     F2d = op.to_grid(op.F_root)
     x02d = None if x0 is None else jax.vmap(op.to_grid)(x0)

@@ -26,18 +26,24 @@ def sharded_pcn(
     *,
     n_steps: int,
     n_burn: int = 0,
-    beta: float = 0.25,
+    beta=0.25,
     thin: int = 1,
+    batched: bool = False,
 ) -> PCNResult:
     """Run pCN with the chain batch sharded over the mesh axis.
 
     theta0: (n_chains, d) with n_chains divisible by the mesh size. Each
     device runs its chain shard fully locally (chains are independent — zero
     per-step communication); only the RNG key is decorrelated per device.
+
+    beta: scalar or per-chain (n_chains,) array (e.g. adapted betas carried
+    across segments). batched=True marks misfit_fn as whole-shard-batched
+    (e.g. the fused Pallas FOM solver on the local chain shard).
     """
     axis = mesh.axis_names[0]
+    beta_arr = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
 
-    def local(theta0_shard, key_all):
+    def local(theta0_shard, beta_shard, key_all):
         dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
         return run_pcn(
             misfit_fn,
@@ -46,8 +52,9 @@ def sharded_pcn(
             dev_key,
             n_steps=n_steps,
             n_burn=n_burn,
-            beta=beta,
+            beta=beta_shard,
             thin=thin,
+            batched=batched,
         )
 
     # out_specs: every leaf is chain-sharded on its chain axis.
@@ -60,8 +67,63 @@ def sharded_pcn(
         accept_rate=P(axis),
         beta=P(axis),
     )
-    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs)
-    return f(theta0, key)
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs)
+    return f(theta0, beta_arr, key)
+
+
+def sharded_pcn_segmented(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    segment: int = 64,
+    batched: bool = False,
+) -> PCNResult:
+    """Sharded pCN split into fixed-size segments dispatched from the host.
+
+    The FOM likelihood runs a full PDE solve batch every step; one XLA program
+    covering the whole chain would outlive the runtime's ~60 s execution
+    watchdog (CLAUDE.md rule 2), so — exactly like infer.pcn.run_pcn_segmented
+    on one device — the sharded run is chunked, carrying chain state, adapted
+    per-chain betas, and accumulated accept counts across segments."""
+    import numpy as np
+
+    thetas = theta0
+    betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+    done = 0
+    acc_steps = 0
+    acc_counts = None
+    samples_chunks, phi_chunks = [], []
+    res = None
+    while done < n_steps:
+        this = min(segment, n_steps - done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - done, 0), this)
+        res = sharded_pcn(
+            mesh, misfit_fn, prior, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, thin=1, batched=batched,
+        )
+        thetas, betas = res.state.theta, res.beta
+        kept = this - burn
+        if kept > 0:
+            counts = res.accept_rate * kept
+            acc_counts = counts if acc_counts is None else acc_counts + counts
+            acc_steps += kept
+        done += this
+        if res.samples.shape[0] > 0:
+            samples_chunks.append(np.asarray(res.samples))
+            phi_chunks.append(np.asarray(res.phi_trace))
+    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
+    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
+    accept_rate = acc_counts / max(acc_steps, 1) if acc_counts is not None else res.accept_rate
+    return PCNResult(
+        state=res.state, samples=samples, phi_trace=phis, accept_rate=accept_rate, beta=betas
+    )
 
 
 def sharded_snapshots(

@@ -199,7 +199,10 @@ class ReducedOperator:
         return f
 
     def lift(self, u_r: jax.Array) -> jax.Array:
-        return self.V @ u_r
+        # full f32: the greedy residual indicator subtracts A(k) lift(u_r)
+        # from F, and a bf16 lift floors the indicator at ~1e-1 (breaking
+        # greedy selection on TPU entirely) — CLAUDE.md rule 4
+        return jnp.dot(self.V, u_r, precision=jax.lax.Precision.HIGHEST)
 
     def residual_norm(self, op: FinOperator, k: jax.Array) -> jax.Array:
         """Full-space residual ||F - A(k) V u_r(k)|| — the greedy error

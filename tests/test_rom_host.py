@@ -39,6 +39,37 @@ def test_project_host_matches_device(setup):
     np.testing.assert_allclose(np.asarray(rom_h.Bhat), np.asarray(rom_d.Bhat), atol=1e-12)
 
 
+def test_greedy_host_parity_with_pod(setup):
+    """VERDICT.md round-1 item 8: the greedy builder gets the same offline-f64
+    architecture as POD — orthonormalize_host + project_host — and reaches
+    rel-err parity with the POD basis at equal r."""
+    from bayesianinferencedl_tpu.rom.greedy import greedy_basis, orthonormalize_host
+
+    host, op, S = setup
+    r = 16
+    ks = sample_log_uniform(jax.random.PRNGKey(0), 48)
+    gres = greedy_basis(op, ks, r, tol=1e-12, maxiter=4000)
+    Vg = orthonormalize_host(gres.snapshots)
+    # host QR restores f64 orthonormality regardless of device dtype
+    np.testing.assert_allclose(Vg.T @ Vg, np.eye(Vg.shape[1]), atol=1e-12)
+    rom_g = ReducedOperator.project_host(host, 0.1, Vg, dtype=jnp.float64)
+
+    Vp, _ = pod_basis_host(np.asarray(S), r)
+    rom_p = ReducedOperator.project_host(host, 0.1, Vp, dtype=jnp.float64)
+
+    k_test = sample_log_uniform(jax.random.PRNGKey(9), 16)
+    y_fom = jax.vmap(lambda k: op.observe(solve_fom(op, k, tol=1e-12, maxiter=4000)))(k_test)
+
+    def rel(rom):
+        return float(jnp.linalg.norm(rom.forward_batch(k_test) - y_fom) / jnp.linalg.norm(y_fom))
+
+    e_g, e_p = rel(rom_g), rel(rom_p)
+    # greedy optimizes sup-error over candidates, POD mean-square energy —
+    # parity here means the same order of accuracy, not identical numbers
+    # (measured: e_g=7.7e-3 vs e_p=6.9e-3 at r=16 — 11% apart)
+    assert e_g < 3 * e_p and e_g < 3e-2, (e_g, e_p)
+
+
 def test_f64_offline_beats_f32_offline(setup):
     """The motivating case: with f32 snapshots, f64 offline algebra preserves
     ROM accuracy far beyond all-f32 offline processing."""
