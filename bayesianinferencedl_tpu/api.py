@@ -496,7 +496,23 @@ def run_inversion(
         fwd_b_theta = pipe.batched_forward_fn(like)
         fwd_b = lambda xs: fwd_b_theta(to_theta(xs))  # to_theta is elementwise
         misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
-        if like == "fom":
+        if smp == "pt_pcn":
+            # parallel tempering: the exact sampler when the posterior is
+            # multimodal (measured on the fin at 1e-3 noise — see
+            # infer/tempering.py). n_chains cold chains, n_temps levels.
+            if like == "fom":
+                raise NotImplementedError(
+                    "pt_pcn with the fom likelihood needs watchdog segmentation; "
+                    "use likelihood='rom'/'rom_nn' or sampler='pcn'"
+                )
+            from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
+
+            run = lambda: run_pt_pcn(
+                misfit_b, pipe.prior, theta0, k_chain,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+            )
+        elif like == "fom":
             # full-order solves per step: segment the run so no single device
             # program outlives the runtime's execution watchdog. (Warm-
             # starting each proposal's CG from the chain state was measured

@@ -118,7 +118,12 @@ class MCMCConfig:
 
     sampler: "pcn" (prior-referenced, adaptive per-chain beta),
              "laplace_mh" (independence MH with the Laplace approximation as
-             proposal), or "gpcn" (pCN wrt the Laplace reference measure).
+             proposal), "gpcn" (pCN wrt the Laplace reference measure), or
+             "pt_pcn" (parallel-tempered pCN — the exact sampler for
+             multimodal posteriors; n_chains then counts COLD chains and
+             total compute is n_temps x n_chains misfits per step).
+    n_temps / lambda_min: temperature-ladder controls for pt_pcn
+             (geometric inverse temperatures lambda_min .. 1).
     """
 
     n_chains: int = 1024
@@ -127,9 +132,11 @@ class MCMCConfig:
     beta: float = 0.25
     noise_sigma: float = 1e-3
     likelihood: str = "rom_nn"  # "fom" | "rom" | "rom_nn"
-    sampler: str = "pcn"  # "pcn" | "laplace_mh" | "gpcn"
+    sampler: str = "pcn"  # "pcn" | "laplace_mh" | "gpcn" | "pt_pcn"
     seed: int = 0
     thin: int = 1
+    n_temps: int = 4
+    lambda_min: float = 0.05
 
     def to_dict(self):
         return _asdict(self)

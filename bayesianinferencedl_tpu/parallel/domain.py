@@ -112,20 +112,59 @@ def solve_fom_domain_sharded(
     # and zero load, so they are inert)
     Xp = int(np.ceil(x0 / (8 * n_dev)) * 8 * n_dev)
 
-    vals = op.vals(k)  # (n, 7)
-    planes = vals[: op.n_grid].T.reshape(7, x0, y0)
-    planes = jnp.pad(planes, ((0, 0), (0, Xp - x0), (0, Y - y0)))
+    def to_planes(arr_n7):  # (n, 7[, c]) flat-node leading -> (7[, c], Xp, Y)
+        a = arr_n7[: op.n_grid]
+        a = jnp.moveaxis(a, 0, -1).reshape(*a.shape[1:], x0, y0)
+        pad = [(0, 0)] * (a.ndim - 2) + [(0, Xp - x0), (0, Y - y0)]
+        return jnp.pad(a, pad)
+
     F2d = jnp.pad(op.F_root[: op.n_grid].reshape(x0, y0), ((0, Xp - x0), (0, Y - y0)))
 
-    f = jax.jit(
-        jax.shard_map(
-            partial(_pcg_sharded, axis=axis, tol=tol, maxiter=maxiter),
-            mesh=mesh,
-            in_specs=(P(None, axis, None), P(axis, None)),
-            out_specs=(P(axis, None), P()),
+    if hasattr(op, "comp_vals"):
+        # affine operator: shard the ASSEMBLY too — each device assembles only
+        # its own X-rows from the sharded component planes (the O(n) assembly
+        # replicated per device would otherwise dominate per-device work at
+        # high device counts; k itself is 5 replicated scalars)
+        comp_p = to_planes(op.comp_vals)  # (7, 5, Xp, Y)
+        ext_p = to_planes(op.ext_mass)  # (7, Xp, Y)
+        fix_p = to_planes(op.fixed)  # (7, Xp, Y)
+        biot = op.dtype.type(op.biot)
+
+        def local(comp_l, ext_l, fix_l, F_l, k_r):
+            k_l = jnp.asarray(k_r, comp_l.dtype)
+            vals = (
+                jnp.sum(comp_l * k_l[None, :, None, None], axis=1) + biot * ext_l + fix_l
+            )
+            return _pcg_sharded(vals, F_l, axis=axis, tol=tol, maxiter=maxiter)
+
+        f = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(None, None, axis, None),
+                    P(None, axis, None),
+                    P(None, axis, None),
+                    P(axis, None),
+                    P(),
+                ),
+                out_specs=(P(axis, None), P()),
+            )
         )
-    )
-    u2d, iters = f(planes, F2d)
+        u2d, iters = f(comp_p, ext_p, fix_p, F2d, k)
+    else:
+        # non-affine operator (nodal conductivity): assembly needs neighbor-k
+        # couplings, so it runs replicated and only the solve is sharded
+        planes = to_planes(op.vals(k))
+        f = jax.jit(
+            jax.shard_map(
+                partial(_pcg_sharded, axis=axis, tol=tol, maxiter=maxiter),
+                mesh=mesh,
+                in_specs=(P(None, axis, None), P(axis, None)),
+                out_specs=(P(axis, None), P()),
+            )
+        )
+        u2d, iters = f(planes, F2d)
     u_flat = u2d[:x0, :y0].reshape(-1)
     u_flat = jnp.pad(u_flat, (0, op.n - op.n_grid))
     return u_flat, iters

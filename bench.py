@@ -1,10 +1,20 @@
 """Headline benchmark (BASELINE.md): full Bayesian inversion throughput.
 
 Runs the end-to-end pipeline (FOM -> POD ROM -> NN error surrogate) and then
-times the production MCMC: pCN with the fused ROM+NN likelihood, 1024 vmapped
-chains, entirely on-device. Prints ONE JSON line:
+times the production MCMC. The headline sampler is parallel-tempered pCN
+(infer/tempering.py): at 1e-3 observation noise the fin posterior is
+genuinely multimodal (measured: a mis-assigned subfin configuration fits the
+data better than the truth under the FOM itself), so single-temperature pCN
+chains park in different basins and R-hat ~ 2 no matter how long they run —
+PT is the exact sampler for that posterior, and the R-hat gate below is the
+convergence evidence (VERDICT.md round-1 item 2).
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Also reports (VERDICT items 3-5): batched FOM solves/s through BOTH the XLA
+path and the fused Pallas PCG kernel, a resolution-scaling table for the
+kernel, and roofline/MFU accounting against v5e peaks (utils/roofline.py).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
 vs_baseline is measured against the reference north-star rate (BASELINE.json:
 1e4 pCN samples in < 60 s => 166.7 samples/sec) since the reference repo
@@ -21,8 +31,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _timed(fn, *args):
+    """Compile (first call), then time the steady-state second call."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return out, time.perf_counter() - t0
+
+
 def main() -> None:
-    from bayesianinferencedl_tpu.api import build_pipeline, run_inversion
+    from bayesianinferencedl_tpu.api import build_pipeline, make_fom_solver, run_inversion
     from bayesianinferencedl_tpu.config import (
         FEMConfig,
         MCMCConfig,
@@ -32,82 +52,122 @@ def main() -> None:
         SurrogateConfig,
     )
     from bayesianinferencedl_tpu.fem.solve import solve_fom
+    from bayesianinferencedl_tpu.models.five_param import FiveParamFin
     from bayesianinferencedl_tpu.rom.snapshots import sample_log_uniform
+    from bayesianinferencedl_tpu.utils import roofline as rl
     from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
 
+    # 5 temperature levels down to lambda=0.02: measured R-hat 1.053 at
+    # (4, 0.05) — the deeper/hotter ladder buys the mixing margin
+    N_CHAINS, N_TEMPS, LAMBDA_MIN = 4096, 5, 0.02
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=4),
         fem=FEMConfig(biot=0.1, cg_tol=1e-7, cg_maxiter=1500),
         rom=ROMConfig(n_snapshots=256, basis_size=40),
         surrogate=SurrogateConfig(hidden=(64, 64), n_train=1024, epochs=300),
         mcmc=MCMCConfig(
-            n_chains=4096, n_steps=10_000, n_burn=1_000, beta=0.25,
-            noise_sigma=1e-3, likelihood="rom_nn",
+            n_chains=N_CHAINS, n_steps=10_000, n_burn=1_000, beta=0.25,
+            noise_sigma=1e-3, likelihood="rom_nn", sampler="pt_pcn",
+            n_temps=N_TEMPS, lambda_min=LAMBDA_MIN,
         ),
     )
     log = MetricsLogger()
     pipe = build_pipeline(cfg, dtype=jnp.float32, metrics=log)
 
-    # --- forward solves/sec: FOM (batched) vs ROM+NN (the BASELINE metric) --
+    # --- forward solves/sec: FOM via XLA AND via the fused Pallas kernel ----
     ks = sample_log_uniform(jax.random.PRNGKey(3), 256).astype(jnp.float32)
-    fom_batch = jax.jit(
+    fom_xla = jax.jit(
         jax.vmap(lambda k: pipe.fin.op.observe(solve_fom(pipe.fin.op, k, tol=1e-7, maxiter=1500)))
     )
-    y = fom_batch(ks)
-    y.block_until_ready()
-    t0 = time.perf_counter()
-    y = fom_batch(ks)
-    y.block_until_ready()
-    fom_sps = 256 / (time.perf_counter() - t0)
+    _, dt = _timed(fom_xla, ks)
+    fom_sps_xla = 256 / dt
 
+    pallas_solver = make_fom_solver(pipe.fin, tol=1e-7, maxiter=1500, use_pallas=True)
+    u_p, dt = _timed(pallas_solver, ks)
+    fom_sps_pallas = 256 / dt
+    # kernel roofline: VPU-bound stencil iterations, all state in VMEM
+    from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
+
+    _, iters = solve_fom_stencil_pallas(pipe.fin.op, ks, tol=1e-7)
+    mean_iters = float(jnp.mean(iters))
+    X, Y = pipe.fin.op.grid_shape
+    pcg_flops_per_solve = rl.stencil_pcg_flops(X, Y, mean_iters)
+    pcg_achieved_flops = pcg_flops_per_solve * fom_sps_pallas
+    pcg_vmem_bw = rl.stencil_pcg_vmem_bytes_per_sample(pipe.fin.op.n, mean_iters) * fom_sps_pallas
+    pcg_hbm_avoided = rl.stencil_pcg_xla_bytes(X, Y, mean_iters) * fom_sps_pallas
+
+    # --- corrected-forward (ROM+NN) evals/sec --------------------------------
     log_ks = jnp.log(ks)
     big = jnp.tile(log_ks, (64, 1))  # 16384 corrected-forward evals
-    fwd = pipe.forward_fn("rom_nn")
-    corr_batch = jax.jit(jax.vmap(fwd))
-    yc = corr_batch(big)
-    yc.block_until_ready()
-    t0 = time.perf_counter()
-    yc = corr_batch(big)
-    yc.block_until_ready()
-    corr_sps = big.shape[0] / (time.perf_counter() - t0)
-    log.log("forward_solves_per_sec", fom=fom_sps, rom_nn=corr_sps, speedup=corr_sps / fom_sps)
+    corr_batch = jax.jit(jax.vmap(pipe.forward_fn("rom_nn")))
+    _, dt = _timed(corr_batch, big)
+    corr_sps = big.shape[0] / dt
 
-    # --- the headline: pCN throughput with the fused ROM+NN likelihood ------
-    # (shards the chain batch over the ICI mesh when >1 device is visible)
-    mesh = None
-    if jax.device_count() > 1:
-        from bayesianinferencedl_tpu.parallel import device_mesh
+    # --- resolution scaling of the Pallas kernel (VERDICT item 5) -----------
+    res_scaling = {}
+    for res in (8, 16):
+        fin_r = FiveParamFin.create(
+            resolution=res, biot=0.1, dtype=jnp.float32, cg_tol=1e-7,
+            cg_maxiter=derived_maxiter(res),
+        )
+        solver_r = make_fom_solver(fin_r, tol=1e-7, maxiter=derived_maxiter(res), use_pallas=True)
+        _, dt = _timed(solver_r, ks)
+        res_scaling[f"res{res}"] = {
+            "fom_solves_per_sec_pallas": round(256 / dt, 2),
+            "n_dof": fin_r.op.n_dof,
+        }
 
-        mesh = device_mesh()
-    inv = run_inversion(pipe, metrics=log, mesh=mesh)
+    # --- the headline: parallel-tempered pCN, fused ROM+NN likelihood -------
+    inv = run_inversion(pipe, metrics=log)
 
     # --- effective-sample rate with the Laplace-proposal sampler ------------
-    # (BASELINE metric names "MCMC effective samples/sec"; the independence
-    # sampler with the Laplace approximation as proposal is the framework's
-    # best ESS/sec configuration)
     inv_mh = run_inversion(pipe, sampler="laplace_mh", metrics=log)
 
     kept_per_chain = inv.result.samples.shape[0]
-    chain_steps_per_sec = kept_per_chain / inv.wall_seconds  # steps/sec along one chain (all chains in parallel)
+    chain_steps_per_sec = kept_per_chain / inv.wall_seconds
     north_star_rate = 1e4 / 60.0  # BASELINE: 1e4 pCN samples in < 60 s
 
+    # chain-step MFU: every step evaluates the fused likelihood once per
+    # chain slot (n_temps x n_chains slots), f32 HIGHEST matmuls on the MXU
+    step_flops = rl.rom_chain_step_flops(
+        r=cfg.rom.basis_size, n_iters=pipe.rom_pcg_iters, d=5,
+        m=pipe.fin.op.n_obs, hidden=tuple(cfg.surrogate.hidden),
+    )
+    chain_achieved_flops = step_flops * N_TEMPS * N_CHAINS * chain_steps_per_sec
+
+    rhat_max = float(jnp.max(inv.rhat))
     out = {
-        "metric": "pcn_samples_per_sec_rom_nn_4096chains",
+        "metric": "pt_pcn_samples_per_sec_rom_nn_4096chains",
         "value": round(inv.samples_per_sec, 2),
         "unit": "samples/sec",
         "vs_baseline": round(inv.samples_per_sec / north_star_rate, 2),
         "detail": {
+            "sampler": f"pt_pcn x{N_TEMPS} temps (exact on the multimodal posterior)",
             "chain_steps_per_sec": round(chain_steps_per_sec, 2),
             "wall_seconds_10k_steps": round(inv.wall_seconds * 10_000 / (cfg.mcmc.n_steps - cfg.mcmc.n_burn), 3),
+            "rhat_max": round(rhat_max, 4),
+            "rhat_ok": bool(rhat_max < 1.05),
             "ess_min": round(float(jnp.min(inv.ess)), 1),
             "ess_per_sec": round(inv.ess_per_sec, 2),
-            "accept_rate": round(float(jnp.mean(inv.result.accept_rate)), 3),
-            "rhat_max": round(float(jnp.max(inv.rhat)), 4),
+            "accept_rate_cold": round(float(jnp.mean(inv.result.accept_rate[-1])), 3),
+            "swap_rate": [round(float(s), 3) for s in inv.result.swap_rate],
             "laplace_mh_ess_per_sec": round(inv_mh.ess_per_sec, 2),
             "laplace_mh_ess_min": round(float(jnp.min(inv_mh.ess)), 1),
             "laplace_mh_rhat_max": round(float(jnp.max(inv_mh.rhat)), 4),
-            "fom_solves_per_sec": round(fom_sps, 2),
+            "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
+            "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),
             "rom_nn_solves_per_sec": round(corr_sps, 2),
+            "resolution_scaling": res_scaling,
+            "roofline": {
+                "pcg_kernel_tflops": round(pcg_achieved_flops / 1e12, 3),
+                "pcg_kernel_pct_vpu_peak": rl.pct(pcg_achieved_flops, rl.V5E_VPU_F32_FLOPS),
+                "pcg_vmem_bw_tbps": round(pcg_vmem_bw / 1e12, 2),
+                "pcg_kernel_mean_iters": round(mean_iters, 1),
+                "pcg_hbm_traffic_avoided_gbps": round(pcg_hbm_avoided / 1e9, 1),
+                "pcg_hbm_avoided_x_peak": round(pcg_hbm_avoided / rl.V5E_HBM_BYTES_PER_S, 2),
+                "chain_step_tflops": round(chain_achieved_flops / 1e12, 3),
+                "chain_step_pct_f32_mxu_peak": rl.pct(chain_achieved_flops, rl.V5E_MXU_F32_FLOPS),
+            },
             "rom_rel_err": log.summary().get("rom_rel_err", {}).get("value"),
             "corrected_rel_err": log.summary().get("corrected_rel_err", {}).get("value"),
             "n_devices": jax.device_count(),

@@ -38,6 +38,26 @@ def test_pallas_pcg_matches_scipy(mesh_r1, op32):
         assert rel < 5e-5, (b, rel)
 
 
+def test_pallas_lanes_kernel_matches_scipy(mesh_r1, op32):
+    """The lane-tiled kernel (samples on the lane axis) against the SciPy
+    oracle, interpret mode. B=4 is padded to the 128-lane tile internally."""
+    ks = np.exp(np.random.default_rng(1).normal(0, 0.4, (4, 5))).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        u, iters = solve_fom_stencil_pallas(op32, jnp.asarray(ks), tol=1e-6, maxiter=800, sample_tile=128)
+    assert (np.asarray(iters) > 0).all()
+
+    n_res = mesh_r1.resolution
+    h = 0.25 / n_res
+    ny = 16 * n_res
+    gi = np.rint((mesh_r1.nodes[:, 0] + 3.0) / h).astype(int)
+    gj = np.rint(mesh_r1.nodes[:, 1] / h).astype(int)
+    gid = gi * (ny + 1) + gj
+    for b in range(4):
+        u_ref = oracle.solve(mesh_r1, ks[b], BIOT)
+        rel = np.linalg.norm(np.asarray(u[b])[gid] - u_ref) / np.linalg.norm(u_ref)
+        assert rel < 5e-5, (b, rel)
+
+
 def test_grid_roundtrip(op32):
     v = jnp.arange(op32.n, dtype=jnp.float32)
     a = op32.to_grid(v)
