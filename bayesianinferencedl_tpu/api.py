@@ -482,13 +482,13 @@ def run_inversion(
         log.log("map", nlp=float(nlp), theta_map=np.asarray(theta_map).tolist())
         theta0 = lap.sample(k_init, (cfg.n_chains,))
         if smp == "laplace_mh":
-            run = lambda: run_laplace_mh(
-                misfit, pipe.prior, lap, theta0, k_chain,
+            run = lambda k: run_laplace_mh(
+                misfit, pipe.prior, lap, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn,
             )
         else:
-            run = lambda: run_gpcn(
-                misfit, pipe.prior, lap, theta0, k_chain,
+            run = lambda k: run_gpcn(
+                misfit, pipe.prior, lap, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
             )
     else:
@@ -507,8 +507,8 @@ def run_inversion(
                 )
             from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
 
-            run = lambda: run_pt_pcn(
-                misfit_b, pipe.prior, theta0, k_chain,
+            run = lambda k: run_pt_pcn(
+                misfit_b, pipe.prior, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                 n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
             )
@@ -523,40 +523,43 @@ def run_inversion(
             if mesh is not None:
                 from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn_segmented
 
-                run = lambda: sharded_pcn_segmented(
-                    mesh, misfit_b, pipe.prior, theta0, k_chain,
+                run = lambda k: sharded_pcn_segmented(
+                    mesh, misfit_b, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     segment=64, batched=True,
                 )
             else:
                 from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
 
-                run = lambda: run_pcn_segmented(
-                    misfit_b, pipe.prior, theta0, k_chain,
+                run = lambda k: run_pcn_segmented(
+                    misfit_b, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     segment=64, batched=True,
                 )
         elif mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_pcn
 
-            run = lambda: sharded_pcn(
-                mesh, misfit_b, pipe.prior, theta0, k_chain,
+            run = lambda k: sharded_pcn(
+                mesh, misfit_b, pipe.prior, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
                 batched=True,
             )
         else:
-            run = lambda: run_pcn(
-                misfit_b, pipe.prior, theta0, k_chain,
+            run = lambda k: run_pcn(
+                misfit_b, pipe.prior, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta, thin=cfg.thin,
                 batched=True,
             )
 
-    # compile, then time the steady-state run
-    res = run()
-    res.samples.block_until_ready()
+    # Compile, then time a steady-state run. The timed run uses a DIFFERENT
+    # chain key and ends with a scalar readback: repeating an identical
+    # dispatch under block_until_ready alone over-reports throughput in this
+    # environment (CLAUDE.md timing rule).
+    res = run(k_chain)
+    float(jnp.sum(res.samples[-1]))
     t0 = time.perf_counter()
-    res = run()
-    res.samples.block_until_ready()
+    res = run(jax.random.fold_in(k_chain, 1))
+    float(jnp.sum(res.samples[-1]))
     wall = time.perf_counter() - t0
 
     ess = effective_sample_size(res.samples)

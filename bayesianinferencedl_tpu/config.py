@@ -121,9 +121,15 @@ class MCMCConfig:
              proposal), "gpcn" (pCN wrt the Laplace reference measure), or
              "pt_pcn" (parallel-tempered pCN — the exact sampler for
              multimodal posteriors; n_chains then counts COLD chains and
-             total compute is n_temps x n_chains misfits per step).
+             total compute is n_temps x n_chains misfits per step), or
+             "da_pcn" (delayed acceptance: subchains of cheap `da_coarse`
+             pCN steps corrected against the exact `likelihood` potential —
+             the FOM posterior at ~1/subchain of the FOM evaluations;
+             n_steps/n_burn then count OUTER steps).
     n_temps / lambda_min: temperature-ladder controls for pt_pcn
              (geometric inverse temperatures lambda_min .. 1).
+    subchain / da_coarse: delayed-acceptance controls (inner steps per fine
+             correction; the surrogate likelihood screening proposals).
     """
 
     n_chains: int = 1024
@@ -132,11 +138,13 @@ class MCMCConfig:
     beta: float = 0.25
     noise_sigma: float = 1e-3
     likelihood: str = "rom_nn"  # "fom" | "rom" | "rom_nn"
-    sampler: str = "pcn"  # "pcn" | "laplace_mh" | "gpcn" | "pt_pcn"
+    sampler: str = "pcn"  # "pcn" | "laplace_mh" | "gpcn" | "pt_pcn" | "da_pcn"
     seed: int = 0
     thin: int = 1
     n_temps: int = 4
     lambda_min: float = 0.05
+    subchain: int = 8
+    da_coarse: str = "rom_nn"
 
     def to_dict(self):
         return _asdict(self)

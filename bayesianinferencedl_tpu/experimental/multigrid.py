@@ -18,17 +18,24 @@ the transfers (multigrid is only a preconditioner — outer FCG guarantees
 correctness; the mask merely costs some contraction-factor near the
 boundary).
 
-STATUS — experimental, measured honestly on v5e: MG-FCG cuts iterations
-~7-11x (29 vs 323 at res=4; 59 vs 650 at res=8; counts still roughly double
-per refinement — the masked fin domain costs textbook mesh-independence),
-but the fused Pallas Jacobi
-kernel still wins on wall-clock at every tested resolution (26.5k vs 6.0k
-solves/s at res=4; 11.6k vs 1.0k at res=8) because the XLA-level V-cycle
-pays per-op overheads the single fused kernel doesn't, and the masked-domain
-contraction degrades at res=16 (5 levels). The production batched solver
-remains ops/pcg_stencil; this module is the correctness-tested starting
-point for an eventual fused Pallas V-cycle kernel at resolutions where
-Jacobi's O(1/h^2) iteration growth finally dominates.
+STATUS — EXPERIMENTAL (VERDICT round-1 item 6: measured crossover, then
+demoted). Full crossover table, v5e single chip, batched solves to 1e-7
+(solves/s; Jacobi counts are the Pallas kernel's, MG counts are FCG outer
+iterations):
+
+    res   dof    batch | XLA-PCG  Pallas-PCG  MG-FCG | jac iters  mg iters
+      8   24.9k   256  |   708       987       1031  |    684        68
+     16   98.9k    64  |    90       204         52  |   1426       135
+     32  394.5k    16  |    11        28          8  |   2952       150(cap)
+
+MG-FCG wins only in a narrow band around res=8 (+4%, within noise); at
+res>=16 it loses 4x because (a) the masked fin domain degrades the
+coarse-grid correction — iterations double per refinement instead of staying
+mesh-independent — and (b) the XLA-level V-cycle pays per-op overheads the
+single fused Jacobi kernel doesn't. Making it pay would need BOTH a Galerkin
+(RAP) coarse operator to fix the masked-domain contraction AND a fused
+Pallas V-cycle; until then the production batched solver everywhere is
+ops/pcg_stencil.
 """
 
 from __future__ import annotations

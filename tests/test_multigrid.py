@@ -1,4 +1,4 @@
-"""Geometric multigrid FCG (fem/multigrid.py): convergence and exactness."""
+"""Geometric multigrid FCG (experimental/multigrid.py): convergence and exactness."""
 
 import jax
 import jax.numpy as jnp
@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from bayesianinferencedl_tpu.fem import oracle
-from bayesianinferencedl_tpu.fem.multigrid import MGHierarchy, prolong, restrict, stencil_apply
+from bayesianinferencedl_tpu.experimental.multigrid import MGHierarchy, prolong, restrict, stencil_apply
 from bayesianinferencedl_tpu.geometry import build_fin_mesh
 
 K_TEST = np.array([0.4, 1.7, 3.1, 0.9, 1.2])

@@ -17,7 +17,7 @@ from bayesianinferencedl_tpu.config import (
     ROMConfig,
     SurrogateConfig,
 )
-from bayesianinferencedl_tpu.ops.pcn_fused import run_pcn_fused
+from bayesianinferencedl_tpu.experimental.pcn_fused import run_pcn_fused
 
 
 def test_fused_kernel_structure():
