@@ -512,6 +512,24 @@ def run_inversion(
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                 n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
             )
+        elif smp == "da_pcn":
+            # delayed acceptance: subchains of cheap da_coarse pCN steps,
+            # Metropolis-corrected against the exact `like` potential — the
+            # exact posterior at ~1/subchain of the fine evaluations
+            # (infer/delayed_acceptance.py). Fine evals are one batched call
+            # per outer step; segmented so no program outlives the watchdog.
+            from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
+
+            coarse_theta = pipe.batched_forward_fn(cfg.da_coarse)
+            coarse_b = lambda xs: coarse_theta(to_theta(xs))
+            misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
+            segment = 64 if like == "fom" else 512
+            run = lambda k: run_da_pcn_segmented(
+                misfit_b, misfit_c, pipe.prior, theta0, k,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                subchain=cfg.subchain, segment=segment,
+                batched_fine=True, batched_coarse=True,
+            )
         elif like == "fom":
             # full-order solves per step: segment the run so no single device
             # program outlives the runtime's execution watchdog. (Warm-

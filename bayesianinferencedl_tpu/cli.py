@@ -182,6 +182,8 @@ def cmd_invert(args) -> None:
             n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
             beta=args.beta, noise_sigma=args.noise, likelihood=args.likelihood,
             sampler=args.sampler, seed=args.seed,
+            n_temps=args.n_temps, lambda_min=args.lambda_min,
+            subchain=args.subchain, da_coarse=args.da_coarse,
         ),
     )
     pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
@@ -335,7 +337,15 @@ def main(argv=None) -> None:
             p.add_argument("--beta", type=float, default=0.25)
             p.add_argument("--noise", type=float, default=1e-3)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
-            p.add_argument("--sampler", choices=["pcn", "laplace_mh", "gpcn"], default="pcn")
+            p.add_argument(
+                "--sampler",
+                choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "da_pcn"],
+                default="pcn",
+            )
+            p.add_argument("--n-temps", type=int, default=4, help="pt_pcn ladder size")
+            p.add_argument("--lambda-min", type=float, default=0.05, help="pt_pcn hottest level")
+            p.add_argument("--subchain", type=int, default=8, help="da_pcn inner steps per fine correction")
+            p.add_argument("--da-coarse", choices=["rom", "rom_nn"], default="rom_nn")
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)
 
