@@ -181,7 +181,7 @@ def _lanes_matvec(vals, p, offsets):
     return acc
 
 
-def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, maxiter: int, offsets):
+def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, maxiter: int, offsets, check_every: int = 16):
     """CG for a LANE-TILE of samples: state (n, Bt), one sample per lane.
 
     One sample's grid is a handful of (8, 128) vector tiles, so the
@@ -208,8 +208,8 @@ def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, max
     z0 = inv_diag * r0
     rz0 = psum(r0 * z0)
 
-    CHECK_EVERY = 16  # convergence test forces a cross-lane reduce-to-scalar
-    # sync; amortize it over a fixed inner block (<= 15 surplus iterations,
+    # convergence test forces a cross-lane reduce-to-scalar sync; amortize
+    # it over a fixed inner block (<= check_every-1 surplus iterations,
     # harmless — alpha ~ 0 once converged)
 
     def cond(c):
@@ -230,14 +230,14 @@ def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, max
         return (x, r, p, rz_new, it + 1)
 
     def body(c):
-        return lax.fori_loop(0, CHECK_EVERY, one_iter, c)
+        return lax.fori_loop(0, check_every, one_iter, c)
 
     x, r, p, rz, it = lax.while_loop(cond, body, (x0, r0, z0, rz0, jnp.int32(0)))
     out_ref[:] = x
     it_ref[:] = jnp.full(it_ref.shape, it, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("maxiter", "tile", "offsets"))
+@partial(jax.jit, static_argnames=("maxiter", "tile", "offsets", "check_every"))
 def pcg_stencil_batch_lanes(
     vals_flat: jax.Array,  # (B, n, 7) flat per-sample diagonal values
     F_flat: jax.Array,  # (n,)
@@ -247,6 +247,7 @@ def pcg_stencil_batch_lanes(
     maxiter: int = 2000,
     tile: int = 128,
     offsets: tuple = (),
+    check_every: int = 16,
 ):
     """Lane-tiled fused PCG (see _pcg_kernel_lanes). B must be a multiple of
     tile (solve_fom_stencil_pallas pads). Returns (x: (B, n), iters: (B,) —
@@ -286,7 +287,7 @@ def pcg_stencil_batch_lanes(
     def kern(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref):
         _pcg_kernel_lanes(
             tol2_ref, vals_ref.at[0], F_ref, x0_ref.at[0], out_ref.at[0], it_ref.at[0],
-            maxiter=maxiter, offsets=offsets,
+            maxiter=maxiter, offsets=offsets, check_every=check_every,
         )
 
     est_iters = max(maxiter // 4, 64)
