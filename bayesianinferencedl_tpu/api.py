@@ -502,8 +502,10 @@ def run_inversion(
             # infer/tempering.py). n_chains cold chains, n_temps levels.
             if like == "fom":
                 raise NotImplementedError(
-                    "pt_pcn with the fom likelihood needs watchdog segmentation; "
-                    "use likelihood='rom'/'rom_nn' or sampler='pcn'"
+                    "pt_pcn with the fom likelihood compiles a full-order solve "
+                    "into every inner step; use sampler='pt_da_pcn' (tempered "
+                    "delayed acceptance — exact FOM posterior, segmented, one "
+                    "batched FOM eval per outer step) instead"
                 )
             from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
 
@@ -511,6 +513,24 @@ def run_inversion(
                 misfit_b, pipe.prior, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                 n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+            )
+        elif smp == "pt_da_pcn":
+            # tempered delayed acceptance: exact `like` posterior on a
+            # multimodal problem at ~1/subchain of the fine evaluations —
+            # every level runs DA subchains on the da_coarse surrogate, the
+            # whole ladder's fine corrections are ONE batched call per outer
+            # step, swaps ride the carried fine misfits (infer/tempering.py).
+            from bayesianinferencedl_tpu.infer.tempering import run_pt_da_segmented
+
+            coarse_theta = pipe.batched_forward_fn(cfg.da_coarse)
+            coarse_b = lambda xs: coarse_theta(to_theta(xs))
+            misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
+            segment = 32 if like == "fom" else 512
+            run = lambda k: run_pt_da_segmented(
+                misfit_b, misfit_c, pipe.prior, theta0, k,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                subchain=cfg.subchain, n_temps=cfg.n_temps,
+                lambda_min=cfg.lambda_min, segment=segment, batched=True,
             )
         elif smp == "da_pcn":
             # delayed acceptance: subchains of cheap da_coarse pCN steps,

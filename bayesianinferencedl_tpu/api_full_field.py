@@ -204,9 +204,11 @@ def run_full_field_inversion(
     """MCMC over RFF coefficients with synthetic FOM data. Returns
     (result, z_true, data, ess, rhat, wall_seconds).
 
-    sampler: "pcn" (default) or "laplace_mh"/"gpcn" — the Laplace samplers
+    sampler: "pcn" (default), "laplace_mh"/"gpcn" — the Laplace samplers
     compute a MAP + Gauss-Newton Laplace approximation in the M-dimensional
-    coefficient space first (the whole point of the unbounded z coordinates).
+    coefficient space first (the whole point of the unbounded z coordinates) —
+    or "da_pcn" (rom_nn subchains + exact `likelihood` correction per outer
+    step; n_steps/n_burn then count outer steps).
     """
     from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
 
@@ -241,13 +243,14 @@ def run_full_field_inversion(
         if sampler == "gpcn":
             kwargs["beta"] = beta
         runner = lambda m, p, t0, k, **kw: smp_fn(m, p, lap, t0, k, **kw)
+        # timed run: different key + scalar readback (CLAUDE.md timing rule)
         res = runner(mis1, pipe.prior, theta0, k_chain, **kwargs)
-        res.samples.block_until_ready()
+        float(jnp.sum(res.samples[-1]))
         import time as _t
 
         t0 = _t.perf_counter()
-        res = runner(mis1, pipe.prior, theta0, k_chain, **kwargs)
-        res.samples.block_until_ready()
+        res = runner(mis1, pipe.prior, theta0, jax.random.fold_in(k_chain, 1), **kwargs)
+        float(jnp.sum(res.samples[-1]))
         wall = _t.perf_counter() - t0
         ess = effective_sample_size(res.samples)
         r = rhat(res.samples)
@@ -255,16 +258,30 @@ def run_full_field_inversion(
                 ess_min=float(jnp.min(ess)), accept_rate=float(jnp.mean(res.accept_rate)))
         return res, z_true, data, ess, r, wall
 
-    runner = run_pcn_segmented if likelihood == "fom" else run_pcn
-    kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True)
-    if likelihood == "fom":
-        kwargs["segment"] = 64
+    if sampler == "da_pcn":
+        # delayed acceptance in RFF-coefficient space: rom_nn subchains,
+        # exact `likelihood` correction once per outer step (exactness
+        # argument in infer/delayed_acceptance.py; n_steps count OUTER steps)
+        from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
+
+        misfit_c = gaussian_misfit(pipe.batched_forward_fn("rom_nn"), data, noise_sigma)
+        runner = lambda m, p, t0, k, **kw: run_da_pcn_segmented(
+            m, misfit_c, p, t0, k,
+            segment=64 if likelihood == "fom" else 512,
+            batched_fine=True, batched_coarse=True, **kw,
+        )
+        kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=8)
+    else:
+        runner = run_pcn_segmented if likelihood == "fom" else run_pcn
+        kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True)
+        if likelihood == "fom":
+            kwargs["segment"] = 64
 
     res = runner(misfit, pipe.prior, theta0, k_chain, **kwargs)
-    res.samples.block_until_ready()
+    float(jnp.sum(res.samples[-1]))
     t0 = time.perf_counter()
-    res = runner(misfit, pipe.prior, theta0, k_chain, **kwargs)
-    res.samples.block_until_ready()
+    res = runner(misfit, pipe.prior, theta0, jax.random.fold_in(k_chain, 1), **kwargs)
+    float(jnp.sum(res.samples[-1]))
     wall = time.perf_counter() - t0
 
     ess = effective_sample_size(res.samples)

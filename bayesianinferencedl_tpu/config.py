@@ -125,7 +125,10 @@ class MCMCConfig:
              "da_pcn" (delayed acceptance: subchains of cheap `da_coarse`
              pCN steps corrected against the exact `likelihood` potential —
              the FOM posterior at ~1/subchain of the FOM evaluations;
-             n_steps/n_burn then count OUTER steps).
+             n_steps/n_burn then count OUTER steps), or "pt_da_pcn"
+             (tempered delayed acceptance: the exact `likelihood` posterior
+             on a MULTIMODAL problem — DA subchains per temperature level,
+             swaps on the carried fine misfits).
     n_temps / lambda_min: temperature-ladder controls for pt_pcn
              (geometric inverse temperatures lambda_min .. 1).
     subchain / da_coarse: delayed-acceptance controls (inner steps per fine
@@ -138,7 +141,7 @@ class MCMCConfig:
     beta: float = 0.25
     noise_sigma: float = 1e-3
     likelihood: str = "rom_nn"  # "fom" | "rom" | "rom_nn"
-    sampler: str = "pcn"  # "pcn" | "laplace_mh" | "gpcn" | "pt_pcn" | "da_pcn"
+    sampler: str = "pcn"  # pcn | laplace_mh | gpcn | pt_pcn | da_pcn | pt_da_pcn
     seed: int = 0
     thin: int = 1
     n_temps: int = 4

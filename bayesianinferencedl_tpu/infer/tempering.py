@@ -98,7 +98,8 @@ def run_pt_pcn(
     phi = phi_all(theta)
     log_beta = jnp.full((K, G), jnp.log(jnp.asarray(beta, dtype)), dtype) + phi * 0
     n_accept = (phi * 0).astype(jnp.int32)
-    n_swap = jnp.zeros((K - 1,) if K > 1 else (1,), dtype)
+    # derive from phi so the carry stays device-varying under shard_map (vma)
+    n_swap = jnp.zeros((K - 1,) if K > 1 else (1,), dtype) + phi.sum() * 0
 
     mean, chol = prior.mean, prior.chol
 
@@ -182,4 +183,239 @@ def run_pt_pcn(
         swap_rate=n_swap / max(n_keep / 2, 1),
         beta=jnp.exp(log_beta),
         theta=theta,
+    )
+
+
+class PTDAResult(NamedTuple):
+    samples: jax.Array  # (n_kept, G, d) cold-level samples
+    phi_trace: jax.Array  # (n_kept, G) cold-level FINE misfits
+    accept_rate: jax.Array  # (K, G) outer (fine-correction) acceptance
+    inner_accept_rate: jax.Array  # (K, G) coarse subchain acceptance
+    swap_rate: jax.Array  # (K-1,)
+    beta: jax.Array  # (K, G) adapted inner step sizes
+    theta: jax.Array  # (K, G, d) final states (resume support)
+    n_fine_evals: int  # fine-model BATCH evaluations (each covers K*G states)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "misfit_fine", "misfit_coarse", "n_steps", "n_burn", "n_temps",
+        "subchain", "adapt", "batched",
+    ),
+)
+def run_pt_da(
+    misfit_fine: Callable,
+    misfit_coarse: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,  # (G, d) cold inits, or (K, G, d) per-level resume
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchain: int = 8,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    adapt: bool = True,
+    batched: bool = False,
+) -> PTDAResult:
+    """Tempered delayed acceptance: the EXACT fine (e.g. full-order)
+    posterior on a MULTIMODAL problem, at ~1/subchain of the fine evals.
+
+    Level j targets pi_j ~ exp(-lambda_j Phi_f) mu0. Its within-level move is
+    a DA step: `subchain` coarse pCN steps targeting exp(-lambda_j Phi_c) mu0
+    (reversible w.r.t. it), then one Metropolis correction with
+
+        log alpha = lambda_j [(Phi_f - Phi_f*) - (Phi_c - Phi_c*)]
+
+    evaluated at the subchain endpoint — exactly pi_j-invariant (same
+    composition argument as infer/delayed_acceptance.py, per level). Swaps
+    between adjacent levels use the CARRIED fine misfits (the pt_pcn rule
+    with Phi = Phi_f), so the cold level samples the exact fine posterior.
+    The fine model runs ONCE per outer step as a single (K*G)-batch call —
+    on TPU one fused Pallas PCG dispatch for the whole ladder.
+
+    n_steps/n_burn count OUTER steps. beta may be a scalar or a (K, G)
+    array (resume support)."""
+    if theta0.ndim == 2:
+        G, d = theta0.shape
+        theta = jnp.broadcast_to(theta0[None], (n_temps, G, d))
+    else:
+        _, G, d = theta0.shape
+        theta = theta0
+    K = n_temps
+    dtype = theta.dtype
+    lambdas = geometric_ladder(K, lambda_min, dtype)[:, None]  # (K, 1)
+
+    def phi_all(fn, thetas_kg):  # (K, G, d) -> (K, G)
+        flat = thetas_kg.reshape(K * G, d)
+        phi = fn(flat) if batched else jax.vmap(fn)(flat)
+        return phi.reshape(K, G)
+
+    phi_f = phi_all(misfit_fine, theta)
+    phi_c = phi_all(misfit_coarse, theta)
+    log_beta = jnp.log(jnp.broadcast_to(jnp.asarray(beta, dtype), (K, G))) + phi_f * 0
+    n_out = (phi_f * 0).astype(jnp.int32)
+    n_in = (phi_f * 0).astype(jnp.int32)
+    # derive from phi_f so the carry stays device-varying under shard_map (vma)
+    n_swap = jnp.zeros((K - 1,) if K > 1 else (1,), dtype) + phi_f.sum() * 0
+    mean, chol = prior.mean, prior.chol
+
+    def step(carry, inp):
+        theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap = carry
+        t, k_t = inp
+        k_sub, k_acc, k_swap = jax.random.split(k_t, 3)
+        b = jnp.exp(log_beta)[..., None]  # frozen for this outer step
+
+        # --- inner subchain: S tempered-coarse pCN steps --------------------
+        def inner(c, k):
+            th, pc, na = c
+            k1, k2 = jax.random.split(k)
+            xi = jax.random.normal(k1, th.shape, dtype) @ chol.T
+            prop = mean + jnp.sqrt(1.0 - b**2) * (th - mean) + b * xi
+            pc_prop = phi_all(misfit_coarse, prop)
+            u = jax.random.uniform(k2, pc.shape, dtype)
+            acc = jnp.log(u) < lambdas * (pc - pc_prop)
+            th = jnp.where(acc[..., None], prop, th)
+            pc = jnp.where(acc, pc_prop, pc)
+            return (th, pc, na + acc.astype(jnp.int32)), None
+
+        (th_s, pc_s, n_in_step), _ = jax.lax.scan(
+            inner, (theta, phi_c, n_in * 0), jax.random.split(k_sub, subchain)
+        )
+
+        # --- outer fine correction (one K*G-batch fine evaluation) ----------
+        pf_s = phi_all(misfit_fine, th_s)
+        log_alpha = lambdas * ((phi_f - pf_s) - (phi_c - pc_s))
+        u = jax.random.uniform(k_acc, phi_f.shape, dtype)
+        acc = jnp.log(u) < log_alpha
+        theta = jnp.where(acc[..., None], th_s, theta)
+        phi_f = jnp.where(acc, pf_s, phi_f)
+        phi_c = jnp.where(acc, pc_s, phi_c)
+        n_out = n_out + acc.astype(jnp.int32)
+        n_in = n_in + n_in_step
+        if adapt:
+            eta = jnp.where(t < n_burn, 0.5 / (1.0 + t.astype(dtype)) ** 0.6, 0.0)
+            frac = n_in_step.astype(dtype) / dtype.type(subchain)
+            log_beta = jnp.clip(
+                log_beta + eta * (frac - dtype.type(TARGET_ACCEPT)),
+                jnp.log(1e-4), jnp.log(0.9999),
+            )
+
+        # --- replica exchange on the carried fine misfits -------------------
+        if K > 1:
+            j = jnp.arange(K)
+            parity = (t.astype(jnp.int32) % 2).astype(j.dtype)
+            is_lower = (j % 2 == parity) & (j + 1 < K)
+            partner = jnp.where(
+                is_lower, j + 1,
+                jnp.where((j - 1 >= 0) & ((j - 1) % 2 == parity), j - 1, j),
+            )
+            lam = lambdas[:, 0]
+            dlam = lam[jnp.minimum(j + 1, K - 1)] - lam[j]
+            dphi = phi_f[jnp.minimum(j + 1, K - 1)] - phi_f[j]
+            log_a = dlam[:, None] * dphi
+            u_sw = jax.random.uniform(k_swap, (K, G), dtype)
+            acc_lower = (jnp.log(u_sw) < log_a) & is_lower[:, None]
+            do_swap = acc_lower | jnp.roll(acc_lower, 1, axis=0) & (partner < j)[:, None]
+            theta = jnp.where(do_swap[..., None], theta[partner], theta)
+            phi_f = jnp.where(do_swap, phi_f[partner], phi_f)
+            phi_c = jnp.where(do_swap, phi_c[partner], phi_c)
+            kept = jnp.where(t >= n_burn, 1.0, 0.0).astype(dtype)
+            n_swap = n_swap + kept * acc_lower.astype(dtype).mean(axis=1)[:-1]
+
+        return (theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
+
+    k_burn, k_main = jax.random.split(key)
+    carry = (theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap)
+    if n_burn > 0:
+        ts = jnp.arange(n_burn, dtype=dtype)
+        carry, _ = jax.lax.scan(step, carry, (ts, jax.random.split(k_burn, n_burn)))
+        theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap = carry
+        carry = (theta, phi_f, phi_c, log_beta, n_out * 0, n_in * 0, n_swap * 0)
+
+    n_keep = n_steps - n_burn
+    ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
+    carry, (samples, phis) = jax.lax.scan(step, carry, (ts, jax.random.split(k_main, n_keep)))
+    theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap = carry
+
+    return PTDAResult(
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=n_out.astype(jnp.float32) / max(n_keep, 1),
+        inner_accept_rate=n_in.astype(jnp.float32) / max(n_keep * subchain, 1),
+        swap_rate=n_swap / max(n_keep / 2, 1),
+        beta=jnp.exp(log_beta),
+        theta=theta,
+        n_fine_evals=n_steps + 1,
+    )
+
+
+def run_pt_da_segmented(
+    misfit_fine: Callable,
+    misfit_coarse: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchain: int = 8,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    segment: int = 32,
+    batched: bool = False,
+) -> PTDAResult:
+    """run_pt_da dispatched in fixed-size outer segments (watchdog-safe for
+    expensive fine models); per-level states and adapted betas carry across
+    segments, accept/swap accounting covers the whole post-burn run."""
+    import numpy as np
+
+    thetas = theta0
+    betas = beta
+    done = 0
+    acc_steps = 0
+    acc_out = acc_in = acc_swap = None
+    samples_chunks, phi_chunks = [], []
+    res = None
+    while done < n_steps:
+        this = min(segment, n_steps - done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - done, 0), this)
+        res = run_pt_da(
+            misfit_fine, misfit_coarse, prior, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            n_temps=n_temps, lambda_min=lambda_min, adapt=True, batched=batched,
+        )
+        thetas, betas = res.theta, res.beta
+        kept = this - burn
+        if kept > 0:
+            acc_out = (res.accept_rate * kept) if acc_out is None else acc_out + res.accept_rate * kept
+            acc_in = (
+                res.inner_accept_rate * kept * subchain
+                if acc_in is None else acc_in + res.inner_accept_rate * kept * subchain
+            )
+            acc_swap = (
+                res.swap_rate * (kept / 2) if acc_swap is None else acc_swap + res.swap_rate * (kept / 2)
+            )
+            acc_steps += kept
+            samples_chunks.append(np.asarray(res.samples))
+            phi_chunks.append(np.asarray(res.phi_trace))
+        done += this
+    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
+    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
+    denom = max(acc_steps, 1)
+    return PTDAResult(
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=acc_out / denom if acc_out is not None else res.accept_rate,
+        inner_accept_rate=(
+            acc_in / (denom * subchain) if acc_in is not None else res.inner_accept_rate
+        ),
+        swap_rate=acc_swap / max(acc_steps / 2, 1) if acc_swap is not None else res.swap_rate,
+        beta=betas,
+        theta=res.theta,
+        n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
     )

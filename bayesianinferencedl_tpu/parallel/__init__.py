@@ -9,7 +9,9 @@ collectives (SURVEY.md §5 "Distributed communication backend").
 
 from bayesianinferencedl_tpu.parallel.mesh import device_mesh  # noqa: F401
 from bayesianinferencedl_tpu.parallel.sharding import (  # noqa: F401
+    sharded_da_pcn,
     sharded_pcn,
+    sharded_pt_da,
     sharded_snapshots,
     dp_train_step,
 )

@@ -187,3 +187,105 @@ def dp_train_step(
         out_specs=(P(), P(), P()),
     )
     return f(params, opt_state, xb, yb)
+
+
+def sharded_da_pcn(
+    mesh: Mesh,
+    misfit_fine: Callable,
+    misfit_coarse: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchain: int = 8,
+    batched_fine: bool = False,
+    batched_coarse: bool = False,
+):
+    """Delayed-acceptance pCN with the chain batch sharded over the mesh.
+
+    Chains are independent, so each device runs its shard fully locally —
+    including its own batched fine (Pallas FOM) evaluations — with only the
+    RNG decorrelated per device. Same contract as sharded_pcn."""
+    from bayesianinferencedl_tpu.infer.delayed_acceptance import (
+        DAResult, DAState, run_da_pcn,
+    )
+
+    axis = mesh.axis_names[0]
+    beta_arr = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+
+    def local(theta0_shard, beta_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        res = run_da_pcn(
+            misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, beta=beta_shard, subchain=subchain,
+            batched_fine=batched_fine, batched_coarse=batched_coarse,
+        )
+        # the int leaf must be an array to carry a replicated out-spec
+        return res._replace(n_fine_evals=jnp.int32(res.n_fine_evals))
+
+    out_specs = DAResult(
+        state=DAState(theta=P(axis), phi_f=P(axis), phi_c=P(axis), n_accept=P(axis)),
+        samples=P(None, axis),
+        phi_trace=P(None, axis),
+        accept_rate=P(axis),
+        inner_accept_rate=P(axis),
+        beta=P(axis),
+        n_fine_evals=P(),
+    )
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs)
+    return f(theta0, beta_arr, key)
+
+
+def sharded_pt_da(
+    mesh: Mesh,
+    misfit_fine: Callable,
+    misfit_coarse: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchain: int = 8,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    batched: bool = False,
+):
+    """Tempered DA with the chain-GROUP axis sharded over the mesh.
+
+    The temperature ladder couples levels within a chain group, never across
+    groups, so each device holds the full K-level ladder for its shard of
+    groups; swaps are shard-local and the reported swap_rate is pmean'd over
+    the mesh. theta0: (G, d) cold-level inits, G divisible by the mesh."""
+    from bayesianinferencedl_tpu.infer.tempering import PTDAResult, run_pt_da
+
+    axis = mesh.axis_names[0]
+
+    def local(theta0_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        res = run_pt_da(
+            misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=subchain,
+            n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+        )
+        return res._replace(
+            swap_rate=jax.lax.pmean(res.swap_rate, axis),
+            n_fine_evals=jnp.int32(res.n_fine_evals),
+        )
+
+    out_specs = PTDAResult(
+        samples=P(None, axis),
+        phi_trace=P(None, axis),
+        accept_rate=P(None, axis),
+        inner_accept_rate=P(None, axis),
+        swap_rate=P(),
+        beta=P(None, axis),
+        theta=P(None, axis),
+        n_fine_evals=P(),
+    )
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs)
+    return f(theta0, key)

@@ -132,3 +132,33 @@ def test_da_on_fin_pipeline_fom_likelihood():
     # accurate surrogate -> fine corrections nearly free
     assert float(np.mean(np.asarray(res.accept_rate))) > 0.6
     assert res.n_fine_evals < cfg.mcmc.n_steps * cfg.mcmc.subchain / 2
+
+
+def test_pt_da_on_fin_pipeline_fom_likelihood():
+    """Tempered DA end-to-end: the exact FOM posterior with multimodal-capable
+    mixing, fom likelihood corrected from rom_nn subchains, through
+    run_inversion's segmented dispatch."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=1),
+        fem=FEMConfig(biot=0.1, cg_tol=1e-7, cg_maxiter=400),
+        rom=ROMConfig(n_snapshots=48, basis_size=14),
+        surrogate=SurrogateConfig(hidden=(32, 32), n_train=96, epochs=60),
+        mcmc=MCMCConfig(
+            n_chains=16, n_steps=150, n_burn=70, beta=0.25, noise_sigma=1e-2,
+            likelihood="fom", sampler="pt_da_pcn", subchain=4, da_coarse="rom_nn",
+            n_temps=3, lambda_min=0.1,
+        ),
+    )
+    pipe = build_pipeline(cfg, dtype=jnp.float32)
+    inv = run_inversion(pipe)
+    res = inv.result
+    assert res.samples.shape == (80, 16, 5)
+    assert res.theta.shape == (3, 16, 5)
+    assert bool(jnp.isfinite(res.samples).all())
+    # accurate surrogate -> outer corrections accept at the cold level
+    assert float(np.mean(np.asarray(res.accept_rate[-1]))) > 0.6

@@ -77,3 +77,23 @@ def test_ff_inversion_smoke(ffpipe):
     fit_prior = float(jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data))
     assert fit_post < fit_prior
     assert float(jnp.mean(res.accept_rate)) > 0.05  # adapted beta
+
+
+def test_ff_delayed_acceptance_fom(ffpipe):
+    """DA in coefficient space: rom_nn subchains, exact FOM correction.
+    The deliberately-coarse r=6 surrogate is biased, so outer corrections
+    must reject a visible fraction — and the cold chain still fits the data."""
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        ffpipe, likelihood="fom", sampler="da_pcn",
+        n_chains=16, n_steps=150, n_burn=60, noise_sigma=1e-2,
+        key=jax.random.PRNGKey(8),
+    )
+    assert res.samples.shape == (90, 16, 16)
+    assert bool(jnp.isfinite(res.samples).all())
+    acc = float(jnp.mean(res.accept_rate))
+    assert 0.05 < acc <= 1.0
+    fwd = ffpipe.forward_fn("fom")
+    z_post = res.samples.mean(axis=(0, 1))
+    assert float(jnp.linalg.norm(fwd(z_post) - data)) < float(
+        jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data)
+    )

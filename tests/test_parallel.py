@@ -70,3 +70,55 @@ def test_dp_train_step_matches_single_device():
     assert abs(float(loss_dp) - float(l_ref)) < 1e-10
     for (W1, b1), (W2, b2) in zip(p_dp, p_ref):
         np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), atol=1e-10)
+
+
+def test_sharded_da_pcn_matches_stats():
+    """DA chains shard like pCN chains (independent); the sharded run must
+    hit the same analytic FINE posterior despite a biased coarse misfit."""
+    from bayesianinferencedl_tpu.parallel import sharded_da_pcn
+
+    mesh = device_mesh()
+    prior = GaussianPrior.iid(3, sigma=1.0, dtype=jnp.float64)
+    H = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3)))
+    data = jnp.asarray(np.random.default_rng(1).standard_normal(4))
+    misfit_f = gaussian_misfit(lambda t: H @ t, data, 0.5)
+    misfit_c = gaussian_misfit(lambda t: H @ t + 0.3, data, 0.5)
+    theta0 = prior.sample(jax.random.PRNGKey(0), (64,))
+    res = sharded_da_pcn(
+        mesh, misfit_f, misfit_c, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=2500, n_burn=500, beta=0.4, subchain=4,
+    )
+    assert res.samples.shape == (2000, 64, 3)
+    Cpost = np.linalg.inv(np.asarray(H.T @ H) / 0.25 + np.eye(3))
+    mu = Cpost @ np.asarray(H.T @ data) / 0.25
+    emp = np.asarray(res.samples).reshape(-1, 3).mean(0)
+    np.testing.assert_allclose(emp, mu, atol=0.08)
+    # different shards decorrelated
+    s0 = np.asarray(res.samples[:, 0, 0])
+    s8 = np.asarray(res.samples[:, 8, 0])
+    assert np.abs(np.corrcoef(s0, s8)[0, 1]) < 0.5
+
+
+def test_sharded_pt_da_runs_and_swaps():
+    """Tempered DA shards the chain-group axis; each device owns its full
+    ladder, so swap rates are healthy and the cold level is exact."""
+    from bayesianinferencedl_tpu.parallel import sharded_pt_da
+
+    mesh = device_mesh()
+    prior = GaussianPrior.iid(2, sigma=1.0, dtype=jnp.float64)
+    H = jnp.asarray(np.random.default_rng(2).standard_normal((3, 2)))
+    data = jnp.asarray(np.random.default_rng(3).standard_normal(3))
+    misfit = gaussian_misfit(lambda t: H @ t, data, 0.5)
+    theta0 = prior.sample(jax.random.PRNGKey(2), (32,))
+    res = sharded_pt_da(
+        mesh, misfit, misfit, prior, theta0, jax.random.PRNGKey(3),
+        n_steps=1500, n_burn=300, beta=0.4, subchain=4, n_temps=3, lambda_min=0.1,
+    )
+    assert res.samples.shape == (1200, 32, 2)
+    assert res.theta.shape == (3, 32, 2)
+    np.testing.assert_allclose(np.asarray(res.accept_rate), 1.0)  # identical misfits
+    assert np.asarray(res.swap_rate).min() > 0.2
+    Cpost = np.linalg.inv(np.asarray(H.T @ H) / 0.25 + np.eye(2))
+    mu = Cpost @ np.asarray(H.T @ data) / 0.25
+    emp = np.asarray(res.samples).reshape(-1, 2).mean(0)
+    np.testing.assert_allclose(emp, mu, atol=0.08)
