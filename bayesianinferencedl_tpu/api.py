@@ -419,6 +419,108 @@ def run_pcn_checkpointed(
     )
 
 
+def run_da_checkpointed(
+    misfit_fine,
+    misfit_coarse,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    subchain: int = 8,
+    segment: int = 200,
+    ckpt_path: str = "da_chain_ckpt.npz",
+    resume: bool = True,
+    batched_fine: bool = False,
+    batched_coarse: bool = False,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Delayed-acceptance pCN with periodic checkpoints and exact resume —
+    the failure-recovery contract of run_pcn_checkpointed (SURVEY.md §5) for
+    the exact-fine-posterior sampler, whose long runs are the expensive ones
+    (a batched full-order solve per outer step).
+
+    A killed run restarted with the same arguments reloads the last
+    checkpoint and continues with the identical RNG stream, so the surviving
+    samples are bit-identical to an uninterrupted run's segments."""
+    import os
+
+    from bayesianinferencedl_tpu.infer.delayed_acceptance import (
+        DAResult, da_init, run_da_pcn,
+    )
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    log = metrics or MetricsLogger()
+    state = da_init(
+        misfit_fine, misfit_coarse, theta0,
+        batched_fine=batched_fine, batched_coarse=batched_coarse,
+    )
+    betas = jnp.full(state.phi_f.shape, beta, state.theta.dtype)
+    acc_out = jnp.zeros_like(state.phi_f)
+    acc_in = jnp.zeros_like(state.phi_f)
+    step_done = 0
+    acc_steps = 0
+    chunks = []
+    chunk_steps: list = []
+    exemplar = (state, betas, key, acc_out, acc_in)
+    if resume and os.path.exists(ckpt_path):
+        (state, betas, key, acc_out, acc_in), meta = load_checkpoint(ckpt_path, exemplar)
+        step_done = int(meta["step"])
+        acc_steps = int(meta.get("accept_steps", 0))
+        chunk_steps = list(meta.get("chunk_steps", []))
+        for s in chunk_steps:
+            z = np.load(f"{ckpt_path}.samples_{s}.npz")
+            chunks.append((z["samples"], z["phis"]))
+        log.log("da_chain_resume", step=step_done, chunks=len(chunks))
+
+    res = None
+    while step_done < n_steps:
+        this = min(segment, n_steps - step_done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - step_done, 0), this)
+        res = run_da_pcn(
+            misfit_fine, misfit_coarse, prior, state.theta, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            adapt=True, batched_fine=batched_fine, batched_coarse=batched_coarse,
+        )
+        state, betas = res.state, res.beta
+        step_done += this
+        kept = this - burn
+        if kept > 0:
+            acc_out = acc_out + res.accept_rate * kept
+            acc_in = acc_in + res.inner_accept_rate * (kept * subchain)
+            acc_steps += kept
+        if res.samples.shape[0] > 0:
+            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
+            np.savez_compressed(
+                f"{ckpt_path}.samples_{step_done}.npz",
+                samples=np.asarray(res.samples),
+                phis=np.asarray(res.phi_trace),
+            )
+            chunk_steps.append(step_done)
+        save_checkpoint(
+            ckpt_path,
+            (state, betas, key, acc_out, acc_in),
+            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
+        )
+        log.log("da_chain_checkpoint", step=step_done,
+                outer_accept=float(jnp.mean(res.accept_rate)))
+
+    samples = np.concatenate([c[0] for c in chunks], axis=0) if chunks else None
+    phis = np.concatenate([c[1] for c in chunks], axis=0) if chunks else None
+    return DAResult(
+        state=state,
+        samples=jnp.asarray(samples) if samples is not None else None,
+        phi_trace=jnp.asarray(phis) if phis is not None else None,
+        accept_rate=acc_out / max(acc_steps, 1),
+        inner_accept_rate=acc_in / max(acc_steps * subchain, 1),
+        beta=betas,
+        n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+    )
+
+
 @dataclass
 class InversionResult:
     result: PCNResult

@@ -159,11 +159,17 @@ def run_da_pcn(
         def burn_body(carry, inp):
             s, lb, n_inner = carry
             t, k = inp
-            s, _, acc_inner = step(jnp.exp(lb), subchain, s, k)
+            s, acc_out, acc_inner = step(jnp.exp(lb), subchain, s, k)
             if adapt:
-                # Robbins-Monro on the subchain's inner acceptance fraction
+                # Robbins-Monro on the EFFECTIVE acceptance: inner fraction x
+                # outer survival. With an accurate surrogate the outer factor
+                # is ~1 and this reduces to the usual inner-rate tuning; with
+                # a biased surrogate it shrinks the step until the subchain's
+                # accumulated (Phi_f - Phi_c) drift stops killing the outer
+                # correction (the classic DA step-size pathology).
                 eta = 0.5 / (1.0 + t) ** 0.6
                 frac = acc_inner.astype(dtype) / dtype.type(subchain)
+                frac = frac * acc_out.astype(dtype)
                 lb = lb + eta * (frac - dtype.type(TARGET_ACCEPT))
                 lb = jnp.clip(lb, jnp.log(1e-4), jnp.log(0.9999))
             return (s, lb, n_inner + acc_inner), None

@@ -297,7 +297,11 @@ def run_pt_da(
         n_in = n_in + n_in_step
         if adapt:
             eta = jnp.where(t < n_burn, 0.5 / (1.0 + t.astype(dtype)) ** 0.6, 0.0)
+            # effective acceptance = inner fraction x outer survival (see
+            # delayed_acceptance.run_da_pcn) — keeps the outer correction
+            # alive when the surrogate is biased at cold temperatures
             frac = n_in_step.astype(dtype) / dtype.type(subchain)
+            frac = frac * acc.astype(dtype)
             log_beta = jnp.clip(
                 log_beta + eta * (frac - dtype.type(TARGET_ACCEPT)),
                 jnp.log(1e-4), jnp.log(0.9999),

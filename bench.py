@@ -145,6 +145,21 @@ def main() -> None:
     # --- effective-sample rate with the Laplace-proposal sampler ------------
     inv_mh = run_inversion(pipe, sampler="laplace_mh", metrics=log)
 
+    # --- delayed acceptance: the EXACT full-order posterior -----------------
+    # rom_nn subchains (S=8) + one batched Pallas FOM correction per outer
+    # step; same artifacts, unimodal 1e-2-noise regime (the multimodal 1e-3
+    # case needs the tempered variant — artifacts/ptda_fom_1e3noise.json)
+    import dataclasses
+
+    cfg_da = dataclasses.replace(
+        cfg,
+        mcmc=dataclasses.replace(
+            cfg.mcmc, n_chains=1024, n_steps=500, n_burn=150, noise_sigma=1e-2,
+            likelihood="fom", sampler="da_pcn", subchain=8,
+        ),
+    )
+    inv_da = run_inversion(dataclasses.replace(pipe, config=cfg_da), metrics=log)
+
     kept_per_chain = inv.result.samples.shape[0]
     chain_steps_per_sec = kept_per_chain / inv.wall_seconds
     north_star_rate = 1e4 / 60.0  # BASELINE: 1e4 pCN samples in < 60 s
@@ -176,6 +191,16 @@ def main() -> None:
             "laplace_mh_ess_per_sec": round(inv_mh.ess_per_sec, 2),
             "laplace_mh_ess_min": round(float(jnp.min(inv_mh.ess)), 1),
             "laplace_mh_rhat_max": round(float(jnp.max(inv_mh.rhat)), 4),
+            "da_fom_exact": {
+                "sampler": "da_pcn (rom_nn subchains x8 + exact FOM correction)",
+                "ess_per_sec": round(inv_da.ess_per_sec, 2),
+                "ess_min": round(float(jnp.min(inv_da.ess)), 1),
+                "rhat_max": round(float(jnp.max(inv_da.rhat)), 4),
+                "outer_accept": round(float(jnp.mean(inv_da.result.accept_rate)), 3),
+                "outer_steps_per_sec": round(
+                    inv_da.result.samples.shape[0] / inv_da.wall_seconds, 2
+                ),
+            },
             "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
             "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),
             "fom_solves_per_sec_pallas_b4096": round(fom_sps_pallas_peak, 2),

@@ -64,3 +64,36 @@ def test_checkpointed_matches_statistics():
     assert res.samples.shape[0] == 2500
     acc = float(jnp.mean(res.accept_rate))
     assert 0.1 < acc < 0.6  # adapted toward 0.234
+
+
+def test_da_resume_bit_identical(tmp_path):
+    """Same fault-injection contract for the delayed-acceptance sampler: a
+    killed run resumed from its checkpoint reproduces the uninterrupted
+    run's samples bit-for-bit."""
+    from bayesianinferencedl_tpu.api import run_da_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    misfit_c = lambda t: misfit(t) * 0.97  # slightly-off surrogate
+    key = jax.random.PRNGKey(7)
+
+    full = run_da_checkpointed(
+        misfit, misfit_c, prior, theta0, key,
+        n_steps=600, n_burn=150, subchain=4, segment=250,
+        ckpt_path=str(tmp_path / "da_full.npz"), resume=False,
+    )
+    run_da_checkpointed(
+        misfit, misfit_c, prior, theta0, key,
+        n_steps=250, n_burn=150, subchain=4, segment=250,
+        ckpt_path=str(tmp_path / "da_crash.npz"), resume=False,
+    )
+    resumed = run_da_checkpointed(
+        misfit, misfit_c, prior, theta0, key,
+        n_steps=600, n_burn=150, subchain=4, segment=250,
+        ckpt_path=str(tmp_path / "da_crash.npz"), resume=True,
+    )
+    np.testing.assert_array_equal(np.asarray(full.samples), np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.state.theta), np.asarray(resumed.state.theta))
+    np.testing.assert_array_equal(np.asarray(full.beta), np.asarray(resumed.beta))
+    np.testing.assert_allclose(
+        np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
+    )
