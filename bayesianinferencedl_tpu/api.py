@@ -35,6 +35,20 @@ from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots, sample_log
 from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
 
 
+def _online_precision(kind: str):
+    """ROMConfig.online_precision -> matmul precision for the online reduced
+    solves. "highest" = full f32 (6 bf16 MXU passes; None sentinel), "high" =
+    3-pass bf16x3 (~1.6x chain throughput, solver error stays below the
+    surrogate's own ~4e-4 validation error — measured), "fast" = single-pass
+    bf16 (~2.6x, ~3e-2 solver error absorbed by the surrogate only where the
+    posterior is loose; see ROMConfig docstring)."""
+    return {
+        "highest": None,
+        "high": jax.lax.Precision.HIGH,
+        "fast": jax.lax.Precision.DEFAULT,
+    }[kind]
+
+
 @dataclass
 class Pipeline:
     """All offline artifacts of the framework, ready for online inversion."""
@@ -145,9 +159,7 @@ class Pipeline:
             corrected=CorrectedForward(rom=rom, surrogate=surrogate),
             dataset=ds, prior=prior, P0=P0,
             rom_pcg_iters=int(meta["rom_pcg_iters"]),
-            rom_precision=(
-                None if cfg.rom.online_precision == "highest" else jax.lax.Precision.DEFAULT
-            ),
+            rom_precision=_online_precision(cfg.rom.online_precision),
         )
 
     def batched_forward_fn(self, likelihood: str) -> Callable:
@@ -177,6 +189,16 @@ class Pipeline:
                 return jax.vmap(op.observe)(u)
 
             return fwd_batch
+        if likelihood in ("rom", "rom_nn") and self.P0 is not None:
+            # sampler hot loops never differentiate the likelihood — use the
+            # direct (non-custom_linear_solve) reduced PCG, which is also the
+            # shard_map-compatible route (vma bookkeeping; rom/galerkin.py)
+            ff = self.rom.fast_forward(
+                self.P0, self.rom_pcg_iters, self.rom_precision, differentiable=False
+            )
+            if likelihood == "rom":
+                return jax.vmap(lambda t: ff(jnp.exp(t)))
+            return jax.vmap(lambda t: ff(jnp.exp(t)) + self.surrogate.predict(t))
         return jax.vmap(self.forward_fn(likelihood))
 
 
@@ -278,7 +300,7 @@ def build_pipeline(
     log.log("rom_built", r=rom.r, method=cfg.rom.method, f64_offline=host_algebra)
 
     P0 = rom.preconditioner()
-    rom_prec = None if cfg.rom.online_precision == "highest" else jax.lax.Precision.DEFAULT
+    rom_prec = _online_precision(cfg.rom.online_precision)
     # route dataset ROM forwards through the factorization-free path AT THE
     # DEPLOYED PRECISION, so the surrogate learns (and corrects) the exact
     # forward the chains evaluate — including any systematic bf16 solver
@@ -286,7 +308,7 @@ def build_pipeline(
     # (TPU f64 has matmuls but no dense linalg). 60 iterations: the
     # dataset's log-uniform k range spans ratio-100 conductivities where
     # P0 = Ahat(1)^{-1} is a weak preconditioner; the offline sweep is cheap.
-    rom_fwd = rom.fast_forward(P0, 60 if rom_prec is None else 15, rom_prec)
+    rom_fwd = rom.fast_forward(P0, 15 if rom_prec is jax.lax.Precision.DEFAULT else 60, rom_prec)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
             fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 1), cfg.surrogate.n_train,
@@ -360,13 +382,18 @@ def run_pcn_checkpointed(
     step_done = 0
     chunks = []
     acc_steps = 0
-    acc_counts = None
-
     acc_counts = jnp.zeros_like(state.phi)
     exemplar = (state, betas, key, acc_counts)
     chunk_steps: list = []
     if resume and os.path.exists(ckpt_path):
-        (state, betas, key, acc_counts), meta = load_checkpoint(ckpt_path, exemplar)
+        try:
+            (state, betas, key, acc_counts), meta = load_checkpoint(ckpt_path, exemplar)
+        except KeyError:
+            # checkpoint written before the accept-count leaf existed (the
+            # pre-round-2 5-leaf format): load the old structure and resume
+            # with zeroed accept accounting
+            (state, betas, key), meta = load_checkpoint(ckpt_path, (state, betas, key))
+            acc_counts = jnp.zeros_like(state.phi)
         step_done = int(meta["step"])
         acc_steps = int(meta.get("accept_steps", 0))
         chunk_steps = list(meta.get("chunk_steps", []))
@@ -609,49 +636,78 @@ def run_inversion(
                     "delayed acceptance — exact FOM posterior, segmented, one "
                     "batched FOM eval per outer step) instead"
                 )
-            from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_pcn
 
-            run = lambda k: run_pt_pcn(
-                misfit_b, pipe.prior, theta0, k,
-                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
-                n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
-            )
+                run = lambda k: sharded_pt_pcn(
+                    mesh, misfit_b, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                )
+            else:
+                from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
+
+                run = lambda k: run_pt_pcn(
+                    misfit_b, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                )
         elif smp == "pt_da_pcn":
             # tempered delayed acceptance: exact `like` posterior on a
             # multimodal problem at ~1/subchain of the fine evaluations —
             # every level runs DA subchains on the da_coarse surrogate, the
             # whole ladder's fine corrections are ONE batched call per outer
             # step, swaps ride the carried fine misfits (infer/tempering.py).
-            from bayesianinferencedl_tpu.infer.tempering import run_pt_da_segmented
-
             coarse_theta = pipe.batched_forward_fn(cfg.da_coarse)
             coarse_b = lambda xs: coarse_theta(to_theta(xs))
             misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
             segment = 32 if like == "fom" else 512
-            run = lambda k: run_pt_da_segmented(
-                misfit_b, misfit_c, pipe.prior, theta0, k,
-                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
-                subchain=cfg.subchain, n_temps=cfg.n_temps,
-                lambda_min=cfg.lambda_min, segment=segment, batched=True,
-            )
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_da_segmented
+
+                run = lambda k: sharded_pt_da_segmented(
+                    mesh, misfit_b, misfit_c, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    subchain=cfg.subchain, n_temps=cfg.n_temps,
+                    lambda_min=cfg.lambda_min, segment=segment, batched=True,
+                )
+            else:
+                from bayesianinferencedl_tpu.infer.tempering import run_pt_da_segmented
+
+                run = lambda k: run_pt_da_segmented(
+                    misfit_b, misfit_c, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    subchain=cfg.subchain, n_temps=cfg.n_temps,
+                    lambda_min=cfg.lambda_min, segment=segment, batched=True,
+                )
         elif smp == "da_pcn":
             # delayed acceptance: subchains of cheap da_coarse pCN steps,
             # Metropolis-corrected against the exact `like` potential — the
             # exact posterior at ~1/subchain of the fine evaluations
             # (infer/delayed_acceptance.py). Fine evals are one batched call
             # per outer step; segmented so no program outlives the watchdog.
-            from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
-
             coarse_theta = pipe.batched_forward_fn(cfg.da_coarse)
             coarse_b = lambda xs: coarse_theta(to_theta(xs))
             misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
             segment = 64 if like == "fom" else 512
-            run = lambda k: run_da_pcn_segmented(
-                misfit_b, misfit_c, pipe.prior, theta0, k,
-                n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
-                subchain=cfg.subchain, segment=segment,
-                batched_fine=True, batched_coarse=True,
-            )
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_da_pcn_segmented
+
+                run = lambda k: sharded_da_pcn_segmented(
+                    mesh, misfit_b, misfit_c, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    subchain=cfg.subchain, segment=segment,
+                    batched_fine=True, batched_coarse=True,
+                )
+            else:
+                from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
+
+                run = lambda k: run_da_pcn_segmented(
+                    misfit_b, misfit_c, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    subchain=cfg.subchain, segment=segment,
+                    batched_fine=True, batched_coarse=True,
+                )
         elif like == "fom":
             # full-order solves per step: segment the run so no single device
             # program outlives the runtime's execution watchdog. (Warm-

@@ -54,20 +54,22 @@ class FEMConfig:
 class ROMConfig:
     """Reduced-order model configuration (SURVEY.md §7 stage 3).
 
-    online_precision: "highest" (full f32 online solves; default) or "fast"
-    (single-pass bf16 CG matmuls, ~1.4-2x chain throughput; the NN surrogate
-    is trained on the same path and absorbs most of the systematic solver
-    error, but the residual ~1e-3-scale bias shifts tight posteriors —
-    measured full-pipeline posterior KS 0.05-0.3 at 1e-3 observation noise.
-    Opt-in for exploratory runs or noise >= ~1e-2; keep "highest" for final
-    posteriors).
+    online_precision: "highest" (full f32 online solves; default), "high"
+    (3-pass bf16x3 CG matmuls: measured 1.6x chain throughput with solver
+    error ~6e-4 — below the surrogate's own ~4e-4-1e-3 validation error —
+    and posterior means matching "highest" to Monte-Carlo precision), or
+    "fast" (single-pass bf16, ~2.6x; the NN surrogate is trained on the same
+    path and absorbs most of the systematic solver error, but the residual
+    ~1e-3-scale bias shifts tight posteriors — measured full-pipeline
+    posterior KS 0.05-0.3 at 1e-3 observation noise. Opt-in for exploratory
+    runs or noise >= ~1e-2; keep "highest"/"high" for final posteriors).
     """
 
     n_snapshots: int = 256
     basis_size: int = 40
     method: str = "pod"  # "pod" | "greedy"
     greedy_candidates: int = 256
-    online_precision: str = "highest"  # "highest" | "fast"
+    online_precision: str = "highest"  # "highest" | "high" | "fast"
     seed: int = 0
 
     def to_dict(self):

@@ -220,49 +220,34 @@ def run_da_pcn_segmented(
     batched_fine: bool = False,
     batched_coarse: bool = False,
 ) -> DAResult:
-    """DA-pCN split into fixed-size outer segments dispatched from the host,
-    for runtimes that kill long device programs (same rationale as
-    pcn.run_pcn_segmented). Chain state and adapted betas carry across
-    segments; accept counts accumulate over the whole post-burn run."""
-    import numpy as np
+    """DA-pCN in fixed-size outer segments (watchdog-safe; infer.segmented).
+    Chain state and adapted betas carry across segments; accept accounting
+    covers the whole post-burn run."""
+    from bayesianinferencedl_tpu.infer.segmented import (
+        accept_rate_spec, drive_segments, inner_accept_rate_spec,
+    )
 
-    thetas = theta0
-    betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
-    done = 0
-    acc_steps = 0
-    acc_out = acc_in = None
-    samples_chunks, phi_chunks = [], []
-    res = None
-    while done < n_steps:
-        this = min(segment, n_steps - done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - done, 0), this)
+    betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+
+    def seg(carry, sub, this, burn):
+        thetas, betas = carry
         res = run_da_pcn(
             misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             adapt=True, batched_fine=batched_fine, batched_coarse=batched_coarse,
         )
-        thetas, betas = res.state.theta, res.beta
-        kept = this - burn
-        if kept > 0:
-            out_c = res.accept_rate * kept
-            in_c = res.inner_accept_rate * (kept * subchain)
-            acc_out = out_c if acc_out is None else acc_out + out_c
-            acc_in = in_c if acc_in is None else acc_in + in_c
-            acc_steps += kept
-            samples_chunks.append(np.asarray(res.samples))
-            phi_chunks.append(np.asarray(res.phi_trace))
-        done += this
-    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
-    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
+        return res, (res.state.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, betas0), key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        rates={"accept": accept_rate_spec(), "inner": inner_accept_rate_spec(subchain)},
+    )
     return DAResult(
         state=res.state,
         samples=samples,
         phi_trace=phis,
-        accept_rate=acc_out / max(acc_steps, 1) if acc_out is not None else res.accept_rate,
-        inner_accept_rate=(
-            acc_in / max(acc_steps * subchain, 1) if acc_in is not None else res.inner_accept_rate
-        ),
+        accept_rate=rates["accept"],
+        inner_accept_rate=rates["inner"],
         beta=betas,
         n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
     )

@@ -28,7 +28,7 @@ class LaplaceApproximation(NamedTuple):
 
     def sample(self, key: jax.Array, shape: tuple = ()) -> jax.Array:
         z = jax.random.normal(key, (*shape, self.mean.shape[0]), dtype=self.mean.dtype)
-        return self.mean + z @ self.chol.T
+        return self.mean + jnp.dot(z, self.chol.T, precision=jax.lax.Precision.HIGHEST)
 
     def log_density(self, theta: jax.Array) -> jax.Array:
         w = jax.scipy.linalg.solve_triangular(self.chol, theta - self.mean, lower=True)

@@ -74,7 +74,8 @@ def pcn_step(
     dtype = state.theta.dtype
     beta = jnp.asarray(beta, dtype)
     b = beta[..., None] if beta.ndim == state.theta.ndim - 1 else beta
-    xi = jax.random.normal(k_prop, state.theta.shape, dtype) @ prior.chol.T
+    xi = jnp.dot(jax.random.normal(k_prop, state.theta.shape, dtype), prior.chol.T,
+                 precision=jax.lax.Precision.HIGHEST)
     mean = prior.mean
     prop = mean + jnp.sqrt(1.0 - b**2) * (state.theta - mean) + b * xi
     phi_prop = misfit_fn(prop) if batched else jax.vmap(misfit_fn)(prop)
@@ -198,7 +199,8 @@ def run_pcn_aux(
     def step(s, aux, lb, key_t, t):
         k_prop, k_acc = jax.random.split(key_t)
         b = jnp.exp(lb)[..., None]
-        xi = jax.random.normal(k_prop, s.theta.shape, dtype) @ prior.chol.T
+        xi = jnp.dot(jax.random.normal(k_prop, s.theta.shape, dtype), prior.chol.T,
+                     precision=jax.lax.Precision.HIGHEST)
         prop = prior.mean + jnp.sqrt(1.0 - b**2) * (s.theta - prior.mean) + b * xi
         phi_prop, aux_prop = misfit_aux_fn(prop, aux)
         u = jax.random.uniform(k_acc, s.phi.shape, dtype)
@@ -251,48 +253,29 @@ def run_pcn_segmented(
     segment: int = 64,
     batched: bool = False,
 ) -> PCNResult:
-    """pCN split into fixed-size segments dispatched from the host.
+    """pCN split into fixed-size segments dispatched from the host
+    (watchdog-safe for expensive likelihoods; see infer.segmented). Chain
+    state and adapted per-chain betas carry across segments, making the
+    result distributionally identical to one long run."""
+    from bayesianinferencedl_tpu.infer.segmented import accept_rate_spec, drive_segments
 
-    For expensive likelihoods (full-order solves in every step) a single XLA
-    program would execute for minutes; some TPU runtimes kill device programs
-    after ~1 minute. Each segment is one compiled program (identical shapes,
-    so compilation happens once); chain state and adapted per-chain betas are
-    carried across segments, making the result distributionally identical to
-    one long run."""
-    import numpy as np
+    betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
 
-    thetas = theta0
-    betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
-    done = 0
-    acc_steps = 0
-    acc_counts = None
-    samples_chunks, phi_chunks = [], []
-    while done < n_steps:
-        this = min(segment, n_steps - done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - done, 0), this)
+    def seg(carry, sub, this, burn):
+        thetas, betas = carry
         res = run_pcn(
             misfit_fn, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, thin=1, adapt=True, batched=batched,
         )
-        thetas, betas = res.state.theta, res.beta
-        # each run_pcn call re-zeroes n_accept after its burn phase, so its
-        # accept_rate covers only this segment's post-burn steps — accumulate
-        # counts so the returned rate covers the WHOLE post-burn run
-        kept = this - burn
-        if kept > 0:
-            counts = res.accept_rate * kept
-            acc_counts = counts if acc_counts is None else acc_counts + counts
-            acc_steps += kept
-        done += this
-        if res.samples.shape[0] > 0:
-            samples_chunks.append(np.asarray(res.samples))
-            phi_chunks.append(np.asarray(res.phi_trace))
-    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
-    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
-    accept_rate = acc_counts / max(acc_steps, 1) if acc_counts is not None else res.accept_rate
+        return res, (res.state.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, betas0), key, n_steps=n_steps, n_burn=n_burn,
+        segment=segment, rates={"accept": accept_rate_spec()},
+    )
     return PCNResult(
-        state=res.state, samples=samples, phi_trace=phis, accept_rate=accept_rate, beta=betas
+        state=res.state, samples=samples, phi_trace=phis,
+        accept_rate=rates["accept"], beta=betas,
     )
 
 

@@ -44,7 +44,7 @@ class GaussianPrior(NamedTuple):
 
     def sample(self, key: jax.Array, shape: tuple = ()) -> jax.Array:
         z = jax.random.normal(key, (*shape, self.dim), dtype=self.mean.dtype)
-        return self.mean + z @ self.chol.T
+        return self.mean + jnp.dot(z, self.chol.T, precision=jax.lax.Precision.HIGHEST)
 
     def log_density(self, theta: jax.Array) -> jax.Array:
         """Unnormalized Gaussian log-density (whitened)."""
@@ -55,7 +55,7 @@ class GaussianPrior(NamedTuple):
         return jax.scipy.linalg.solve_triangular(self.chol, theta - self.mean, lower=True)
 
     def unwhiten(self, z: jax.Array) -> jax.Array:
-        return self.mean + z @ self.chol.T
+        return self.mean + jnp.dot(z, self.chol.T, precision=jax.lax.Precision.HIGHEST)
 
     def precision_apply(self, v: jax.Array) -> jax.Array:
         """C^{-1} v (for MAP objectives / Laplace Hessians)."""

@@ -58,6 +58,49 @@ def geometric_ladder(n_temps: int, lambda_min: float = 0.05, dtype=jnp.float32) 
     )
 
 
+
+def _replica_exchange(t, lambdas, phi_ratio, fields, k_swap, n_burn, n_swap):
+    """One alternating-parity adjacent-pair exchange pass (shared by both PT
+    samplers). Alternating parity: even steps propose pairs (0,1),(2,3),...;
+    odd steps (1,2),(3,4),.... Expressed as a full-K where-shuffle:
+    partner[j] is j+1 for the lower member of an active pair, j-1 for the
+    upper, j otherwise. The swap ratio is evaluated on the lower member:
+    log ratio = (lambda_{j+1} - lambda_j)(Phi_{j+1} - Phi_j) — moving the
+    lower-Phi state to the colder level is favored. States move between
+    levels; (lambda, beta) stay attached to the level.
+
+    phi_ratio: (K, G) potentials entering the swap rule (the UNtempered
+    misfit each level's target uses — Phi for pt_pcn, Phi_fine for pt_da).
+    fields: tuple of (K, G, ...) arrays to shuffle alongside. Returns
+    (shuffled fields, updated post-burn swap counts (K-1,))."""
+    dtype = phi_ratio.dtype
+    K, G = phi_ratio.shape
+    j = jnp.arange(K)
+    parity = (t.astype(jnp.int32) % 2).astype(j.dtype)
+    is_lower = (j % 2 == parity) & (j + 1 < K)
+    partner = jnp.where(
+        is_lower, j + 1, jnp.where((j - 1 >= 0) & ((j - 1) % 2 == parity), j - 1, j)
+    )
+    lam = lambdas[:, 0]
+    dlam = lam[jnp.minimum(j + 1, K - 1)] - lam[j]
+    dphi = phi_ratio[jnp.minimum(j + 1, K - 1)] - phi_ratio[j]
+    log_a = dlam[:, None] * dphi
+    u_sw = jax.random.uniform(k_swap, (K, G), dtype)
+    acc_lower = (jnp.log(u_sw) < log_a) & is_lower[:, None]
+    # a slot swaps iff it is the lower member of an accepted pair or the
+    # partner of one
+    do_swap = acc_lower | jnp.roll(acc_lower, 1, axis=0) & (partner < j)[:, None]
+
+    def shuffle(a):
+        m = do_swap.reshape(do_swap.shape + (1,) * (a.ndim - 2))
+        return jnp.where(m, a[partner], a)
+
+    fields = tuple(shuffle(a) for a in fields)
+    kept = jnp.where(t >= n_burn, 1.0, 0.0).astype(dtype)
+    n_swap = n_swap + kept * acc_lower.astype(dtype).mean(axis=1)[:-1]
+    return fields, n_swap
+
+
 @partial(
     jax.jit,
     static_argnames=("misfit_fn", "n_steps", "n_burn", "n_temps", "adapt", "batched"),
@@ -99,7 +142,7 @@ def run_pt_pcn(
     log_beta = jnp.full((K, G), jnp.log(jnp.asarray(beta, dtype)), dtype) + phi * 0
     n_accept = (phi * 0).astype(jnp.int32)
     # derive from phi so the carry stays device-varying under shard_map (vma)
-    n_swap = jnp.zeros((K - 1,) if K > 1 else (1,), dtype) + phi.sum() * 0
+    n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi.sum() * 0
 
     mean, chol = prior.mean, prior.chol
 
@@ -110,7 +153,8 @@ def run_pt_pcn(
 
         # --- within-level pCN move (one batched misfit for all K*G) --------
         b = jnp.exp(log_beta)[..., None]  # (K, G, 1)
-        xi = jax.random.normal(k_prop, theta.shape, dtype) @ chol.T
+        xi = jnp.dot(jax.random.normal(k_prop, theta.shape, dtype), chol.T,
+                     precision=jax.lax.Precision.HIGHEST)
         prop = mean + jnp.sqrt(1.0 - b**2) * (theta - mean) + b * xi
         phi_prop = phi_all(prop)
         log_alpha = lambdas * (phi - phi_prop)
@@ -127,33 +171,11 @@ def run_pt_pcn(
                 jnp.log(0.9999),
             )
 
-        # --- replica exchange between adjacent levels -----------------------
-        # Alternating parity: even steps swap pairs (0,1),(2,3),...; odd steps
-        # (1,2),(3,4),.... Expressed as a full-K where-shuffle: partner[j] is
-        # j+1 for the lower member of an active pair, j-1 for the upper, j
-        # otherwise. States move between levels; (lambda, beta) stay attached
-        # to the level.
+        # --- replica exchange between adjacent levels (_replica_exchange) --
         if K > 1:
-            j = jnp.arange(K)
-            parity = (t.astype(jnp.int32) % 2).astype(j.dtype)
-            is_lower = (j % 2 == parity) & (j + 1 < K)
-            partner = jnp.where(is_lower, j + 1, jnp.where((j - 1 >= 0) & ((j - 1) % 2 == parity), j - 1, j))
-            lam = lambdas[:, 0]
-            # swap acceptance, evaluated on the lower member of each pair:
-            # log ratio = (lambda_{j+1} - lambda_j)(Phi_{j+1} - Phi_j) —
-            # moving the lower-Phi state to the colder level is favored
-            dlam = lam[jnp.minimum(j + 1, K - 1)] - lam[j]  # lambda_{j+1}-lambda_j
-            dphi = phi[jnp.minimum(j + 1, K - 1)] - phi[j]  # (K, G)
-            log_a = dlam[:, None] * dphi
-            u_sw = jax.random.uniform(k_swap, (K, G), dtype)
-            acc_lower = (jnp.log(u_sw) < log_a) & is_lower[:, None]  # (K, G)
-            # a slot swaps iff it is the lower member of an accepted pair or
-            # the partner of one
-            do_swap = acc_lower | jnp.roll(acc_lower, 1, axis=0) & (partner < j)[:, None]
-            theta = jnp.where(do_swap[..., None], theta[partner], theta)
-            phi = jnp.where(do_swap, phi[partner], phi)
-            kept = jnp.where(t >= n_burn, 1.0, 0.0).astype(dtype)
-            n_swap = n_swap + kept * acc_lower.astype(dtype).mean(axis=1)[:-1]
+            (theta, phi), n_swap = _replica_exchange(
+                t, lambdas, phi, (theta, phi), k_swap, n_burn, n_swap
+            )
 
         out = (theta[-1], phi[-1])  # cold level
         return (theta, phi, log_beta, n_accept, n_swap), out
@@ -259,7 +281,7 @@ def run_pt_da(
     n_out = (phi_f * 0).astype(jnp.int32)
     n_in = (phi_f * 0).astype(jnp.int32)
     # derive from phi_f so the carry stays device-varying under shard_map (vma)
-    n_swap = jnp.zeros((K - 1,) if K > 1 else (1,), dtype) + phi_f.sum() * 0
+    n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi_f.sum() * 0
     mean, chol = prior.mean, prior.chol
 
     def step(carry, inp):
@@ -272,7 +294,8 @@ def run_pt_da(
         def inner(c, k):
             th, pc, na = c
             k1, k2 = jax.random.split(k)
-            xi = jax.random.normal(k1, th.shape, dtype) @ chol.T
+            xi = jnp.dot(jax.random.normal(k1, th.shape, dtype), chol.T,
+                         precision=jax.lax.Precision.HIGHEST)
             prop = mean + jnp.sqrt(1.0 - b**2) * (th - mean) + b * xi
             pc_prop = phi_all(misfit_coarse, prop)
             u = jax.random.uniform(k2, pc.shape, dtype)
@@ -307,27 +330,11 @@ def run_pt_da(
                 jnp.log(1e-4), jnp.log(0.9999),
             )
 
-        # --- replica exchange on the carried fine misfits -------------------
+        # --- replica exchange on the carried fine misfits (_replica_exchange)
         if K > 1:
-            j = jnp.arange(K)
-            parity = (t.astype(jnp.int32) % 2).astype(j.dtype)
-            is_lower = (j % 2 == parity) & (j + 1 < K)
-            partner = jnp.where(
-                is_lower, j + 1,
-                jnp.where((j - 1 >= 0) & ((j - 1) % 2 == parity), j - 1, j),
+            (theta, phi_f, phi_c), n_swap = _replica_exchange(
+                t, lambdas, phi_f, (theta, phi_f, phi_c), k_swap, n_burn, n_swap
             )
-            lam = lambdas[:, 0]
-            dlam = lam[jnp.minimum(j + 1, K - 1)] - lam[j]
-            dphi = phi_f[jnp.minimum(j + 1, K - 1)] - phi_f[j]
-            log_a = dlam[:, None] * dphi
-            u_sw = jax.random.uniform(k_swap, (K, G), dtype)
-            acc_lower = (jnp.log(u_sw) < log_a) & is_lower[:, None]
-            do_swap = acc_lower | jnp.roll(acc_lower, 1, axis=0) & (partner < j)[:, None]
-            theta = jnp.where(do_swap[..., None], theta[partner], theta)
-            phi_f = jnp.where(do_swap, phi_f[partner], phi_f)
-            phi_c = jnp.where(do_swap, phi_c[partner], phi_c)
-            kept = jnp.where(t >= n_burn, 1.0, 0.0).astype(dtype)
-            n_swap = n_swap + kept * acc_lower.astype(dtype).mean(axis=1)[:-1]
 
         return (theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
 
@@ -372,53 +379,36 @@ def run_pt_da_segmented(
     segment: int = 32,
     batched: bool = False,
 ) -> PTDAResult:
-    """run_pt_da dispatched in fixed-size outer segments (watchdog-safe for
-    expensive fine models); per-level states and adapted betas carry across
-    segments, accept/swap accounting covers the whole post-burn run."""
-    import numpy as np
+    """run_pt_da in fixed-size outer segments (watchdog-safe for expensive
+    fine models; infer.segmented); per-level states and adapted betas carry
+    across segments, accept/swap accounting covers the whole post-burn run."""
+    from bayesianinferencedl_tpu.infer.segmented import (
+        accept_rate_spec, drive_segments, inner_accept_rate_spec, swap_rate_spec,
+    )
 
-    thetas = theta0
-    betas = beta
-    done = 0
-    acc_steps = 0
-    acc_out = acc_in = acc_swap = None
-    samples_chunks, phi_chunks = [], []
-    res = None
-    while done < n_steps:
-        this = min(segment, n_steps - done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - done, 0), this)
+    def seg(carry, sub, this, burn):
+        thetas, betas = carry
         res = run_pt_da(
             misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, adapt=True, batched=batched,
         )
-        thetas, betas = res.theta, res.beta
-        kept = this - burn
-        if kept > 0:
-            acc_out = (res.accept_rate * kept) if acc_out is None else acc_out + res.accept_rate * kept
-            acc_in = (
-                res.inner_accept_rate * kept * subchain
-                if acc_in is None else acc_in + res.inner_accept_rate * kept * subchain
-            )
-            acc_swap = (
-                res.swap_rate * (kept / 2) if acc_swap is None else acc_swap + res.swap_rate * (kept / 2)
-            )
-            acc_steps += kept
-            samples_chunks.append(np.asarray(res.samples))
-            phi_chunks.append(np.asarray(res.phi_trace))
-        done += this
-    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
-    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
-    denom = max(acc_steps, 1)
+        return res, (res.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, beta), key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        rates={
+            "accept": accept_rate_spec(),
+            "inner": inner_accept_rate_spec(subchain),
+            "swap": swap_rate_spec(),
+        },
+    )
     return PTDAResult(
         samples=samples,
         phi_trace=phis,
-        accept_rate=acc_out / denom if acc_out is not None else res.accept_rate,
-        inner_accept_rate=(
-            acc_in / (denom * subchain) if acc_in is not None else res.inner_accept_rate
-        ),
-        swap_rate=acc_swap / max(acc_steps / 2, 1) if acc_swap is not None else res.swap_rate,
+        accept_rate=rates["accept"],
+        inner_accept_rate=rates["inner"],
+        swap_rate=rates["swap"],
         beta=betas,
         theta=res.theta,
         n_fine_evals=n_steps + (n_steps + segment - 1) // segment,

@@ -84,45 +84,28 @@ def sharded_pcn_segmented(
     segment: int = 64,
     batched: bool = False,
 ) -> PCNResult:
-    """Sharded pCN split into fixed-size segments dispatched from the host.
+    """Sharded pCN in fixed-size segments (watchdog-safe; infer.segmented):
+    chain state, adapted per-chain betas, and accept counts carry across
+    segments exactly like infer.pcn.run_pcn_segmented on one device."""
+    from bayesianinferencedl_tpu.infer.segmented import accept_rate_spec, drive_segments
 
-    The FOM likelihood runs a full PDE solve batch every step; one XLA program
-    covering the whole chain would outlive the runtime's ~60 s execution
-    watchdog (CLAUDE.md rule 2), so — exactly like infer.pcn.run_pcn_segmented
-    on one device — the sharded run is chunked, carrying chain state, adapted
-    per-chain betas, and accumulated accept counts across segments."""
-    import numpy as np
+    betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
 
-    thetas = theta0
-    betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
-    done = 0
-    acc_steps = 0
-    acc_counts = None
-    samples_chunks, phi_chunks = [], []
-    res = None
-    while done < n_steps:
-        this = min(segment, n_steps - done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - done, 0), this)
+    def seg(carry, sub, this, burn):
+        thetas, betas = carry
         res = sharded_pcn(
             mesh, misfit_fn, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, thin=1, batched=batched,
         )
-        thetas, betas = res.state.theta, res.beta
-        kept = this - burn
-        if kept > 0:
-            counts = res.accept_rate * kept
-            acc_counts = counts if acc_counts is None else acc_counts + counts
-            acc_steps += kept
-        done += this
-        if res.samples.shape[0] > 0:
-            samples_chunks.append(np.asarray(res.samples))
-            phi_chunks.append(np.asarray(res.phi_trace))
-    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
-    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
-    accept_rate = acc_counts / max(acc_steps, 1) if acc_counts is not None else res.accept_rate
+        return res, (res.state.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, betas0), key, n_steps=n_steps, n_burn=n_burn,
+        segment=segment, rates={"accept": accept_rate_spec()},
+    )
     return PCNResult(
-        state=res.state, samples=samples, phi_trace=phis, accept_rate=accept_rate, beta=betas
+        state=res.state, samples=samples, phi_trace=phis,
+        accept_rate=rates["accept"], beta=betas,
     )
 
 
@@ -260,16 +243,21 @@ def sharded_pt_da(
     The temperature ladder couples levels within a chain group, never across
     groups, so each device holds the full K-level ladder for its shard of
     groups; swaps are shard-local and the reported swap_rate is pmean'd over
-    the mesh. theta0: (G, d) cold-level inits, G divisible by the mesh."""
+    the mesh. theta0: (G, d) cold-level inits or (K, G, d) per-level resume
+    states; beta: scalar or (K, G) adapted step sizes (resume). G divisible
+    by the mesh size."""
     from bayesianinferencedl_tpu.infer.tempering import PTDAResult, run_pt_da
 
     axis = mesh.axis_names[0]
+    theta_spec = P(axis) if theta0.ndim == 2 else P(None, axis)
+    beta_is_arr = hasattr(beta, "ndim") and beta.ndim == 2
+    beta_spec = P(None, axis) if beta_is_arr else P()
 
-    def local(theta0_shard, key_all):
+    def local(theta0_shard, beta_in, key_all):
         dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
         res = run_pt_da(
             misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
-            n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=subchain,
+            n_steps=n_steps, n_burn=n_burn, beta=beta_in, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
         )
         return res._replace(
@@ -287,5 +275,250 @@ def sharded_pt_da(
         theta=P(None, axis),
         n_fine_evals=P(),
     )
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(theta_spec, beta_spec, P()), out_specs=out_specs
+    )
+    return f(theta0, beta if beta_is_arr else jnp.asarray(beta, theta0.dtype), key)
+
+
+def sharded_pt_pcn(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,  # (G, d)
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    batched: bool = False,
+):
+    """Parallel-tempered pCN with the chain-GROUP axis sharded over the mesh
+    (each device owns the full K-level ladder for its shard of groups; swaps
+    are shard-local, reported swap_rate is pmean'd)."""
+    from bayesianinferencedl_tpu.infer.tempering import PTResult, run_pt_pcn
+
+    axis = mesh.axis_names[0]
+
+    def local(theta0_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        res = run_pt_pcn(
+            misfit_fn, prior, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, beta=beta,
+            n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+        )
+        return res._replace(swap_rate=jax.lax.pmean(res.swap_rate, axis))
+
+    out_specs = PTResult(
+        samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
+        swap_rate=P(), beta=P(None, axis), theta=P(None, axis),
+    )
     f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs)
     return f(theta0, key)
+
+
+def sharded_da_pcn_segmented(
+    mesh: Mesh,
+    misfit_fine: Callable,
+    misfit_coarse: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchain: int = 8,
+    segment: int = 64,
+    batched_fine: bool = False,
+    batched_coarse: bool = False,
+):
+    """sharded_da_pcn in fixed-size outer segments (watchdog-safe;
+    infer.segmented); chain state and adapted betas carry across segments."""
+    from bayesianinferencedl_tpu.infer.delayed_acceptance import DAResult
+    from bayesianinferencedl_tpu.infer.segmented import (
+        accept_rate_spec, drive_segments, inner_accept_rate_spec,
+    )
+
+    betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+
+    def seg(carry, sub, this, burn):
+        thetas, betas = carry
+        res = sharded_da_pcn(
+            mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            batched_fine=batched_fine, batched_coarse=batched_coarse,
+        )
+        return res, (res.state.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, betas0), key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        rates={"accept": accept_rate_spec(), "inner": inner_accept_rate_spec(subchain)},
+    )
+    return DAResult(
+        state=res.state,
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=rates["accept"],
+        inner_accept_rate=rates["inner"],
+        beta=betas,
+        n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+    )
+
+
+def sharded_pt_pcn(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,  # (G, d)
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    batched: bool = False,
+):
+    """Parallel-tempered pCN with the chain-GROUP axis sharded over the mesh
+    (each device owns the full K-level ladder for its shard of groups; swaps
+    are shard-local, reported swap_rate is pmean'd)."""
+    from bayesianinferencedl_tpu.infer.tempering import PTResult, run_pt_pcn
+
+    axis = mesh.axis_names[0]
+
+    def local(theta0_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        res = run_pt_pcn(
+            misfit_fn, prior, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, beta=beta,
+            n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+        )
+        return res._replace(swap_rate=jax.lax.pmean(res.swap_rate, axis))
+
+    out_specs = PTResult(
+        samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
+        swap_rate=P(), beta=P(None, axis), theta=P(None, axis),
+    )
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs)
+    return f(theta0, key)
+
+
+def sharded_da_pcn_segmented(
+    mesh: Mesh,
+    misfit_fine: Callable,
+    misfit_coarse: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchain: int = 8,
+    segment: int = 64,
+    batched_fine: bool = False,
+    batched_coarse: bool = False,
+):
+    """sharded_da_pcn dispatched in fixed-size outer segments (watchdog-safe
+    for fine models with full-order solves); chain state and adapted betas
+    carry across segments, accept accounting covers the whole post-burn run."""
+    import numpy as np
+    from bayesianinferencedl_tpu.infer.delayed_acceptance import DAResult
+
+    thetas = theta0
+    betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+    done = 0
+    acc_steps = 0
+    acc_out = acc_in = None
+    samples_chunks, phi_chunks = [], []
+    res = None
+    while done < n_steps:
+        this = min(segment, n_steps - done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - done, 0), this)
+        res = sharded_da_pcn(
+            mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            batched_fine=batched_fine, batched_coarse=batched_coarse,
+        )
+        thetas, betas = res.state.theta, res.beta
+        kept = this - burn
+        if kept > 0:
+            out_c = res.accept_rate * kept
+            in_c = res.inner_accept_rate * (kept * subchain)
+            acc_out = out_c if acc_out is None else acc_out + out_c
+            acc_in = in_c if acc_in is None else acc_in + in_c
+            acc_steps += kept
+            samples_chunks.append(np.asarray(res.samples))
+            phi_chunks.append(np.asarray(res.phi_trace))
+        done += this
+    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
+    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
+    return DAResult(
+        state=res.state,
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=acc_out / max(acc_steps, 1) if acc_out is not None else res.accept_rate,
+        inner_accept_rate=(
+            acc_in / max(acc_steps * subchain, 1) if acc_in is not None else res.inner_accept_rate
+        ),
+        beta=betas,
+        n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+    )
+
+
+def sharded_pt_da_segmented(
+    mesh: Mesh,
+    misfit_fine: Callable,
+    misfit_coarse: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchain: int = 8,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    segment: int = 32,
+    batched: bool = False,
+):
+    """sharded_pt_da in fixed-size outer segments (watchdog-safe;
+    infer.segmented); per-level states and adapted betas carry across
+    segments."""
+    from bayesianinferencedl_tpu.infer.segmented import (
+        accept_rate_spec, drive_segments, inner_accept_rate_spec, swap_rate_spec,
+    )
+    from bayesianinferencedl_tpu.infer.tempering import PTDAResult
+
+    def seg(carry, sub, this, burn):
+        thetas, betas = carry
+        res = sharded_pt_da(
+            mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+        )
+        return res, (res.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, beta), key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        rates={
+            "accept": accept_rate_spec(),
+            "inner": inner_accept_rate_spec(subchain),
+            "swap": swap_rate_spec(),
+        },
+    )
+    return PTDAResult(
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=rates["accept"],
+        inner_accept_rate=rates["inner"],
+        swap_rate=rates["swap"],
+        beta=betas,
+        theta=res.theta,
+        n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+    )

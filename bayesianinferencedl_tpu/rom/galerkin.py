@@ -123,7 +123,8 @@ class ReducedOperator:
         return jnp.asarray(np.linalg.inv(A), self.Ahat.dtype)
 
     def solve_pcg(
-        self, k: jax.Array, P0: jax.Array, n_iters: int = 25, precision=None
+        self, k: jax.Array, P0: jax.Array, n_iters: int = 25, precision=None,
+        differentiable: bool = True,
     ) -> jax.Array:
         """Reduced solve by preconditioned CG with a FIXED iteration count.
 
@@ -161,6 +162,12 @@ class ReducedOperator:
         def pcg_solve(mv, b):
             x = prec(b)  # warm start: P0 b is already close
             r_ = b - mv(x)
+            # derive x from the (chain-varying) residual so every fori_loop
+            # carry leaf shares the device-varying axis under shard_map —
+            # b/P0 are replicated, the operator is per-chain (jax vma rules;
+            # see parallel/sharding.py). b itself must stay untouched:
+            # custom_linear_solve pvaries its operands internally.
+            x = x + r_ * 0
             z = prec(r_)
             p = z
             rz = jnp.vdot(r_, z)
@@ -183,17 +190,26 @@ class ReducedOperator:
         # Implicit differentiation: reverse-mode through converged CG
         # iterations produces 0/0 cotangents (denormal residuals); the
         # adjoint solve reuses the same preconditioned CG.
-        return jax.lax.custom_linear_solve(amat, self.Fhat, solve=pcg_solve, symmetric=True)
+        if differentiable:
+            return jax.lax.custom_linear_solve(amat, self.Fhat, solve=pcg_solve, symmetric=True)
+        # direct call — for sampler hot loops, which never differentiate the
+        # likelihood. Also the shard_map-compatible route: custom_linear_solve's
+        # internal vma (pvary) bookkeeping rejects chain-sharded operands.
+        return pcg_solve(amat, self.Fhat)
 
-    def fast_forward(self, P0: jax.Array, n_iters: int = 25, precision=None):
+    def fast_forward(self, P0: jax.Array, n_iters: int = 25, precision=None,
+                     differentiable: bool = True):
         """k -> y_r via solve_pcg; the likelihood kernel for the MCMC hot
         loop (vmap over chains gives pure-MXU batched matmuls). See
-        solve_pcg for the precision option."""
+        solve_pcg for the precision and differentiable options."""
         hi = jax.lax.Precision.HIGHEST
 
         def f(k):
             return jnp.dot(
-                self.Bhat, self.solve_pcg(k, P0, n_iters, precision=precision), precision=hi
+                self.Bhat,
+                self.solve_pcg(k, P0, n_iters, precision=precision,
+                               differentiable=differentiable),
+                precision=hi,
             )
 
         return f

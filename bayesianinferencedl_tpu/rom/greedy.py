@@ -23,8 +23,11 @@ class GreedyResult(NamedTuple):
     V: jnp.ndarray  # (n, r) orthonormal basis (device dtype)
     selected: np.ndarray  # (r,) candidate indices chosen
     indicators: np.ndarray  # (r,) max indicator value at each iteration
-    snapshots: np.ndarray  # (n, r) raw selected FOM solutions (host f64) —
-    # feed to orthonormalize_host for the offline-f64 projection path
+    snapshots: np.ndarray  # (n, r) the basis columns as built on-device:
+    # the (unnormalized-span) first FOM solution, then f32-MGS-orthonormalized
+    # residual directions of each selected solution — NOT raw FOM solutions.
+    # Feed to orthonormalize_host to restore f64 orthonormality for the
+    # offline-f64 projection path.
 
 
 def _indicator_sweep(op: FinOperator, rom: ReducedOperator, ks: jax.Array) -> jax.Array:
@@ -86,12 +89,14 @@ def greedy_basis(
 
 
 def orthonormalize_host(snapshots: np.ndarray) -> np.ndarray:
-    """float64 host re-orthonormalization of greedy-selected snapshots.
+    """float64 host re-orthonormalization of the greedy basis columns.
 
     The greedy loop orthonormalizes on-device at the working dtype (f32 on
     TPU), which leaves ~1e-4-scale cross-terms in V^T V — the same f32 floor
-    pod_basis_host exists to avoid. A host QR restores orthonormality to
-    machine-f64 so greedy gets the identical offline-f64 / online-f32
-    precision architecture as the POD path (VERDICT.md round-1 item 8)."""
+    pod_basis_host exists to avoid. A host QR restores ORTHONORMALITY to
+    machine-f64 (the span itself is already fixed by the on-device f32
+    Gram-Schmidt — only the cross-terms are repaired), giving greedy the
+    same offline-f64 / online-f32 precision architecture as the POD path
+    (VERDICT.md round-1 item 8)."""
     Q, _ = np.linalg.qr(np.asarray(snapshots, np.float64))
     return Q

@@ -76,7 +76,11 @@ def main() -> None:
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=4),
         fem=FEMConfig(biot=0.1, cg_tol=1e-7, cg_maxiter=1500),
-        rom=ROMConfig(n_snapshots=256, basis_size=40),
+        # online_precision="high": 3-pass bf16x3 reduced solves — measured
+        # 1.9x chain throughput over full-f32 with the surrogate trained on
+        # the same path (corrected rel-err 5.7e-5 vs 1.5e-5; posterior means
+        # agree to MC error, R-hat gate unchanged). docs/DESIGN.md §4.
+        rom=ROMConfig(n_snapshots=256, basis_size=40, online_precision="high"),
         surrogate=SurrogateConfig(hidden=(64, 64), n_train=1024, epochs=300),
         mcmc=MCMCConfig(
             n_chains=N_CHAINS, n_steps=10_000, n_burn=1_000, beta=0.25,
@@ -180,6 +184,7 @@ def main() -> None:
         "vs_baseline": round(inv.samples_per_sec / north_star_rate, 2),
         "detail": {
             "sampler": f"pt_pcn x{N_TEMPS} temps (exact on the multimodal posterior)",
+            "online_precision": "high (bf16x3 reduced solves; surrogate trained on the same path)",
             "chain_steps_per_sec": round(chain_steps_per_sec, 2),
             "wall_seconds_10k_steps": round(inv.wall_seconds * 10_000 / (cfg.mcmc.n_steps - cfg.mcmc.n_burn), 3),
             "rhat_max": round(rhat_max, 4),

@@ -122,3 +122,39 @@ def test_sharded_pt_da_runs_and_swaps():
     mu = Cpost @ np.asarray(H.T @ data) / 0.25
     emp = np.asarray(res.samples).reshape(-1, 2).mean(0)
     np.testing.assert_allclose(emp, mu, atol=0.08)
+
+
+def test_run_inversion_routes_mesh_for_da_samplers():
+    """run_inversion(mesh=...) must actually shard the new samplers (the
+    non-sharded fallback silently ignoring the mesh was a review finding).
+    Exercised end-to-end on the virtual 8-device mesh at toy scale."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=1),
+        fem=FEMConfig(biot=0.1, cg_tol=1e-6, cg_maxiter=300),
+        rom=ROMConfig(n_snapshots=32, basis_size=10),
+        surrogate=SurrogateConfig(hidden=(16, 16), n_train=64, epochs=30),
+        mcmc=MCMCConfig(
+            n_chains=16, n_steps=40, n_burn=16, noise_sigma=1e-2,
+            likelihood="rom_nn", sampler="da_pcn", subchain=2,
+        ),
+    )
+    pipe = build_pipeline(cfg, dtype=jnp.float32)
+    mesh = device_mesh()
+
+    inv = run_inversion(pipe, mesh=mesh)
+    assert inv.result.samples.shape == (24, 16, 5)
+    assert bool(jnp.isfinite(inv.result.samples).all())
+
+    inv_pt = run_inversion(pipe, sampler="pt_da_pcn", mesh=mesh)
+    assert inv_pt.result.samples.shape == (24, 16, 5)
+    assert inv_pt.result.theta.shape[0] == cfg.mcmc.n_temps
+    assert bool(jnp.isfinite(inv_pt.result.samples).all())
+
+    inv_ptp = run_inversion(pipe, sampler="pt_pcn", mesh=mesh)
+    assert inv_ptp.result.samples.shape == (24, 16, 5)
+    assert bool(jnp.isfinite(inv_ptp.result.samples).all())

@@ -61,3 +61,16 @@ def test_fast_forward_precision_plumbing(rom):
     y_hi = rom.fast_forward(P0, 25, None)(jnp.ones(5))
     y_fast = rom.fast_forward(P0, 25, _jax.lax.Precision.DEFAULT)(jnp.ones(5))
     np.testing.assert_allclose(np.asarray(y_hi), np.asarray(y_fast), rtol=1e-10)
+
+
+def test_online_precision_ladder_plumbing():
+    """ROMConfig.online_precision maps to the right matmul precision tier and
+    reaches the Pipeline (the measured 1x/1.9x/2.6x ladder is TPU-only; on
+    CPU all tiers compute identically, so this pins the plumbing)."""
+    import jax
+
+    from bayesianinferencedl_tpu.api import _online_precision
+
+    assert _online_precision("highest") is None
+    assert _online_precision("high") is jax.lax.Precision.HIGH
+    assert _online_precision("fast") is jax.lax.Precision.DEFAULT
