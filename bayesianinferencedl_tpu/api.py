@@ -411,6 +411,7 @@ def run_pcn_checkpointed(
         res = run_pcn(
             misfit_fn, prior, state.theta, sub,
             n_steps=this, n_burn=burn, beta=betas, thin=1, adapt=True,
+            adapt_t0=jnp.asarray(step_done, state.theta.dtype),
         )
         state, betas = res.state, res.beta  # adapted per-chain betas persist
         step_done += this
@@ -435,12 +436,19 @@ def run_pcn_checkpointed(
         )
         log.log("chain_checkpoint", step=step_done, accept=float(jnp.mean(res.accept_rate)))
 
-    samples = np.concatenate([c[0] for c in chunks], axis=0) if chunks else None
-    phis = np.concatenate([c[1] for c in chunks], axis=0) if chunks else None
+    C, d = state.theta.shape
+    samples = (
+        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C, d), state.theta.dtype)
+    )
+    phis = (
+        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C), state.theta.dtype)
+    )
     return PCNResult(
         state=state,
-        samples=jnp.asarray(samples) if samples is not None else None,
-        phi_trace=jnp.asarray(phis) if phis is not None else None,
+        samples=samples,
+        phi_trace=phis,
         accept_rate=acc_counts / max(acc_steps, 1),
         beta=betas,
     )
@@ -511,6 +519,7 @@ def run_da_checkpointed(
             misfit_fine, misfit_coarse, prior, state.theta, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             adapt=True, batched_fine=batched_fine, batched_coarse=batched_coarse,
+            adapt_t0=jnp.asarray(step_done, state.theta.dtype),
         )
         state, betas = res.state, res.beta
         step_done += this
@@ -535,12 +544,19 @@ def run_da_checkpointed(
         log.log("da_chain_checkpoint", step=step_done,
                 outer_accept=float(jnp.mean(res.accept_rate)))
 
-    samples = np.concatenate([c[0] for c in chunks], axis=0) if chunks else None
-    phis = np.concatenate([c[1] for c in chunks], axis=0) if chunks else None
+    C, d = state.theta.shape
+    samples = (
+        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C, d), state.theta.dtype)
+    )
+    phis = (
+        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C), state.theta.dtype)
+    )
     return DAResult(
         state=state,
-        samples=jnp.asarray(samples) if samples is not None else None,
-        phi_trace=jnp.asarray(phis) if phis is not None else None,
+        samples=samples,
+        phi_trace=phis,
         accept_rate=acc_out / max(acc_steps, 1),
         inner_accept_rate=acc_in / max(acc_steps * subchain, 1),
         beta=betas,
@@ -652,6 +668,13 @@ def run_inversion(
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
                 )
+        elif smp in ("pt_da_pcn", "da_pcn") and like == cfg.da_coarse:
+            raise ValueError(
+                f"sampler={smp!r} with likelihood == da_coarse ({like!r}) is "
+                "degenerate: the outer correction always accepts and you pay "
+                "subchain+1 evaluations of the SAME model per kept sample. "
+                "Set likelihood='fom' (the exact target) or use sampler='pcn'."
+            )
         elif smp == "pt_da_pcn":
             # tempered delayed acceptance: exact `like` posterior on a
             # multimodal problem at ~1/subchain of the fine evaluations —
@@ -751,11 +774,19 @@ def run_inversion(
     # chain key and ends with a scalar readback: repeating an identical
     # dispatch under block_until_ready alone over-reports throughput in this
     # environment (CLAUDE.md timing rule).
+    def _sync(r):
+        # scalar readback = reliable completion barrier (CLAUDE.md timing
+        # rule); fall back to block_until_ready for an empty kept axis
+        if r.samples.shape[0]:
+            float(jnp.sum(r.samples[-1]))
+        else:
+            jax.block_until_ready(r.samples)
+
     res = run(k_chain)
-    float(jnp.sum(res.samples[-1]))
+    _sync(res)
     t0 = time.perf_counter()
     res = run(jax.random.fold_in(k_chain, 1))
-    float(jnp.sum(res.samples[-1]))
+    _sync(res)
     wall = time.perf_counter() - t0
 
     ess = effective_sample_size(res.samples)

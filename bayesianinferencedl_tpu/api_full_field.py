@@ -187,6 +187,15 @@ def build_full_field_pipeline(
     )
 
 
+def _sync(res):
+    """Completion barrier: scalar readback (CLAUDE.md timing rule), falling
+    back to block_until_ready for an empty kept axis."""
+    if res.samples.shape[0]:
+        float(jnp.sum(res.samples[-1]))
+    else:
+        jax.block_until_ready(res.samples)
+
+
 def run_full_field_inversion(
     pipe: FullFieldPipeline,
     *,
@@ -245,12 +254,12 @@ def run_full_field_inversion(
         runner = lambda m, p, t0, k, **kw: smp_fn(m, p, lap, t0, k, **kw)
         # timed run: different key + scalar readback (CLAUDE.md timing rule)
         res = runner(mis1, pipe.prior, theta0, k_chain, **kwargs)
-        float(jnp.sum(res.samples[-1]))
+        _sync(res)
         import time as _t
 
         t0 = _t.perf_counter()
         res = runner(mis1, pipe.prior, theta0, jax.random.fold_in(k_chain, 1), **kwargs)
-        float(jnp.sum(res.samples[-1]))
+        _sync(res)
         wall = _t.perf_counter() - t0
         ess = effective_sample_size(res.samples)
         r = rhat(res.samples)
@@ -278,10 +287,10 @@ def run_full_field_inversion(
             kwargs["segment"] = 64
 
     res = runner(misfit, pipe.prior, theta0, k_chain, **kwargs)
-    float(jnp.sum(res.samples[-1]))
+    _sync(res)
     t0 = time.perf_counter()
     res = runner(misfit, pipe.prior, theta0, jax.random.fold_in(k_chain, 1), **kwargs)
-    float(jnp.sum(res.samples[-1]))
+    _sync(res)
     wall = time.perf_counter() - t0
 
     ess = effective_sample_size(res.samples)

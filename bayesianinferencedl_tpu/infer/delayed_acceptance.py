@@ -133,6 +133,7 @@ def run_da_pcn(
     adapt: bool = True,
     batched_fine: bool = False,
     batched_coarse: bool = False,
+    adapt_t0=0.0,
 ) -> DAResult:
     """Delayed-acceptance pCN. n_steps/n_burn count OUTER steps (each outer
     step advances `subchain` coarse steps and runs ONE fine batch evaluation).
@@ -167,7 +168,7 @@ def run_da_pcn(
                 # a biased surrogate it shrinks the step until the subchain's
                 # accumulated (Phi_f - Phi_c) drift stops killing the outer
                 # correction (the classic DA step-size pathology).
-                eta = 0.5 / (1.0 + t) ** 0.6
+                eta = 0.5 / (1.0 + t + jnp.asarray(adapt_t0, dtype)) ** 0.6
                 frac = acc_inner.astype(dtype) / dtype.type(subchain)
                 frac = frac * acc_out.astype(dtype)
                 lb = lb + eta * (frac - dtype.type(TARGET_ACCEPT))
@@ -229,12 +230,13 @@ def run_da_pcn_segmented(
 
     betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
 
-    def seg(carry, sub, this, burn):
+    def seg(carry, sub, this, burn, start):
         thetas, betas = carry
         res = run_da_pcn(
             misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             adapt=True, batched_fine=batched_fine, batched_coarse=batched_coarse,
+            adapt_t0=jnp.asarray(start, theta0.dtype),
         )
         return res, (res.state.theta, res.beta)
 

@@ -101,13 +101,17 @@ def run_pcn(
     thin: int = 1,
     adapt: bool = True,
     batched: bool = False,
+    adapt_t0=0.0,
 ) -> PCNResult:
     """Run pCN chains: scan over steps, vmap over chains, fully on-device.
 
     theta0: (n_chains, d). Burn-in adapts per-chain beta toward 23.4%
     acceptance (adapt=True), then sampling keeps every ``thin``-th sample.
     batched=True: misfit_fn takes the whole (n_chains, d) batch (e.g. the
-    fused Pallas FOM solver).
+    fused Pallas FOM solver). adapt_t0: global step offset for the
+    Robbins-Monro schedule — segmented drivers pass their progress so the
+    adaptation clock anneals across segments instead of restarting (pass a
+    traced array to avoid per-segment recompiles).
     """
     state = pcn_init(misfit_fn, theta0, batched=batched)
     step_fn = partial(pcn_step, batched=batched)
@@ -124,7 +128,7 @@ def run_pcn(
             t, k = inp
             s, acc = step_fn(misfit_fn, prior, jnp.exp(lb), s, k)
             if adapt:
-                eta = 0.5 / (1.0 + t) ** 0.6
+                eta = 0.5 / (1.0 + t + jnp.asarray(adapt_t0, dtype)) ** 0.6
                 lb = lb + eta * (acc.astype(dtype) - dtype.type(TARGET_ACCEPT))
                 lb = jnp.clip(lb, jnp.log(1e-4), jnp.log(0.9999))
             return (s, lb), None
@@ -261,11 +265,12 @@ def run_pcn_segmented(
 
     betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
 
-    def seg(carry, sub, this, burn):
+    def seg(carry, sub, this, burn, start):
         thetas, betas = carry
         res = run_pcn(
             misfit_fn, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, thin=1, adapt=True, batched=batched,
+            adapt_t0=jnp.asarray(start, theta0.dtype),
         )
         return res, (res.state.theta, res.beta)
 

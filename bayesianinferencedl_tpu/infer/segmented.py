@@ -39,11 +39,16 @@ def drive_segments(
     segment: int,
     rates: Dict[str, RateSpec],
 ):
-    """Run `run_segment(carry, key, n_steps, n_burn) -> (res, carry)` in
-    fixed-size chunks. `res` must expose `.samples` (kept-major) and
-    `.phi_trace`. Returns (last_res, carry, samples, phis, rates_out,
-    total_kept) with samples/phis concatenated over all post-burn segments
-    and rates_out covering the WHOLE post-burn run."""
+    """Run `run_segment(carry, key, n_steps, n_burn, start) -> (res, carry)`
+    in fixed-size chunks; `start` is the GLOBAL step index of the segment's
+    first step, so runners can keep their Robbins-Monro adaptation clock
+    annealing across segments instead of restarting it (pass it through as
+    adapt_t0). `res` must expose `.samples` (kept-major) and `.phi_trace`.
+    Returns (last_res, carry, samples, phis, rates_out, total_kept) with
+    samples/phis concatenated over all post-burn segments and rates_out
+    covering the WHOLE post-burn run."""
+    if n_steps <= 0:
+        raise ValueError(f"drive_segments needs n_steps >= 1, got {n_steps}")
     done = 0
     total_kept = 0
     counts: Dict[str, Any] = {name: None for name in rates}
@@ -53,7 +58,7 @@ def drive_segments(
         this = min(segment, n_steps - done)
         key, sub = jax.random.split(key)
         burn = min(max(n_burn - done, 0), this)
-        res, carry = run_segment(carry, sub, this, burn)
+        res, carry = run_segment(carry, sub, this, burn, done)
         kept = this - burn
         if kept > 0:
             for name, (get, count_factor, _) in rates.items():

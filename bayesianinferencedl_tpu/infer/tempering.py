@@ -118,6 +118,7 @@ def run_pt_pcn(
     lambda_min: float = 0.05,
     adapt: bool = True,
     batched: bool = False,
+    adapt_t0=0.0,
 ) -> PTResult:
     """Parallel-tempered pCN over G chain groups x K temperature levels.
 
@@ -164,7 +165,8 @@ def run_pt_pcn(
         phi = jnp.where(acc, phi_prop, phi)
         n_accept = n_accept + acc.astype(jnp.int32)
         if adapt:
-            eta = jnp.where(t < n_burn, 0.5 / (1.0 + t.astype(dtype)) ** 0.6, 0.0)
+            tg = t.astype(dtype) + jnp.asarray(adapt_t0, dtype)
+            eta = jnp.where(t < n_burn, 0.5 / (1.0 + tg) ** 0.6, 0.0)
             log_beta = jnp.clip(
                 log_beta + eta * (acc.astype(dtype) - dtype.type(TARGET_ACCEPT)),
                 jnp.log(1e-4),
@@ -241,6 +243,7 @@ def run_pt_da(
     lambda_min: float = 0.05,
     adapt: bool = True,
     batched: bool = False,
+    adapt_t0=0.0,
 ) -> PTDAResult:
     """Tempered delayed acceptance: the EXACT fine (e.g. full-order)
     posterior on a MULTIMODAL problem, at ~1/subchain of the fine evals.
@@ -319,7 +322,8 @@ def run_pt_da(
         n_out = n_out + acc.astype(jnp.int32)
         n_in = n_in + n_in_step
         if adapt:
-            eta = jnp.where(t < n_burn, 0.5 / (1.0 + t.astype(dtype)) ** 0.6, 0.0)
+            tg = t.astype(dtype) + jnp.asarray(adapt_t0, dtype)
+            eta = jnp.where(t < n_burn, 0.5 / (1.0 + tg) ** 0.6, 0.0)
             # effective acceptance = inner fraction x outer survival (see
             # delayed_acceptance.run_da_pcn) — keeps the outer correction
             # alive when the surrogate is biased at cold temperatures
@@ -386,12 +390,13 @@ def run_pt_da_segmented(
         accept_rate_spec, drive_segments, inner_accept_rate_spec, swap_rate_spec,
     )
 
-    def seg(carry, sub, this, burn):
+    def seg(carry, sub, this, burn, start):
         thetas, betas = carry
         res = run_pt_da(
             misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, adapt=True, batched=batched,
+            adapt_t0=jnp.asarray(start, theta0.dtype),
         )
         return res, (res.theta, res.beta)
 

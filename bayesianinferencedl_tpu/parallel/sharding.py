@@ -29,6 +29,7 @@ def sharded_pcn(
     beta=0.25,
     thin: int = 1,
     batched: bool = False,
+    adapt_t0=0.0,
 ) -> PCNResult:
     """Run pCN with the chain batch sharded over the mesh axis.
 
@@ -55,6 +56,7 @@ def sharded_pcn(
             beta=beta_shard,
             thin=thin,
             batched=batched,
+            adapt_t0=adapt_t0,
         )
 
     # out_specs: every leaf is chain-sharded on its chain axis.
@@ -91,11 +93,12 @@ def sharded_pcn_segmented(
 
     betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
 
-    def seg(carry, sub, this, burn):
+    def seg(carry, sub, this, burn, start):
         thetas, betas = carry
         res = sharded_pcn(
             mesh, misfit_fn, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, thin=1, batched=batched,
+            adapt_t0=jnp.asarray(start, theta0.dtype),
         )
         return res, (res.state.theta, res.beta)
 
@@ -186,6 +189,7 @@ def sharded_da_pcn(
     subchain: int = 8,
     batched_fine: bool = False,
     batched_coarse: bool = False,
+    adapt_t0=0.0,
 ):
     """Delayed-acceptance pCN with the chain batch sharded over the mesh.
 
@@ -205,6 +209,7 @@ def sharded_da_pcn(
             misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
             n_steps=n_steps, n_burn=n_burn, beta=beta_shard, subchain=subchain,
             batched_fine=batched_fine, batched_coarse=batched_coarse,
+            adapt_t0=adapt_t0,
         )
         # the int leaf must be an array to carry a replicated out-spec
         return res._replace(n_fine_evals=jnp.int32(res.n_fine_evals))
@@ -237,6 +242,7 @@ def sharded_pt_da(
     n_temps: int = 4,
     lambda_min: float = 0.05,
     batched: bool = False,
+    adapt_t0=0.0,
 ):
     """Tempered DA with the chain-GROUP axis sharded over the mesh.
 
@@ -259,6 +265,7 @@ def sharded_pt_da(
             misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
             n_steps=n_steps, n_burn=n_burn, beta=beta_in, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+            adapt_t0=adapt_t0,
         )
         return res._replace(
             swap_rate=jax.lax.pmean(res.swap_rate, axis),
@@ -344,12 +351,13 @@ def sharded_da_pcn_segmented(
 
     betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
 
-    def seg(carry, sub, this, burn):
+    def seg(carry, sub, this, burn, start):
         thetas, betas = carry
         res = sharded_da_pcn(
             mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             batched_fine=batched_fine, batched_coarse=batched_coarse,
+            adapt_t0=jnp.asarray(start, theta0.dtype),
         )
         return res, (res.state.theta, res.beta)
 
@@ -363,108 +371,6 @@ def sharded_da_pcn_segmented(
         phi_trace=phis,
         accept_rate=rates["accept"],
         inner_accept_rate=rates["inner"],
-        beta=betas,
-        n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
-    )
-
-
-def sharded_pt_pcn(
-    mesh: Mesh,
-    misfit_fn: Callable,
-    prior: GaussianPrior,
-    theta0: jax.Array,  # (G, d)
-    key: jax.Array,
-    *,
-    n_steps: int,
-    n_burn: int = 0,
-    beta: float = 0.25,
-    n_temps: int = 4,
-    lambda_min: float = 0.05,
-    batched: bool = False,
-):
-    """Parallel-tempered pCN with the chain-GROUP axis sharded over the mesh
-    (each device owns the full K-level ladder for its shard of groups; swaps
-    are shard-local, reported swap_rate is pmean'd)."""
-    from bayesianinferencedl_tpu.infer.tempering import PTResult, run_pt_pcn
-
-    axis = mesh.axis_names[0]
-
-    def local(theta0_shard, key_all):
-        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
-        res = run_pt_pcn(
-            misfit_fn, prior, theta0_shard, dev_key,
-            n_steps=n_steps, n_burn=n_burn, beta=beta,
-            n_temps=n_temps, lambda_min=lambda_min, batched=batched,
-        )
-        return res._replace(swap_rate=jax.lax.pmean(res.swap_rate, axis))
-
-    out_specs = PTResult(
-        samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
-        swap_rate=P(), beta=P(None, axis), theta=P(None, axis),
-    )
-    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs)
-    return f(theta0, key)
-
-
-def sharded_da_pcn_segmented(
-    mesh: Mesh,
-    misfit_fine: Callable,
-    misfit_coarse: Callable,
-    prior: GaussianPrior,
-    theta0: jax.Array,
-    key: jax.Array,
-    *,
-    n_steps: int,
-    n_burn: int = 0,
-    beta=0.25,
-    subchain: int = 8,
-    segment: int = 64,
-    batched_fine: bool = False,
-    batched_coarse: bool = False,
-):
-    """sharded_da_pcn dispatched in fixed-size outer segments (watchdog-safe
-    for fine models with full-order solves); chain state and adapted betas
-    carry across segments, accept accounting covers the whole post-burn run."""
-    import numpy as np
-    from bayesianinferencedl_tpu.infer.delayed_acceptance import DAResult
-
-    thetas = theta0
-    betas = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
-    done = 0
-    acc_steps = 0
-    acc_out = acc_in = None
-    samples_chunks, phi_chunks = [], []
-    res = None
-    while done < n_steps:
-        this = min(segment, n_steps - done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - done, 0), this)
-        res = sharded_da_pcn(
-            mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
-            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
-            batched_fine=batched_fine, batched_coarse=batched_coarse,
-        )
-        thetas, betas = res.state.theta, res.beta
-        kept = this - burn
-        if kept > 0:
-            out_c = res.accept_rate * kept
-            in_c = res.inner_accept_rate * (kept * subchain)
-            acc_out = out_c if acc_out is None else acc_out + out_c
-            acc_in = in_c if acc_in is None else acc_in + in_c
-            acc_steps += kept
-            samples_chunks.append(np.asarray(res.samples))
-            phi_chunks.append(np.asarray(res.phi_trace))
-        done += this
-    samples = jnp.asarray(np.concatenate(samples_chunks)) if samples_chunks else res.samples
-    phis = jnp.asarray(np.concatenate(phi_chunks)) if phi_chunks else res.phi_trace
-    return DAResult(
-        state=res.state,
-        samples=samples,
-        phi_trace=phis,
-        accept_rate=acc_out / max(acc_steps, 1) if acc_out is not None else res.accept_rate,
-        inner_accept_rate=(
-            acc_in / max(acc_steps * subchain, 1) if acc_in is not None else res.inner_accept_rate
-        ),
         beta=betas,
         n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
     )
@@ -495,12 +401,13 @@ def sharded_pt_da_segmented(
     )
     from bayesianinferencedl_tpu.infer.tempering import PTDAResult
 
-    def seg(carry, sub, this, burn):
+    def seg(carry, sub, this, burn, start):
         thetas, betas = carry
         res = sharded_pt_da(
             mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+            adapt_t0=jnp.asarray(start, theta0.dtype),
         )
         return res, (res.theta, res.beta)
 

@@ -140,7 +140,7 @@ def test_run_inversion_routes_mesh_for_da_samplers():
         surrogate=SurrogateConfig(hidden=(16, 16), n_train=64, epochs=30),
         mcmc=MCMCConfig(
             n_chains=16, n_steps=40, n_burn=16, noise_sigma=1e-2,
-            likelihood="rom_nn", sampler="da_pcn", subchain=2,
+            likelihood="rom_nn", sampler="da_pcn", subchain=2, da_coarse="rom",
         ),
     )
     pipe = build_pipeline(cfg, dtype=jnp.float32)
