@@ -91,3 +91,25 @@ def test_rhat_mixed_vs_unmixed():
     shifted = mixed + jnp.arange(4.0)[None, :, None] * 3
     r2 = np.asarray(rhat(shifted))
     assert (r2 > 1.5).all()
+
+
+def test_adapt_t0_advances_robbins_monro_clock():
+    """adapt_t0 is the global-step offset segmented drivers pass so the
+    Robbins-Monro schedule anneals across segments: a huge offset makes
+    eta ~ 0 and the adapted betas stay at their initial value, while the
+    default clock moves them substantially."""
+    prior = GaussianPrior.iid(2, dtype=jnp.float64)
+    misfit = lambda t: 50.0 * jnp.sum(t * t)  # concentrated: beta must shrink
+    theta0 = prior.sample(jax.random.PRNGKey(0), (16,))
+    res_fresh = run_pcn(
+        misfit, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=300, n_burn=250, beta=0.5,
+    )
+    res_frozen = run_pcn(
+        misfit, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=300, n_burn=250, beta=0.5, adapt_t0=1e12,
+    )
+    moved = float(jnp.mean(jnp.abs(jnp.log(res_fresh.beta) - jnp.log(0.5))))
+    frozen = float(jnp.mean(jnp.abs(jnp.log(res_frozen.beta) - jnp.log(0.5))))
+    assert moved > 0.1           # the fresh clock adapts
+    assert frozen < 0.1 * moved   # a late clock (eta ~ 0) barely does

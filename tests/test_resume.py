@@ -97,3 +97,24 @@ def test_da_resume_bit_identical(tmp_path):
     np.testing.assert_allclose(
         np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
     )
+
+
+def test_checkpointed_burn_only_returns_empty_arrays(tmp_path):
+    """A burn-only run (n_steps == n_burn) must return well-formed empty
+    sample arrays, not None — downstream consumers call .shape on them."""
+    from bayesianinferencedl_tpu.api import run_da_checkpointed, run_pcn_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    res = run_pcn_checkpointed(
+        misfit, prior, theta0, jax.random.PRNGKey(0),
+        n_steps=100, n_burn=100, segment=50,
+        ckpt_path=str(tmp_path / "b.npz"), resume=False,
+    )
+    assert res.samples.shape == (0, 16, 3)
+    assert res.phi_trace.shape == (0, 16)
+    res_da = run_da_checkpointed(
+        misfit, lambda t: misfit(t) * 0.9, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=60, n_burn=60, subchain=2, segment=30,
+        ckpt_path=str(tmp_path / "bd.npz"), resume=False,
+    )
+    assert res_da.samples.shape == (0, 16, 3)
