@@ -46,6 +46,10 @@ class FullFieldPipeline:
     rom_pcg_iters: int = 25
     cg_tol: float = 1e-7
     cg_maxiter: int = 2000
+    # None = full f32; lax.Precision.HIGH = bf16x3 ladder tier (measured on
+    # the five-param pipeline: ~1.9x chain throughput; the surrogate trains
+    # on the same path). See api._online_precision.
+    rom_precision: object = None
 
     def theta(self, z: jax.Array) -> jax.Array:
         """z -> nodal log-conductivity field."""
@@ -64,10 +68,10 @@ class FullFieldPipeline:
                 solve_fom(self.op, self.conductivity(z), tol=self.cg_tol, maxiter=self.cg_maxiter)
             )
         if likelihood == "rom":
-            ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters)
+            ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters, self.rom_precision)
             return lambda z: ff(self.conductivity(z))
         if likelihood == "rom_nn":
-            ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters)
+            ff = self.rom.fast_forward(self.P0, self.rom_pcg_iters, self.rom_precision)
             return lambda z: ff(self.conductivity(z)) + self.surrogate.predict(z)
         raise ValueError(f"unknown likelihood {likelihood!r}")
 
@@ -85,6 +89,15 @@ class FullFieldPipeline:
                 return jax.vmap(self.op.observe)(u)
 
             return fwd_b
+        if likelihood in ("rom", "rom_nn"):
+            # sampler hot loops never differentiate the likelihood (and the
+            # direct route is the shard_map-compatible one — rom/galerkin.py)
+            ff = self.rom.fast_forward(
+                self.P0, self.rom_pcg_iters, self.rom_precision, differentiable=False
+            )
+            if likelihood == "rom":
+                return jax.vmap(lambda z: ff(self.conductivity(z)))
+            return jax.vmap(lambda z: ff(self.conductivity(z)) + self.surrogate.predict(z))
         return jax.vmap(self.forward_fn(likelihood))
 
 
@@ -106,8 +119,15 @@ def build_full_field_pipeline(
     cg_maxiter: int = 2000,
     seed: int = 0,
     use_pallas: Optional[bool] = None,
+    online_precision: str = "highest",
+    rom_pcg_iters: int = 25,
     metrics: Optional[MetricsLogger] = None,
 ) -> FullFieldPipeline:
+    from bayesianinferencedl_tpu.api import _online_precision
+
+    # resolve up front: a typo'd tier must fail in milliseconds, not after
+    # the snapshot sweep / POD / projection have already run
+    rom_prec = _online_precision(online_precision)
     log = metrics or MetricsLogger()
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and dtype == jnp.float32
@@ -131,7 +151,24 @@ def build_full_field_pipeline(
         from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
 
         mi = min(cg_maxiter, derived_maxiter(op.resolution))
-        solver = lambda ks: solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=mi)[0]
+
+        def solver(ks):
+            u, iters = solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=mi)
+            # derived_maxiter was calibrated on the 5-param log-uniform
+            # range; nodal GP fields with higher contrast can need more.
+            # An iters==cap solve is UNCONVERGED and would silently bias
+            # the training/observation 'truth' — surface it.
+            max_it = int(jnp.max(iters))
+            if max_it >= mi:
+                log.log("fom_solver_unconverged", max_iters=max_it, cap=mi)
+                import warnings
+
+                warnings.warn(
+                    f"Pallas FOM solver hit its iteration cap ({mi}); "
+                    "raise cg_maxiter — snapshots/training data may be "
+                    "unconverged", stacklevel=2,
+                )
+            return u
     else:
         solver = lambda ks: jax.vmap(
             lambda k: solve_fom(op, k, tol=cg_tol, maxiter=cg_maxiter)
@@ -164,7 +201,10 @@ def build_full_field_pipeline(
         )
         ks_t = jnp.exp(thetas_t)
         y_fom = jax.vmap(op.observe)(solver(ks_t))
-        ff = rom.fast_forward(P0, 25)
+        # train on the deployed path (precision AND iteration count
+        # included) so the surrogate absorbs systematic solver error —
+        # same principle as api.py
+        ff = rom.fast_forward(P0, rom_pcg_iters, rom_prec)
         y_rom = jax.vmap(ff)(ks_t)
         err = y_fom - y_rom
         err.block_until_ready()
@@ -183,7 +223,8 @@ def build_full_field_pipeline(
     prior = GaussianPrior.iid(n_features, mean=0.0, sigma=1.0, dtype=dtype)
     return FullFieldPipeline(
         op=op, field=field, rom=rom, surrogate=surrogate, prior=prior, P0=P0,
-        cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+        rom_pcg_iters=rom_pcg_iters, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+        rom_precision=rom_prec,
     )
 
 

@@ -23,8 +23,7 @@ def element_stiffness(nodes: np.ndarray, triangles: np.ndarray) -> tuple[np.ndar
     x, y = p[..., 0], p[..., 1]
     b = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=1)
     c = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=1)
-    area = 0.5 * (b[:, 0] * c[:, 1] - b[:, 1] * c[:, 0])
-    # area = 0.5 * cross(p1-p0, p2-p0); recompute directly for clarity
+    # area = 0.5 * cross(p1-p0, p2-p0)
     d1 = p[:, 1] - p[:, 0]
     d2 = p[:, 2] - p[:, 0]
     area = 0.5 * (d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])

@@ -132,10 +132,13 @@ class AffinizedReducedOperator:
         A = A + self.biot * np.asarray(self.Mhat, np.float64)
         return jnp.asarray(np.linalg.inv(A), self.Ahat.dtype)
 
-    def fast_forward(self, P0: jax.Array, n_iters: int = 25):
+    def fast_forward(self, P0: jax.Array, n_iters: int = 25, precision=None,
+                     differentiable: bool = True):
         """k_nodal -> y via fixed-iteration preconditioned CG (see
-        rom.galerkin.ReducedOperator.solve_pcg — same construction)."""
-        hi = jax.lax.Precision.HIGHEST
+        rom.galerkin.ReducedOperator.solve_pcg — same construction,
+        including the precision ladder and the direct non-differentiable
+        route for sampler hot loops)."""
+        hi = jax.lax.Precision.HIGHEST if precision is None else precision
 
         def f(k_nodal):
             c = self.coeffs(k_nodal)
@@ -150,6 +153,10 @@ class AffinizedReducedOperator:
             def pcg_solve(mv, b):
                 x = prec(b)
                 r_ = b - mv(x)
+                # derive x from the (chain-varying) residual so every
+                # fori_loop carry leaf shares the device-varying axis under
+                # shard_map (rom/galerkin.py has the same fix)
+                x = x + r_ * 0
                 z = prec(r_)
                 p = z
                 rz = jnp.vdot(r_, z)
@@ -169,8 +176,13 @@ class AffinizedReducedOperator:
                 x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r_, p, rz))
                 return x
 
-            u_r = jax.lax.custom_linear_solve(amat, self.Fhat, solve=pcg_solve, symmetric=True)
-            return jnp.dot(self.Bhat, u_r, precision=hi)
+            if differentiable:
+                u_r = jax.lax.custom_linear_solve(
+                    amat, self.Fhat, solve=pcg_solve, symmetric=True
+                )
+            else:
+                u_r = pcg_solve(amat, self.Fhat)
+            return jnp.dot(self.Bhat, u_r, precision=jax.lax.Precision.HIGHEST)
 
         return f
 
