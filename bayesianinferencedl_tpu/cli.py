@@ -138,7 +138,10 @@ def cmd_surrogate(args) -> None:
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=args.resolution),
         fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
-        rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
     )
     pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
@@ -176,7 +179,10 @@ def cmd_invert(args) -> None:
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=args.resolution),
         fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
-        rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
         mcmc=MCMCConfig(
             n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
@@ -222,7 +228,10 @@ def cmd_map(args) -> None:
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=args.resolution),
         fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
-        rom=ROMConfig(n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
     )
     pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
@@ -327,6 +336,12 @@ def main(argv=None) -> None:
         p.add_argument("--n-train", type=int, default=1024)
         p.add_argument("--epochs", type=int, default=300)
         p.add_argument("--out", type=str, default=None)
+        p.add_argument(
+            "--online-precision", choices=["highest", "high", "fast"],
+            default="highest",
+            help="reduced-solve matmul tier: high = bf16x3, ~1.9x chains "
+                 "at corrected rel-err 5.7e-5 (docs/DESIGN.md §4)",
+        )
         if name == "map":
             p.add_argument("--noise", type=float, default=1e-3)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
