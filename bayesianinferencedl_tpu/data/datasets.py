@@ -63,7 +63,10 @@ def generate_error_dataset(
             y_fom = jax.vmap(fom_qoi)(ks)
         else:
             pad = (-n_samples) % chunk
-            ks_p = jnp.concatenate([ks, ks[:pad]]) if pad else ks
+            # cycle rows so padding works even when pad > n_samples
+            # (ks[:pad] alone under-fills for chunk > 2 * n_samples)
+            pad_rows = ks[jnp.arange(pad) % n_samples] if pad else None
+            ks_p = jnp.concatenate([ks, pad_rows]) if pad else ks
             y_fom = jax.lax.map(jax.vmap(fom_qoi), ks_p.reshape(-1, chunk, ks.shape[1]))
             y_fom = y_fom.reshape(-1, y_fom.shape[-1])[:n_samples]
     y_rom = jax.vmap(rom_forward)(ks) if rom_forward is not None else rom.forward_batch(ks)

@@ -85,6 +85,11 @@ def rhat(chains: jax.Array) -> jax.Array:
     """
     if chains.ndim == 2:
         chains = chains[..., None]
+    if chains.shape[1] < 2:
+        raise ValueError(
+            "rhat needs >= 2 chains (cross-chain variance is undefined for "
+            f"one); got shape {chains.shape}"
+        )
     n = chains.shape[0]
     chain_means = jnp.mean(chains, axis=0)  # (c, d)
     chain_vars = jnp.var(chains, axis=0, ddof=1)  # (c, d)

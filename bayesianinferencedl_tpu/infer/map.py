@@ -76,7 +76,6 @@ def find_map_multistart(
     return xs[best], fs[best]
 
 
-@partial(jax.jit, static_argnames=("forward", "use_gauss_newton"))
 def laplace_approximation(
     forward: Callable,
     data: jax.Array,
@@ -96,17 +95,27 @@ def laplace_approximation(
     d = theta_map.shape[0]
     Cinv = jax.scipy.linalg.cho_solve((prior.chol, True), jnp.eye(d, dtype=theta_map.dtype))
     if use_gauss_newton:
-        J = jax.jacfwd(forward)(theta_map)  # (m, d)
-        H = J.T @ J / noise_sigma**2 + Cinv
+        J = jax.jit(jax.jacfwd(forward))(theta_map)  # (m, d)
+        H = jnp.dot(J.T, J, precision=jax.lax.Precision.HIGHEST) / noise_sigma**2 + Cinv
     else:
         def nlp(t):
             r = forward(t) - data
             w = prior.whiten(t)
             return 0.5 * jnp.sum(r * r) / noise_sigma**2 + 0.5 * jnp.sum(w * w)
 
-        H = jax.hessian(nlp)(theta_map)
+        H = jax.jit(jax.hessian(nlp))(theta_map)
     H = 0.5 * (H + H.T)
-    cov = jnp.linalg.inv(H)
-    cov = 0.5 * (cov + cov.T)
-    chol = jnp.linalg.cholesky(cov)
-    return LaplaceApproximation(mean=theta_map, cov=cov, chol=chol)
+    # the d x d inverse/cholesky is offline algebra: run it in f64 on the
+    # host (TPU f64 jnp.linalg.* is unsupported — CLAUDE.md rule 5 — and the
+    # conditioning of H squares the misfit scaling), cast back to the
+    # working dtype
+    import numpy as np
+
+    H64 = np.asarray(H, np.float64)
+    cov64 = np.linalg.inv(H64)
+    cov64 = 0.5 * (cov64 + cov64.T)
+    chol64 = np.linalg.cholesky(cov64)
+    dt = theta_map.dtype
+    return LaplaceApproximation(
+        mean=theta_map, cov=jnp.asarray(cov64, dt), chol=jnp.asarray(chol64, dt)
+    )

@@ -212,7 +212,10 @@ def run_pcn_aux(
         theta = jnp.where(accept[..., None], prop, s.theta)
         phi = jnp.where(accept, phi_prop, s.phi)
         aux = jnp.where(accept.reshape((-1,) + (1,) * (aux.ndim - 1)), aux_prop, aux)
-        s = PCNState(theta=theta, phi=phi, n_accept=s.n_accept + accept.astype(jnp.int32))
+        # count post-burn accepts only, so accept_rate matches run_pcn's
+        # post-burn semantics
+        counted = accept & (t >= n_burn)
+        s = PCNState(theta=theta, phi=phi, n_accept=s.n_accept + counted.astype(jnp.int32))
         if adapt:
             eta = jnp.where(t < n_burn, 0.5 / (1.0 + t.astype(dtype)) ** 0.6, 0.0)
             lb = jnp.clip(
@@ -232,7 +235,7 @@ def run_pcn_aux(
         body, (state, aux, log_beta0), (ts, jax.random.split(key, n_steps))
     )
     kept = max(n_steps - n_burn, 0)
-    accept_rate = state.n_accept.astype(jnp.float32) / max(n_steps, 1)
+    accept_rate = state.n_accept.astype(jnp.float32) / max(kept, 1)
     return (
         PCNResult(
             state=state,

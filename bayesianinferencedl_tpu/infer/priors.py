@@ -135,7 +135,11 @@ class BoxPrior(NamedTuple):
     def to_theta(self, z: jax.Array) -> jax.Array:
         """z -> theta = log k. Elementwise, so it broadcasts over any batch."""
         u = jax.scipy.stats.norm.cdf(z)
-        log_lo, log_hi = jnp.log(self.low), jnp.log(self.high)
+        # a uniform prior may legitimately have low <= 0; guard the UNSELECTED
+        # log-uniform branch so its -inf/NaN can't leak into jnp.where
+        # gradients (0 * NaN = NaN in reverse mode)
+        safe_lo = jnp.maximum(self.low, jnp.finfo(z.dtype).tiny)
+        log_lo, log_hi = jnp.log(safe_lo), jnp.log(self.high)
         theta_log = log_lo + (log_hi - log_lo) * u  # log-uniform branch
         theta_lin = jnp.log(self.low + (self.high - self.low) * u)  # uniform branch
         return jnp.where(self.is_log > 0.5, theta_log, theta_lin)

@@ -149,7 +149,8 @@ def run_gpcn(
     def step(carry, key_t):
         theta, lp, j, n_acc = carry
         k_prop, k_acc = jax.random.split(key_t)
-        xi = jax.random.normal(k_prop, theta.shape, dtype) @ laplace.chol.T
+        xi = jnp.dot(jax.random.normal(k_prop, theta.shape, dtype), laplace.chol.T,
+                     precision=jax.lax.Precision.HIGHEST)
         prop = laplace.mean + jnp.sqrt(1.0 - b**2) * (theta - laplace.mean) + b * xi
         lp_prop, j_prop = jax.vmap(lp_and_J)(prop)
         u = jax.random.uniform(k_acc, j.shape, dtype)

@@ -128,7 +128,12 @@ def run_pt_pcn(
     way. Returns cold-level samples only; every level adapts per-chain pCN
     step sizes toward 23.4% acceptance during burn-in, exactly like run_pcn.
     """
-    G, d = theta0.shape
+    if theta0.ndim == 2:  # (G, d) cold inits — hot levels start there too
+        G, d = theta0.shape
+        theta = jnp.broadcast_to(theta0[None], (n_temps, G, d))
+    else:  # (K, G, d) per-level resume states (PTResult.theta)
+        _, G, d = theta0.shape
+        theta = theta0
     K = n_temps
     dtype = theta0.dtype
     lambdas = geometric_ladder(K, lambda_min, dtype)[:, None]  # (K, 1) over G
@@ -137,8 +142,6 @@ def run_pt_pcn(
         flat = thetas_kg.reshape(K * G, d)
         phi = misfit_fn(flat) if batched else jax.vmap(misfit_fn)(flat)
         return phi.reshape(K, G)
-
-    theta = jnp.broadcast_to(theta0[None], (K, G, d))
     phi = phi_all(theta)
     log_beta = jnp.full((K, G), jnp.log(jnp.asarray(beta, dtype)), dtype) + phi * 0
     n_accept = (phi * 0).astype(jnp.int32)
@@ -198,7 +201,6 @@ def run_pt_pcn(
         step, (theta, phi, log_beta, n_accept, n_swap), (ts, jax.random.split(k_main, n_keep))
     )
 
-    n_pairs_per_parity = jnp.maximum((K - 1 + 1) // 2, 1)
     return PTResult(
         samples=samples,
         phi_trace=phis,

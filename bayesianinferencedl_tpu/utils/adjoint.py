@@ -15,6 +15,7 @@ Math (SURVEY.md A.5): J(k) = 1/(2 s^2) ||B u(k) - d||^2 with A(k) u = F.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from bayesianinferencedl_tpu.fem.operators import FinOperator
@@ -25,7 +26,7 @@ def adjoint_gradient(op: FinOperator, k, data, noise_sigma, *, tol=1e-12, maxite
     """Explicit adjoint-method gradient of the data misfit wrt k (5,)."""
     u = solve_fom(op, k, tol=tol, maxiter=maxiter)
     misfit = (op.observe(u) - data) / noise_sigma**2
-    rhs = -(op.qoi.T @ misfit)
+    rhs = -jnp.dot(op.qoi.T, misfit, precision=jax.lax.Precision.HIGHEST)
     p = solve_fom(op, k, F=rhs, tol=tol, maxiter=maxiter)
     grads = [jnp.vdot(p, op.apply_component(i, u)) for i in range(5)]
     return jnp.stack(grads)
@@ -42,6 +43,7 @@ def adjoint_gn_hvp(op: FinOperator, k, v, noise_sigma, *, tol=1e-12, maxiter=400
     # incremental adjoint: A w = -B^T (Jv) / s^2 ; HVP_i = w^T A_i u... but for
     # pure GN in observation space: H v = J^T Sigma^{-1} J v. Expand:
     # (J^T y)_i = (d(Bu)/dk_i)^T y = (B A^{-1}(-A_i u))^T y = -(A_i u)^T A^{-1} B^T y
-    w = solve_fom(op, k, F=op.qoi.T @ (Jv / noise_sigma**2), tol=tol, maxiter=maxiter)
+    rhs_w = jnp.dot(op.qoi.T, Jv / noise_sigma**2, precision=jax.lax.Precision.HIGHEST)
+    w = solve_fom(op, k, F=rhs_w, tol=tol, maxiter=maxiter)
     hvp = [-jnp.vdot(op.apply_component(i, u), w) for i in range(5)]
     return jnp.stack(hvp)
