@@ -22,7 +22,7 @@ import numpy as np
 from bayesianinferencedl_tpu.config import PipelineConfig
 from bayesianinferencedl_tpu.data.datasets import ErrorDataset, generate_error_dataset
 from bayesianinferencedl_tpu.fem.solve import solve_fom
-from bayesianinferencedl_tpu.infer.diagnostics import effective_sample_size, rhat
+from bayesianinferencedl_tpu.infer.diagnostics import ess_bulk, split_rhat
 from bayesianinferencedl_tpu.infer.pcn import PCNResult, gaussian_misfit, run_pcn
 from bayesianinferencedl_tpu.infer.priors import BoxPrior, GaussianPrior
 from bayesianinferencedl_tpu.models.corrected import CorrectedForward
@@ -175,18 +175,15 @@ class Pipeline:
             and hasattr(self.fin.op, "vals_grid")
             and self.fin.op.dtype == jnp.float32
         ):
-            from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
-
             op = self.fin.op
-            tol = self.fin.cg_tol
-            # the kernel's static loop bound must stay tight (Mosaic runtime
-            # scales with the bound itself — CLAUDE.md rule 7); the config's
-            # cg_maxiter governs the jnp path, the kernel gets the derived cap
-            maxiter = min(self.fin.cg_maxiter, derived_maxiter(op.resolution))
+            # deflated fused CG (make_fom_solver): one kernel dispatch per
+            # MCMC step for the whole proposal batch
+            solver = make_fom_solver(
+                self.fin, tol=self.fin.cg_tol, maxiter=self.fin.cg_maxiter
+            )
 
             def fwd_batch(thetas):
-                u, _ = solve_fom_stencil_pallas(op, jnp.exp(thetas), tol=tol, maxiter=maxiter)
-                return jax.vmap(op.observe)(u)
+                return jax.vmap(op.observe)(solver(jnp.exp(thetas)))
 
             return fwd_batch
         if likelihood in ("rom", "rom_nn") and self.P0 is not None:
@@ -213,10 +210,22 @@ def make_prior(cfg_prior, dtype=jnp.float32):
     )
 
 
-def make_fom_solver(fin: FiveParamFin, *, tol: float, maxiter: int, use_pallas: Optional[bool] = None):
+def make_fom_solver(
+    fin: FiveParamFin,
+    *,
+    tol: float,
+    maxiter: int,
+    use_pallas: Optional[bool] = None,
+    with_iters: bool = False,
+    deflate: bool = True,
+):
     """Batched FOM solver ks -> u batch. On TPU with the f32 stencil operator
-    this is the fused Pallas PCG (fast compile + ~6x runtime); elsewhere the
-    vmapped implicit-diff solve."""
+    this is the fused Pallas CG with the two-level deflation preconditioner
+    (ops/deflation.py — 3.3-5.6x fewer iterations than plain Jacobi-CG);
+    elsewhere the vmapped implicit-diff solve.
+
+    with_iters=True returns (u, iters) — the solver-audit route
+    (audit_fom_iters)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and hasattr(fin.op, "vals_grid") and fin.op.dtype == jnp.float32:
@@ -224,9 +233,29 @@ def make_fom_solver(fin: FiveParamFin, *, tol: float, maxiter: int, use_pallas: 
 
         # keep the kernel's static loop bound tight (CLAUDE.md rule 7)
         mi = min(maxiter, derived_maxiter(fin.op.resolution))
-        return lambda ks: solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=mi)[0]
+        defl = fin.deflation_basis() if deflate else None
+
+        def solve(ks):
+            return solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=mi, deflation=defl)
+
+        return solve if with_iters else (lambda ks: solve(ks)[0])
     from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots as _gen
 
+    if with_iters:
+        from bayesianinferencedl_tpu.fem.solve import pcg
+
+        def solve_iters(ks):
+            def one(k):
+                vals = fin.op.vals(k)
+                x, it, _ = pcg(
+                    lambda v: fin.op.matvec(vals, v), fin.op.F_root,
+                    fin.op.diag(vals), tol=tol, maxiter=maxiter,
+                )
+                return x, it
+
+            return jax.jit(jax.vmap(one))(ks)
+
+        return solve_iters
     return lambda ks: _gen(fin.op, ks, tol=tol, maxiter=maxiter)
 
 
@@ -301,14 +330,15 @@ def build_pipeline(
 
     P0 = rom.preconditioner()
     rom_prec = _online_precision(cfg.rom.online_precision)
-    # route dataset ROM forwards through the factorization-free path AT THE
-    # DEPLOYED PRECISION, so the surrogate learns (and corrects) the exact
-    # forward the chains evaluate — including any systematic bf16 solver
-    # error in "fast" mode. Also the only option for f64-on-TPU validation
-    # (TPU f64 has matmuls but no dense linalg). 60 iterations: the
-    # dataset's log-uniform k range spans ratio-100 conductivities where
-    # P0 = Ahat(1)^{-1} is a weak preconditioner; the offline sweep is cheap.
-    rom_fwd = rom.fast_forward(P0, 15 if rom_prec is jax.lax.Precision.DEFAULT else 60, rom_prec)
+    # route dataset ROM forwards through the factorization-free path at the
+    # DEPLOYED precision AND iteration count (Pipeline.rom_pcg_iters), so the
+    # surrogate learns (and corrects) the exact forward the chains evaluate —
+    # including systematic reduced-solver error at extreme conductivity
+    # ratios, which a more-converged offline solver would leave uncorrected
+    # online (round-2 advisor finding). Also the only option for f64-on-TPU
+    # validation (TPU f64 has matmuls but no dense linalg).
+    rom_pcg_iters = 15  # the deployed Pipeline.rom_pcg_iters default
+    rom_fwd = rom.fast_forward(P0, rom_pcg_iters, rom_prec)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
             fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 1), cfg.surrogate.n_train,
@@ -343,7 +373,8 @@ def build_pipeline(
     prior = make_prior(cfg.prior, dtype)
     return Pipeline(
         config=cfg, fin=fin, rom=rom, surrogate=surrogate, corrected=corrected,
-        dataset=ds, prior=prior, P0=P0, rom_precision=rom_prec,
+        dataset=ds, prior=prior, P0=P0, rom_pcg_iters=rom_pcg_iters,
+        rom_precision=rom_prec,
     )
 
 
@@ -564,16 +595,286 @@ def run_da_checkpointed(
     )
 
 
+def run_pt_checkpointed(
+    misfit_fn,
+    prior: GaussianPrior,
+    theta0: jax.Array,  # (G, d) cold inits
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    segment: int = 1000,
+    batched: bool = False,
+    ckpt_path: str = "pt_chain_ckpt.npz",
+    resume: bool = True,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Parallel-tempered pCN with periodic disk checkpoints and exact resume —
+    the failure-recovery contract of run_pcn_checkpointed (SURVEY.md §5) for
+    the HEADLINE sampler (VERDICT r2 item 4): a killed multimodal-regime run
+    restarted with the same arguments reloads the full (K, G) ladder state,
+    adapted per-level step sizes, and RNG stream, so the surviving cold-level
+    samples are bit-identical to an uninterrupted run's segments.
+
+    segment must be even (exact swap accounting — infer/tempering.py)."""
+    import os
+
+    from bayesianinferencedl_tpu.infer.tempering import PTResult, run_pt_pcn
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    if segment % 2:
+        raise ValueError(f"segment must be even for exact swap accounting, got {segment}")
+    log = metrics or MetricsLogger()
+    G, d = theta0.shape
+    K = n_temps
+    dtype = theta0.dtype
+    theta = jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0  # materialize
+    betas = jnp.full((K, G), beta, dtype)
+    acc_counts = jnp.zeros((K, G), dtype)
+    swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
+    step_done = 0
+    acc_steps = 0
+    chunks: list = []
+    chunk_steps: list = []
+    exemplar = (theta, betas, key, acc_counts, swap_counts)
+    if resume and os.path.exists(ckpt_path):
+        (theta, betas, key, acc_counts, swap_counts), meta = load_checkpoint(
+            ckpt_path, exemplar
+        )
+        step_done = int(meta["step"])
+        acc_steps = int(meta.get("accept_steps", 0))
+        chunk_steps = list(meta.get("chunk_steps", []))
+        for s in chunk_steps:
+            z = np.load(f"{ckpt_path}.samples_{s}.npz")
+            chunks.append((z["samples"], z["phis"]))
+        log.log("pt_chain_resume", step=step_done, chunks=len(chunks))
+
+    res = None
+    while step_done < n_steps:
+        this = min(segment, n_steps - step_done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - step_done, 0), this)
+        res = run_pt_pcn(
+            misfit_fn, prior, theta, sub,
+            n_steps=this, n_burn=burn, beta=betas, n_temps=K,
+            lambda_min=lambda_min, adapt=True, batched=batched,
+            adapt_t0=jnp.asarray(step_done, dtype),
+        )
+        theta, betas = res.theta, res.beta
+        step_done += this
+        kept = this - burn
+        if kept > 0:
+            acc_counts = acc_counts + res.accept_rate.astype(dtype) * kept
+            swap_counts = swap_counts + res.swap_rate * max(kept / 2, 1)
+            acc_steps += kept
+            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
+            np.savez_compressed(
+                f"{ckpt_path}.samples_{step_done}.npz",
+                samples=np.asarray(res.samples), phis=np.asarray(res.phi_trace),
+            )
+            chunk_steps.append(step_done)
+        save_checkpoint(
+            ckpt_path,
+            (theta, betas, key, acc_counts, swap_counts),
+            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
+        )
+        log.log("pt_chain_checkpoint", step=step_done,
+                accept_cold=float(jnp.mean(res.accept_rate[-1])))
+
+    samples = (
+        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, G, d), dtype)
+    )
+    phis = (
+        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, G), dtype)
+    )
+    return PTResult(
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=(acc_counts / max(acc_steps, 1)).astype(jnp.float32),
+        swap_rate=swap_counts / max(acc_steps / 2, 1),
+        beta=betas,
+        theta=theta,
+    )
+
+
+def run_pt_da_checkpointed(
+    misfit_fine,
+    misfit_coarse,
+    prior: GaussianPrior,
+    theta0: jax.Array,  # (G, d) cold inits
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    subchain: int = 8,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    segment: int = 32,
+    batched: bool = False,
+    ckpt_path: str = "ptda_chain_ckpt.npz",
+    resume: bool = True,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Tempered delayed acceptance with periodic disk checkpoints and exact
+    resume — kill/resume safety for the exact-FOM-posterior multimodal runs
+    (e.g. artifacts/ptda_fom_1e3noise.json, 545 s — VERDICT r2 item 4).
+    n_steps/n_burn count OUTER steps; segment must be even."""
+    import os
+
+    from bayesianinferencedl_tpu.infer.tempering import PTDAResult, run_pt_da
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    if segment % 2:
+        raise ValueError(f"segment must be even for exact swap accounting, got {segment}")
+    log = metrics or MetricsLogger()
+    G, d = theta0.shape
+    K = n_temps
+    dtype = theta0.dtype
+    theta = jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0
+    betas = jnp.full((K, G), beta, dtype)
+    acc_out = jnp.zeros((K, G), dtype)
+    acc_in = jnp.zeros((K, G), dtype)
+    swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
+    step_done = 0
+    acc_steps = 0
+    n_segments = 0
+    chunks: list = []
+    chunk_steps: list = []
+    exemplar = (theta, betas, key, acc_out, acc_in, swap_counts)
+    if resume and os.path.exists(ckpt_path):
+        (theta, betas, key, acc_out, acc_in, swap_counts), meta = load_checkpoint(
+            ckpt_path, exemplar
+        )
+        step_done = int(meta["step"])
+        acc_steps = int(meta.get("accept_steps", 0))
+        n_segments = int(meta.get("n_segments", 0))
+        chunk_steps = list(meta.get("chunk_steps", []))
+        for s in chunk_steps:
+            z = np.load(f"{ckpt_path}.samples_{s}.npz")
+            chunks.append((z["samples"], z["phis"]))
+        log.log("ptda_chain_resume", step=step_done, chunks=len(chunks))
+
+    res = None
+    while step_done < n_steps:
+        this = min(segment, n_steps - step_done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - step_done, 0), this)
+        res = run_pt_da(
+            misfit_fine, misfit_coarse, prior, theta, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            n_temps=K, lambda_min=lambda_min, adapt=True, batched=batched,
+            adapt_t0=jnp.asarray(step_done, dtype),
+        )
+        theta, betas = res.theta, res.beta
+        step_done += this
+        n_segments += 1
+        kept = this - burn
+        if kept > 0:
+            acc_out = acc_out + res.accept_rate.astype(dtype) * kept
+            acc_in = acc_in + res.inner_accept_rate.astype(dtype) * (kept * subchain)
+            swap_counts = swap_counts + res.swap_rate * max(kept / 2, 1)
+            acc_steps += kept
+            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
+            np.savez_compressed(
+                f"{ckpt_path}.samples_{step_done}.npz",
+                samples=np.asarray(res.samples), phis=np.asarray(res.phi_trace),
+            )
+            chunk_steps.append(step_done)
+        save_checkpoint(
+            ckpt_path,
+            (theta, betas, key, acc_out, acc_in, swap_counts),
+            meta={
+                "step": step_done, "chunk_steps": chunk_steps,
+                "accept_steps": acc_steps, "n_segments": n_segments,
+            },
+        )
+        log.log("ptda_chain_checkpoint", step=step_done,
+                outer_accept_cold=float(jnp.mean(res.accept_rate[-1])))
+
+    samples = (
+        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, G, d), dtype)
+    )
+    phis = (
+        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, G), dtype)
+    )
+    return PTDAResult(
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=(acc_out / max(acc_steps, 1)).astype(jnp.float32),
+        inner_accept_rate=(acc_in / max(acc_steps * subchain, 1)).astype(jnp.float32),
+        swap_rate=swap_counts / max(acc_steps / 2, 1),
+        beta=betas,
+        theta=theta,
+        n_fine_evals=n_steps + n_segments,
+    )
+
+
 @dataclass
 class InversionResult:
     result: PCNResult
     theta_true: jax.Array
     data: jax.Array
-    ess: jax.Array
-    rhat: jax.Array
+    # rank-normalized split estimators (Vehtari et al. 2021 — the honest
+    # ones on a tempered multimodal posterior; infer/diagnostics.py)
+    ess: jax.Array  # bulk ESS, combined between-chain estimator
+    rhat: jax.Array  # split-R-hat, max of bulk and tail
     wall_seconds: float
     samples_per_sec: float
     ess_per_sec: float
+    # FOM-likelihood runs only: post-hoc solver-iteration audit over the kept
+    # chain states — a solve at the iteration cap is UNCONVERGED and would
+    # silently bias the chain (SURVEY.md §7 hard-part 1; VERDICT r2 item 7)
+    fom_iter_cap: Optional[int] = None
+    fom_iter_max: Optional[int] = None
+    fom_hit_cap_frac: Optional[float] = None
+
+
+def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]:
+    """Re-solve a batch of kept chain states and report (cap, max_iters,
+    frac_at_cap). The sampler hot loop discards iteration counts; this audit
+    makes a capped (unconverged) solve inside a chain run visible in the
+    result instead of silently biasing the posterior.
+
+    thetas: (B, d) log-conductivity states. Uses the identical solver route
+    (and iteration cap) as Pipeline.batched_forward_fn("fom")."""
+    ks = jnp.exp(thetas)
+    if (
+        jax.default_backend() == "tpu"
+        and hasattr(pipe.fin.op, "vals_grid")
+        and pipe.fin.op.dtype == jnp.float32
+    ):
+        from bayesianinferencedl_tpu.ops.pcg_stencil import (
+            derived_maxiter, effective_maxiter, pick_layout,
+        )
+
+        # the kernel's own effective bound is what the chains ran with
+        # (solve_fom_stencil_pallas applies identical factors)
+        cap_in = min(pipe.fin.cg_maxiter, derived_maxiter(pipe.fin.op.resolution))
+        solver = make_fom_solver(
+            pipe.fin, tol=pipe.fin.cg_tol, maxiter=cap_in, with_iters=True
+        )
+        _, iters = solver(ks)
+        layout, _ = pick_layout(pipe.fin.op.n, ks.shape[0])
+        cap = effective_maxiter(
+            cap_in, layout, pipe.fin.deflation_basis() is not None
+        )
+    else:
+        cap = pipe.fin.cg_maxiter
+        solver = make_fom_solver(
+            pipe.fin, tol=pipe.fin.cg_tol, maxiter=cap, use_pallas=False,
+            with_iters=True,
+        )
+        _, iters = solver(ks)
+    iters = np.asarray(iters)
+    return cap, int(iters.max()), float((iters >= cap).mean())
 
 
 def run_inversion(
@@ -789,9 +1090,30 @@ def run_inversion(
     _sync(res)
     wall = time.perf_counter() - t0
 
-    ess = effective_sample_size(res.samples)
-    r = rhat(res.samples)
+    ess = ess_bulk(res.samples)
+    r = split_rhat(res.samples)
     n_kept = res.samples.shape[0] * res.samples.shape[1]
+
+    # FOM-likelihood runs: audit solver iteration counts on a spread of kept
+    # chain states (the kept samples ARE the chain's visited states) so a
+    # capped, unconverged solve inside the run is surfaced, not discarded
+    cap = it_max = hit_frac = None
+    if like == "fom" and res.samples.shape[0] > 0:
+        T, C, d = res.samples.shape
+        n_audit = min(1024, T * C)
+        idx = np.linspace(0, T * C - 1, n_audit).astype(np.int64)
+        states = res.samples.reshape(T * C, d)[idx]
+        cap, it_max, hit_frac = audit_fom_iters(pipe, to_theta(states))
+        log.log("fom_iter_audit", cap=cap, max_iters=it_max, hit_cap_frac=hit_frac)
+        if hit_frac > 0:
+            import warnings
+
+            warnings.warn(
+                f"{hit_frac:.1%} of audited chain states hit the FOM solver "
+                f"iteration cap ({cap}) — those solves are unconverged and "
+                "bias the posterior; raise cg_maxiter", stacklevel=2,
+            )
+
     out = InversionResult(
         result=res,
         theta_true=theta_true,
@@ -801,6 +1123,9 @@ def run_inversion(
         wall_seconds=wall,
         samples_per_sec=n_kept / wall,
         ess_per_sec=float(jnp.min(ess)) / wall,
+        fom_iter_cap=cap,
+        fom_iter_max=it_max,
+        fom_hit_cap_frac=hit_frac,
     )
     log.log(
         "inversion",

@@ -25,7 +25,7 @@ from bayesianinferencedl_tpu.fem.dia import assemble_fin_dia
 from bayesianinferencedl_tpu.fem.dia_nonaffine import NodalStencilOperator, assemble_nodal_coeff
 from bayesianinferencedl_tpu.fem.solve import solve_fom
 from bayesianinferencedl_tpu.geometry.mesh import build_fin_mesh
-from bayesianinferencedl_tpu.infer.diagnostics import effective_sample_size, rhat
+from bayesianinferencedl_tpu.infer.diagnostics import ess_bulk, split_rhat
 from bayesianinferencedl_tpu.infer.pcn import gaussian_misfit, run_pcn
 from bayesianinferencedl_tpu.infer.priors import GaussianPrior
 from bayesianinferencedl_tpu.models.full_field import RandomField
@@ -46,6 +46,11 @@ class FullFieldPipeline:
     rom_pcg_iters: int = 25
     cg_tol: float = 1e-7
     cg_maxiter: int = 2000
+    # two-level deflation basis for the fused FOM kernels (ops/deflation.py):
+    # smooth GP conductivity fields deflate even better than the affine case
+    # (measured 8x iteration cut at res4); coarse matrices are projected
+    # exactly per sample (non-affine path)
+    deflation: object = None
     # None = full f32; lax.Precision.HIGH = bf16x3 ladder tier (measured on
     # the five-param pipeline: ~1.9x chain throughput; the surrogate trains
     # on the same path). See api._online_precision.
@@ -85,7 +90,10 @@ class FullFieldPipeline:
 
             def fwd_b(zs):
                 ks = jax.vmap(self.conductivity)(zs)
-                u, _ = solve_fom_stencil_pallas(self.op, ks, tol=self.cg_tol, maxiter=mi)
+                u, _ = solve_fom_stencil_pallas(
+                    self.op, ks, tol=self.cg_tol, maxiter=mi,
+                    deflation=self.deflation,
+                )
                 return jax.vmap(self.op.observe)(u)
 
             return fwd_b
@@ -147,24 +155,34 @@ def build_full_field_pipeline(
         )
     log.log("fom_built", n_dof=op.n_dof, n_features=n_features, pallas=use_pallas)
 
+    deflation = None
     if use_pallas:
-        from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
+        from bayesianinferencedl_tpu.ops.deflation import DeflationBasis
+        from bayesianinferencedl_tpu.ops.pcg_stencil import (
+            derived_maxiter, effective_maxiter, pick_layout, solve_fom_stencil_pallas,
+        )
 
+        deflation = DeflationBasis.create(
+            host, biot=biot, m=128 if op.n <= 50_000 else 64
+        )
         mi = min(cg_maxiter, derived_maxiter(op.resolution))
 
         def solver(ks):
-            u, iters = solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=mi)
+            u, iters = solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=mi,
+                                                deflation=deflation)
             # derived_maxiter was calibrated on the 5-param log-uniform
             # range; nodal GP fields with higher contrast can need more.
             # An iters==cap solve is UNCONVERGED and would silently bias
-            # the training/observation 'truth' — surface it.
+            # the training/observation 'truth' — surface it. (The kernel's
+            # effective bound accounts for tiling + deflation.)
+            cap = effective_maxiter(mi, pick_layout(op.n, int(ks.shape[0]))[0], True)
             max_it = int(jnp.max(iters))
-            if max_it >= mi:
-                log.log("fom_solver_unconverged", max_iters=max_it, cap=mi)
+            if max_it >= cap:
+                log.log("fom_solver_unconverged", max_iters=max_it, cap=cap)
                 import warnings
 
                 warnings.warn(
-                    f"Pallas FOM solver hit its iteration cap ({mi}); "
+                    f"Pallas FOM solver hit its iteration cap ({cap}); "
                     "raise cg_maxiter — snapshots/training data may be "
                     "unconverged", stacklevel=2,
                 )
@@ -224,7 +242,7 @@ def build_full_field_pipeline(
     return FullFieldPipeline(
         op=op, field=field, rom=rom, surrogate=surrogate, prior=prior, P0=P0,
         rom_pcg_iters=rom_pcg_iters, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-        rom_precision=rom_prec,
+        rom_precision=rom_prec, deflation=deflation,
     )
 
 
@@ -247,18 +265,29 @@ def run_full_field_inversion(
     n_burn: int = 1000,
     beta: float = 0.3,
     noise_sigma: float = 1e-3,
+    n_temps: int = 5,
+    lambda_min: float = 0.02,
+    subchain: int = 8,
     z_true: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
+    mesh=None,
     metrics: Optional[MetricsLogger] = None,
 ):
     """MCMC over RFF coefficients with synthetic FOM data. Returns
-    (result, z_true, data, ess, rhat, wall_seconds).
+    (result, z_true, data, ess, rhat, wall_seconds). ess/rhat are the
+    rank-normalized split estimators (infer/diagnostics.py).
 
     sampler: "pcn" (default), "laplace_mh"/"gpcn" — the Laplace samplers
     compute a MAP + Gauss-Newton Laplace approximation in the M-dimensional
     coefficient space first (the whole point of the unbounded z coordinates) —
-    or "da_pcn" (rom_nn subchains + exact `likelihood` correction per outer
-    step; n_steps/n_burn then count outer steps).
+    "da_pcn" (rom_nn subchains + exact `likelihood` correction per outer
+    step; n_steps/n_burn then count outer steps), "pt_pcn" (parallel
+    tempering — multimodal posteriors), or "pt_da_pcn" (tempered delayed
+    acceptance: exact `likelihood` posterior on a multimodal problem).
+
+    mesh: optional jax.sharding.Mesh — shards the chain (group) axis over
+    ICI for pcn/da_pcn/pt_pcn/pt_da_pcn, same contract as api.run_inversion
+    (the Laplace samplers stay single-device; their cost is the offline MAP).
     """
     from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
 
@@ -277,6 +306,15 @@ def run_full_field_inversion(
     fwd_b = pipe.batched_forward_fn(likelihood)
     misfit = gaussian_misfit(fwd_b, data, noise_sigma)
     theta0 = pipe.prior.sample(k_init, (n_chains,))
+
+    if sampler in ("da_pcn", "pt_da_pcn") and likelihood == "rom_nn":
+        raise ValueError(
+            f"sampler={sampler!r} with likelihood='rom_nn' is degenerate: the "
+            "coarse model IS rom_nn, so the outer correction always accepts "
+            "and you pay subchain+1 evaluations of the SAME model per kept "
+            "sample. Set likelihood='fom' (the exact target) or use "
+            "sampler='pcn'."
+        )
 
     if sampler in ("laplace_mh", "gpcn"):
         from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation
@@ -302,25 +340,82 @@ def run_full_field_inversion(
         res = runner(mis1, pipe.prior, theta0, jax.random.fold_in(k_chain, 1), **kwargs)
         _sync(res)
         wall = _t.perf_counter() - t0
-        ess = effective_sample_size(res.samples)
-        r = rhat(res.samples)
+        ess = ess_bulk(res.samples)
+        r = split_rhat(res.samples)
         log.log("ff_inversion", likelihood=likelihood, sampler=sampler, wall_seconds=wall,
                 ess_min=float(jnp.min(ess)), accept_rate=float(jnp.mean(res.accept_rate)))
         return res, z_true, data, ess, r, wall
 
-    if sampler == "da_pcn":
+    if sampler == "pt_pcn":
+        if likelihood == "fom":
+            raise NotImplementedError(
+                "pt_pcn with the fom likelihood compiles a full-order solve "
+                "into every inner step; use sampler='pt_da_pcn' instead"
+            )
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_pcn
+
+            runner = lambda m, p, t0, k, **kw: sharded_pt_pcn(mesh, m, p, t0, k, **kw)
+        else:
+            from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
+
+            runner = run_pt_pcn
+        kwargs = dict(
+            n_steps=n_steps, n_burn=n_burn, beta=beta,
+            n_temps=n_temps, lambda_min=lambda_min, batched=True,
+        )
+    elif sampler == "pt_da_pcn":
+        misfit_c = gaussian_misfit(pipe.batched_forward_fn("rom_nn"), data, noise_sigma)
+        segment = 32 if likelihood == "fom" else 512
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_da_segmented
+
+            runner = lambda m, p, t0, k, **kw: sharded_pt_da_segmented(
+                mesh, m, misfit_c, p, t0, k, segment=segment, batched=True, **kw
+            )
+        else:
+            from bayesianinferencedl_tpu.infer.tempering import run_pt_da_segmented
+
+            runner = lambda m, p, t0, k, **kw: run_pt_da_segmented(
+                m, misfit_c, p, t0, k, segment=segment, batched=True, **kw
+            )
+        kwargs = dict(
+            n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=subchain,
+            n_temps=n_temps, lambda_min=lambda_min,
+        )
+    elif sampler == "da_pcn":
         # delayed acceptance in RFF-coefficient space: rom_nn subchains,
         # exact `likelihood` correction once per outer step (exactness
         # argument in infer/delayed_acceptance.py; n_steps count OUTER steps)
-        from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
-
         misfit_c = gaussian_misfit(pipe.batched_forward_fn("rom_nn"), data, noise_sigma)
-        runner = lambda m, p, t0, k, **kw: run_da_pcn_segmented(
-            m, misfit_c, p, t0, k,
-            segment=64 if likelihood == "fom" else 512,
-            batched_fine=True, batched_coarse=True, **kw,
+        segment = 64 if likelihood == "fom" else 512
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_da_pcn_segmented
+
+            runner = lambda m, p, t0, k, **kw: sharded_da_pcn_segmented(
+                mesh, m, misfit_c, p, t0, k,
+                segment=segment, batched_fine=True, batched_coarse=True, **kw,
+            )
+        else:
+            from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
+
+            runner = lambda m, p, t0, k, **kw: run_da_pcn_segmented(
+                m, misfit_c, p, t0, k,
+                segment=segment, batched_fine=True, batched_coarse=True, **kw,
+            )
+        kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=subchain)
+    elif mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import (
+            sharded_pcn, sharded_pcn_segmented,
         )
-        kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=8)
+
+        if likelihood == "fom":
+            runner = lambda m, p, t0, k, **kw: sharded_pcn_segmented(
+                mesh, m, p, t0, k, segment=64, **kw
+            )
+        else:
+            runner = lambda m, p, t0, k, **kw: sharded_pcn(mesh, m, p, t0, k, **kw)
+        kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True)
     else:
         runner = run_pcn_segmented if likelihood == "fom" else run_pcn
         kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True)
@@ -334,11 +429,12 @@ def run_full_field_inversion(
     _sync(res)
     wall = time.perf_counter() - t0
 
-    ess = effective_sample_size(res.samples)
-    r = rhat(res.samples)
+    ess = ess_bulk(res.samples)
+    r = split_rhat(res.samples)
     log.log(
         "ff_inversion",
         likelihood=likelihood,
+        sampler=sampler,
         wall_seconds=wall,
         samples_per_sec=res.samples.shape[0] * res.samples.shape[1] / wall,
         ess_min=float(jnp.min(ess)),

@@ -29,6 +29,28 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
 
 
+def _add_prior(p: argparse.ArgumentParser) -> None:
+    """The reference's prior families (SURVEY.md A.5): log-normal k
+    (gaussian on theta = log k), or uniform / log-uniform k on a box,
+    realized as the probit push-forward (infer.priors.BoxPrior)."""
+    p.add_argument(
+        "--prior", choices=["gaussian", "uniform", "log_uniform"], default="gaussian"
+    )
+    p.add_argument("--prior-low", type=float, default=0.1, help="box prior lower bound on k")
+    p.add_argument("--prior-high", type=float, default=10.0, help="box prior upper bound on k")
+    p.add_argument("--prior-mean", type=float, default=0.0, help="gaussian prior mean of log k")
+    p.add_argument("--prior-sigma", type=float, default=0.6, help="gaussian prior sd of log k")
+
+
+def _prior_config(args):
+    from bayesianinferencedl_tpu.config import PriorConfig
+
+    return PriorConfig(
+        mean=args.prior_mean, sigma=args.prior_sigma, dim=5,
+        kind=args.prior, low=args.prior_low, high=args.prior_high,
+    )
+
+
 def _dtype(args):
     return jnp.float64 if args.dtype == "float64" else jnp.float32
 
@@ -143,6 +165,7 @@ def cmd_surrogate(args) -> None:
             online_precision=args.online_precision,
         ),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        prior=_prior_config(args),
     )
     pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
     # adjoint-check the autodiff gradient of the corrected model (config 4)
@@ -191,6 +214,7 @@ def cmd_invert(args) -> None:
             n_temps=args.n_temps, lambda_min=args.lambda_min,
             subchain=args.subchain, da_coarse=args.da_coarse,
         ),
+        prior=_prior_config(args),
     )
     pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
     mesh = None
@@ -199,18 +223,26 @@ def cmd_invert(args) -> None:
 
         mesh = device_mesh()
     inv = run_inversion(pipe, metrics=log, mesh=mesh)
-    post_mean = np.asarray(inv.result.samples.mean(axis=(0, 1)))
-    print(json.dumps({
+    # samples live in working coordinates (z for box priors); report log k
+    post_mean = np.asarray(pipe.prior.to_theta(inv.result.samples).mean(axis=(0, 1)))
+    out = {
         "likelihood": args.likelihood,
         "sampler": args.sampler,
+        "prior": args.prior,
         "samples_per_sec": inv.samples_per_sec,
         "ess_min": float(jnp.min(inv.ess)),
         "ess_per_sec": inv.ess_per_sec,
         "accept_rate": float(jnp.mean(inv.result.accept_rate)),
-        "rhat_max": float(jnp.max(inv.rhat)),
+        "rhat_split_max": float(jnp.max(inv.rhat)),
         "posterior_mean_log_k": post_mean.tolist(),
-        "theta_true": np.asarray(inv.theta_true).tolist(),
-    }))
+        "theta_true": np.asarray(pipe.prior.to_theta(inv.theta_true)).tolist(),
+    }
+    if inv.fom_iter_cap is not None:
+        out["fom_iter_audit"] = {
+            "cap": inv.fom_iter_cap, "max_iters": inv.fom_iter_max,
+            "hit_cap_frac": inv.fom_hit_cap_frac,
+        }
+    print(json.dumps(out))
 
 
 def cmd_map(args) -> None:
@@ -233,25 +265,33 @@ def cmd_map(args) -> None:
             online_precision=args.online_precision,
         ),
         surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        prior=_prior_config(args),
     )
     pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
     key = jax.random.PRNGKey(args.seed)
     k_true, k_noise, k_map = jax.random.split(key, 3)
-    theta_true = pipe.prior.sample(k_true)
-    data = pipe.fin.forward(jnp.exp(theta_true)) + args.noise * jax.random.normal(
+    # working coordinates: log k for the gaussian prior (to_theta = identity),
+    # whitened z for box priors — the MAP runs in working coordinates and the
+    # forward model composes through to_theta, like run_inversion
+    to_theta = pipe.prior.to_theta
+    x_true = pipe.prior.sample(k_true)
+    data = pipe.fin.forward(jnp.exp(to_theta(x_true))) + args.noise * jax.random.normal(
         k_noise, (pipe.fin.op.n_obs,), _dtype(args)
     )
-    fwd = pipe.forward_fn(args.likelihood)
+    fwd_theta = pipe.forward_fn(args.likelihood)
+    fwd = lambda x: fwd_theta(to_theta(x))
     misfit = gaussian_misfit(fwd, data, args.noise)
-    theta_map, nlp = find_map_multistart(misfit, pipe.prior, k_map, n_starts=8)
-    lap = laplace_approximation(fwd, data, args.noise, pipe.prior, theta_map)
+    x_map, nlp = find_map_multistart(misfit, pipe.prior, k_map, n_starts=8)
+    lap = laplace_approximation(fwd, data, args.noise, pipe.prior, x_map)
     sd = np.sqrt(np.diag(np.asarray(lap.cov)))
+    theta_map = to_theta(x_map)
     print(json.dumps({
         "theta_map": np.asarray(theta_map).tolist(),
-        "theta_true": np.asarray(theta_true).tolist(),
-        "laplace_sd": sd.tolist(),
+        "theta_true": np.asarray(to_theta(x_true)).tolist(),
+        "laplace_sd_working": sd.tolist(),
         "k_map": np.exp(np.asarray(theta_map)).tolist(),
         "nlp": float(nlp),
+        "prior": args.prior,
     }))
 
 
@@ -272,10 +312,17 @@ def cmd_invert_ff(args) -> None:
         n_train=args.n_train, surrogate_steps=args.epochs * 10, seed=args.seed,
         metrics=log,
     )
+    mesh = None
+    if args.shard and jax.device_count() > 1:
+        from bayesianinferencedl_tpu.parallel import device_mesh
+
+        mesh = device_mesh()
     res, z_true, data, ess, r, wall = run_full_field_inversion(
-        pipe, likelihood=args.likelihood, n_chains=args.chains,
-        n_steps=args.steps, n_burn=args.burn, beta=args.beta,
-        noise_sigma=args.noise, key=jax.random.PRNGKey(args.seed),
+        pipe, likelihood=args.likelihood, sampler=args.sampler,
+        n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
+        beta=args.beta, noise_sigma=args.noise,
+        n_temps=args.n_temps, lambda_min=args.lambda_min, subchain=args.subchain,
+        key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
     z_post = res.samples.mean(axis=(0, 1))
     fwd = pipe.forward_fn(args.likelihood)
@@ -286,11 +333,12 @@ def cmd_invert_ff(args) -> None:
     # fit is the meaningful recovery metric
     print(json.dumps({
         "likelihood": args.likelihood,
+        "sampler": args.sampler,
         "n_features": args.n_features,
         "samples_per_sec": res.samples.shape[0] * res.samples.shape[1] / wall,
         "ess_min": float(jnp.min(ess)),
         "accept_rate": float(jnp.mean(res.accept_rate)),
-        "rhat_max": float(jnp.max(r)),
+        "rhat_split_max": float(jnp.max(r)),
         "data_misfit_posterior_mean": fit_post,
         "data_misfit_prior_mean": fit_prior,
     }))
@@ -331,6 +379,7 @@ def main(argv=None) -> None:
     ]:
         p = sub.add_parser(name)
         _add_common(p)
+        _add_prior(p)
         p.add_argument("--n-snapshots", type=int, default=256)
         p.add_argument("--r", type=int, default=40)
         p.add_argument("--n-train", type=int, default=1024)
@@ -380,6 +429,15 @@ def main(argv=None) -> None:
     p.add_argument("--beta", type=float, default=0.3)
     p.add_argument("--noise", type=float, default=1e-3)
     p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+    p.add_argument(
+        "--sampler",
+        choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "da_pcn", "pt_da_pcn"],
+        default="pcn",
+    )
+    p.add_argument("--n-temps", type=int, default=5)
+    p.add_argument("--lambda-min", type=float, default=0.02)
+    p.add_argument("--subchain", type=int, default=8)
+    p.add_argument("--shard", action="store_true")
     p.set_defaults(fn=cmd_invert_ff)
 
     args = ap.parse_args(argv)

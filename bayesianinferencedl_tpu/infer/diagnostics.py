@@ -97,3 +97,100 @@ def rhat(chains: jax.Array) -> jax.Array:
     B = n * jnp.var(chain_means, axis=0, ddof=1)
     var_plus = (n - 1) / n * W + B / n
     return jnp.sqrt(var_plus / jnp.maximum(W, jnp.finfo(chains.dtype).tiny))
+
+
+# --- rank-normalized split estimators (Vehtari, Gelman, Simpson, Carpenter,
+# Bürkner 2021, "Rank-normalization, folding, and localization: an improved
+# R-hat for assessing convergence of MCMC"). These are the production gates:
+# plain Gelman-Rubin and per-chain-summed ESS are exactly the two estimators
+# most prone to flattering a multimodal posterior held together by tempering
+# (SURVEY.md §4 posterior-quality oracles; VERDICT r2 item 2). -----------------
+
+
+def _split_chains(chains: jax.Array) -> jax.Array:
+    """(n, c, d) -> (n//2, 2c, d): each chain split into halves. Splitting
+    detects within-chain drift (a chain that wanders between modes looks
+    converged to unsplit R-hat)."""
+    if chains.ndim == 2:
+        chains = chains[..., None]
+    n, c, d = chains.shape
+    n2 = n // 2
+    # drop a trailing odd step so halves match
+    return chains[: 2 * n2].reshape(2, n2, c, d).transpose(1, 0, 2, 3).reshape(n2, 2 * c, d)
+
+
+def _rank_normalize(x: jax.Array) -> jax.Array:
+    """Pooled fractional ranks -> normal scores, per parameter dim.
+
+    x: (n, c, d). Ranks are computed over the POOLED n*c draws of each dim
+    (average-rank tie handling is immaterial for continuous chains), mapped
+    through the blom offset (r - 3/8)/(N + 1/4) and the normal quantile.
+    f32 throughout — these are diagnostics; also keeps the sorts cheap."""
+    n, c, d = x.shape
+    flat = x.reshape(n * c, d).astype(jnp.float32)
+    order = jnp.argsort(flat, axis=0)
+    ranks = jnp.zeros_like(order).at[order, jnp.arange(d)[None, :]].set(
+        jnp.arange(1, n * c + 1, dtype=order.dtype)[:, None]
+    )
+    u = (ranks.astype(jnp.float32) - 0.375) / (n * c + 0.25)
+    return jax.scipy.special.ndtri(u).reshape(n, c, d)
+
+
+def split_rhat(chains: jax.Array) -> jax.Array:
+    """Rank-normalized split-R-hat: max of the bulk (rank-normalized) and
+    tail (folded rank-normalized) statistics. chains: (n, c, d) -> (d,).
+
+    Gate at < 1.01 for certification-grade convergence; < 1.05 as the loose
+    benchmark gate this repo uses for throughput-oriented runs."""
+    s = _split_chains(chains)
+    bulk = rhat(_rank_normalize(s))
+    folded = jnp.abs(s - jnp.median(s.reshape(-1, s.shape[-1]), axis=0))
+    tail = rhat(_rank_normalize(folded))
+    return jnp.maximum(bulk, tail)
+
+
+def _combined_tau(z: jax.Array) -> jax.Array:
+    """Integrated autocorrelation time of (n, c) split rank-normalized draws
+    using the BETWEEN-CHAIN combined estimator:
+
+        rho_t = 1 - (W - mean_c(s_c^2 rho_{c,t})) / var_plus
+
+    so chains stuck in different modes (per-chain rho decays fast, but
+    between-chain variance is large) get the long tau they deserve — the
+    correction the per-chain-summed estimator misses. Geyer initial positive
+    + monotone sequence on pair sums."""
+    n, c = z.shape
+    s2 = jnp.var(z, axis=0, ddof=1)  # (c,)
+    W = jnp.mean(s2)
+    Bv = n * jnp.var(jnp.mean(z, axis=0), ddof=1) if c > 1 else 0.0
+    var_plus = (n - 1) / n * W + Bv / n
+    rho_c = jax.vmap(_autocorr_fft, in_axes=1, out_axes=1)(z)  # (n, c) normalized
+    # un-normalize per chain (autocorr_fft divides by lag-0), weight by s_c^2
+    mean_rho = jnp.mean(s2[None, :] * rho_c * (n - 1) / n, axis=1)  # (n,)
+    rho = 1.0 - (W - mean_rho) / jnp.maximum(var_plus, jnp.finfo(z.dtype).tiny)
+    # Geyer pairs P_t = rho_{2t} + rho_{2t+1}; initial positive sequence +
+    # monotone nonincreasing enforcement (running minimum); tau = -1 + 2*sum P
+    n_pairs = n // 2
+    pair = rho[: 2 * n_pairs].reshape(n_pairs, 2).sum(1)
+    keep = jnp.cumprod((pair > 0).astype(z.dtype))
+    pair_mono = jax.lax.associative_scan(jnp.minimum, jnp.where(keep > 0, pair, jnp.inf))
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(keep > 0, pair_mono, 0.0))
+    return jnp.maximum(tau, 1.0 / jnp.asarray(n * c, z.dtype))
+
+
+def ess_bulk(chains: jax.Array) -> jax.Array:
+    """Bulk ESS on rank-normalized split chains with the combined
+    between-chain autocorrelation estimator (Vehtari et al. 2021).
+
+    chains: (n, c, d) or (n, c) -> (d,) (or scalar). This is the honest
+    total-ESS figure: N_total / tau with tau seeing cross-chain disagreement.
+    """
+    squeeze = chains.ndim == 2
+    s = _split_chains(chains)  # (n2, 2c, d)
+    z = _rank_normalize(s)
+    n2, c2, d = z.shape
+    tau = jax.lax.map(lambda zz: _combined_tau(zz), jnp.moveaxis(z, 2, 0))  # (d,)
+    ess = (n2 * c2) / tau
+    # cap at the optimistic iid-plus limit like Stan does (antithetic chains)
+    ess = jnp.minimum(ess, jnp.asarray(n2 * c2 * jnp.log10(jnp.asarray(n2 * c2, jnp.float32))))
+    return ess[0] if squeeze else ess

@@ -59,10 +59,15 @@ def geometric_ladder(n_temps: int, lambda_min: float = 0.05, dtype=jnp.float32) 
 
 
 
-def _replica_exchange(t, lambdas, phi_ratio, fields, k_swap, n_burn, n_swap):
+def _replica_exchange(t, t_global, lambdas, phi_ratio, fields, k_swap, n_burn, n_swap):
     """One alternating-parity adjacent-pair exchange pass (shared by both PT
-    samplers). Alternating parity: even steps propose pairs (0,1),(2,3),...;
-    odd steps (1,2),(3,4),.... Expressed as a full-K where-shuffle:
+    samplers). Alternating parity: even GLOBAL steps propose pairs
+    (0,1),(2,3),...; odd steps (1,2),(3,4),.... Parity derives from t_global
+    (= t + adapt_t0) so segmented runs continue the unsegmented run's
+    exchange pattern instead of restarting it each segment — with even
+    segment sizes this makes the kept/2 swap-rate normalization exact
+    (round-2 advisor finding). t (segment-local) only gates burn-in
+    accounting. Expressed as a full-K where-shuffle:
     partner[j] is j+1 for the lower member of an active pair, j-1 for the
     upper, j otherwise. The swap ratio is evaluated on the lower member:
     log ratio = (lambda_{j+1} - lambda_j)(Phi_{j+1} - Phi_j) — moving the
@@ -76,7 +81,7 @@ def _replica_exchange(t, lambdas, phi_ratio, fields, k_swap, n_burn, n_swap):
     dtype = phi_ratio.dtype
     K, G = phi_ratio.shape
     j = jnp.arange(K)
-    parity = (t.astype(jnp.int32) % 2).astype(j.dtype)
+    parity = (t_global.astype(jnp.int32) % 2).astype(j.dtype)
     is_lower = (j % 2 == parity) & (j + 1 < K)
     partner = jnp.where(
         is_lower, j + 1, jnp.where((j - 1 >= 0) & ((j - 1) % 2 == parity), j - 1, j)
@@ -132,6 +137,13 @@ def run_pt_pcn(
         G, d = theta0.shape
         theta = jnp.broadcast_to(theta0[None], (n_temps, G, d))
     else:  # (K, G, d) per-level resume states (PTResult.theta)
+        if theta0.shape[0] != n_temps:
+            raise ValueError(
+                f"resume states theta0 carry {theta0.shape[0]} temperature "
+                f"levels but n_temps={n_temps} — a PT run must be resumed "
+                "with the ladder size it was saved with (PTResult.theta is "
+                "(n_temps, G, d))"
+            )
         _, G, d = theta0.shape
         theta = theta0
     K = n_temps
@@ -178,8 +190,9 @@ def run_pt_pcn(
 
         # --- replica exchange between adjacent levels (_replica_exchange) --
         if K > 1:
+            t_global = t + jnp.asarray(adapt_t0, dtype)
             (theta, phi), n_swap = _replica_exchange(
-                t, lambdas, phi, (theta, phi), k_swap, n_burn, n_swap
+                t, t_global, lambdas, phi, (theta, phi), k_swap, n_burn, n_swap
             )
 
         out = (theta[-1], phi[-1])  # cold level
@@ -269,6 +282,13 @@ def run_pt_da(
         G, d = theta0.shape
         theta = jnp.broadcast_to(theta0[None], (n_temps, G, d))
     else:
+        if theta0.shape[0] != n_temps:
+            raise ValueError(
+                f"resume states theta0 carry {theta0.shape[0]} temperature "
+                f"levels but n_temps={n_temps} — a PT run must be resumed "
+                "with the ladder size it was saved with (PTDAResult.theta is "
+                "(n_temps, G, d))"
+            )
         _, G, d = theta0.shape
         theta = theta0
     K = n_temps
@@ -338,8 +358,9 @@ def run_pt_da(
 
         # --- replica exchange on the carried fine misfits (_replica_exchange)
         if K > 1:
+            t_global = t + jnp.asarray(adapt_t0, dtype)
             (theta, phi_f, phi_c), n_swap = _replica_exchange(
-                t, lambdas, phi_f, (theta, phi_f, phi_c), k_swap, n_burn, n_swap
+                t, t_global, lambdas, phi_f, (theta, phi_f, phi_c), k_swap, n_burn, n_swap
             )
 
         return (theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
@@ -387,7 +408,13 @@ def run_pt_da_segmented(
 ) -> PTDAResult:
     """run_pt_da in fixed-size outer segments (watchdog-safe for expensive
     fine models; infer.segmented); per-level states and adapted betas carry
-    across segments, accept/swap accounting covers the whole post-burn run."""
+    across segments, accept/swap accounting covers the whole post-burn run.
+
+    segment must be EVEN: exchange parity runs on the global step clock, so
+    even segments propose each adjacent pair exactly kept/2 times per
+    segment and the accumulated swap-rate normalization is exact."""
+    if segment % 2:
+        raise ValueError(f"segment must be even for exact swap accounting, got {segment}")
     from bayesianinferencedl_tpu.infer.segmented import (
         accept_rate_spec, drive_segments, inner_accept_rate_spec, swap_rate_spec,
     )

@@ -71,6 +71,24 @@ class FiveParamFin:
             op = FinOperator.from_host(host, biot=biot, dtype=dtype)
         return cls(mesh=mesh, host=host, op=op, cg_tol=cg_tol, cg_maxiter=cg_maxiter)
 
+    def deflation_basis(self, m: Optional[int] = None):
+        """Lazily build (and cache) the two-level deflation basis for the
+        fused Pallas CG kernels (ops/deflation.py): smooth tensor-cosine
+        modes + affine-Galerkin coarse components, host f64 once per mesh.
+        Returns None for the ELL layout (no structured grid).
+
+        m defaults to 128 (a full MXU/lane tile) and drops to 64 on large
+        meshes where the bf16 Wt copy would crowd the kernels' VMEM."""
+        if not hasattr(self.host, "to_scipy_components"):
+            return None
+        if getattr(self, "_deflation", None) is None:
+            from bayesianinferencedl_tpu.ops.deflation import DeflationBasis
+
+            if m is None:
+                m = 128 if self.op.n <= 50_000 else 64
+            self._deflation = DeflationBasis.create(self.host, biot=self.op.biot, m=m)
+        return self._deflation
+
     # --- forward maps -----------------------------------------------------
     def solve(self, k: jax.Array, F: Optional[jax.Array] = None) -> jax.Array:
         """Full-order solution field u(k) (the reference's Fin.forward)."""

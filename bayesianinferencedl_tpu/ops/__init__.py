@@ -4,7 +4,9 @@ arrays"; here the layout is even stronger — a gather-free 7-point stencil,
 so the whole batched PCG fuses into one kernel with VMEM-resident state).
 """
 
+from bayesianinferencedl_tpu.ops.deflation import DeflationBasis  # noqa: F401
 from bayesianinferencedl_tpu.ops.pcg_stencil import (  # noqa: F401
     pcg_stencil_batch,
+    pick_layout,
     solve_fom_stencil_pallas,
 )

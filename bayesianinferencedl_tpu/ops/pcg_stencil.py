@@ -166,51 +166,48 @@ def pcg_stencil_batch(
     return x, iters[:, 0, 0]
 
 
-def _lanes_matvec(vals, p, offsets):
-    """Flat 7-diagonal matvec with samples on the LANE axis.
+def _jacobi_cg(matvec, psum, vals, F, x0, tol2_scale, *, maxiter: int,
+               check_every: int, coarse=None):
+    """Jacobi-PCG shared by the lanes and sublanes kernels, with an optional
+    two-level deflation coarse correction.
 
-    vals: (7, n, Bt); p: (n, Bt). shifted[cell] = p[cell + o] is a sublane
-    roll by the FLAT offset — exactly fem.dia's operator definition, where
-    every entry whose neighbor leaves the grid is structurally zero, so
-    wrap-around reads are multiplied by 0 (same argument as _shift)."""
-    acc = vals[DIAG_SLOT] * p
-    for s, o in enumerate(offsets):
-        if s == DIAG_SLOT:
-            continue
-        acc += vals[s] * pltpu.roll(p, -o % p.shape[0], 0)
-    return acc
+    This is the measured-fastest iteration form. (A Jacobi-SCALED plain-CG
+    variant — fold D^-1/2 into the stencil values once, merge r.z with the
+    convergence reduction — was built and benchmarked on-TPU: 10% SLOWER per
+    iteration than this form plus ~11% extra iterations from f32 round-off
+    of the scaled operator near the 1e-7 tolerance floor. The kernels are
+    VPU-issue-bound, but Mosaic's schedule does not reward the hand-removed
+    passes; reverted 2026-08-17.)
 
-
-def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, maxiter: int, offsets, check_every: int = 16):
-    """CG for a LANE-TILE of samples: state (n, Bt), one sample per lane.
-
-    One sample's grid is a handful of (8, 128) vector tiles, so the
-    single-sample kernel is latency-bound on its serial reduce -> scalar ->
-    broadcast chain and leaves the VPU ~97% idle (measured 2-4k solves/s).
-    Putting up to 128 samples on the lane axis makes every vector op Bt-wide
-    at the same dependency depth: per-sample inner products are sublane
-    reductions to (1, Bt), and alpha/beta are native sublane broadcasts.
-    Samples that converge early ride along until the tile converges (extra
-    CG iterations are harmless — alpha ~ 0)."""
-    F = F_ref[:]  # (n, Bt) — root load pre-broadcast across lanes
-    vals = vals_ref[:]
+    coarse: optional (apply_WT, apply_W, Binv) for the additive two-level
+    preconditioner M^-1 = D^-1 + W B(k)^-1 W^T (ops/deflation.py): W spans
+    smooth near-kernel modes shared across samples, B(k) = W^T A(k) W is the
+    per-sample affine-Galerkin coarse operator inverted OUTSIDE the kernel.
+    The coarse solve removes the low end of the spectrum that makes Jacobi-CG
+    iteration counts grow like 1/h^2 — iterations drop several-fold for two
+    small MXU matmuls per iteration.
+    """
     diag = vals[DIAG_SLOT]
     inv_diag = jnp.where(diag != 0.0, pl.reciprocal(jnp.where(diag != 0.0, diag, 1.0), approx=False), 0.0)
 
-    def psum(a):  # per-sample inner product -> (1, Bt)
-        return jnp.sum(a, axis=0, keepdims=True)
+    def precond(r):
+        z = inv_diag * r
+        if coarse is not None:
+            apply_WT, apply_W, Binv = coarse
+            z = z + apply_W(Binv(apply_WT(r)))
+        return z
 
     b_nrm2 = psum(F * F)
-    tol2 = tol2_ref[0] * b_nrm2  # (1, Bt)
+    tol2 = tol2_scale * b_nrm2
 
-    x0 = x0_ref[:]
-    r0 = F - _lanes_matvec(vals, x0, offsets)
-    z0 = inv_diag * r0
+    x0 = x0 + F * 0.0  # broadcast against F (sublanes passes F as (1, n))
+    r0 = F - matvec(vals, x0)
+    z0 = precond(r0)
     rz0 = psum(r0 * z0)
 
-    # convergence test forces a cross-lane reduce-to-scalar sync; amortize
-    # it over a fixed inner block (<= check_every-1 surplus iterations,
-    # harmless — alpha ~ 0 once converged)
+    # convergence test forces a reduce-to-scalar sync; amortize it over a
+    # fixed inner block (<= check_every-1 surplus iterations, harmless —
+    # alpha ~ 0 once converged)
 
     def cond(c):
         x, r, p, rz, it = c
@@ -218,12 +215,12 @@ def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, max
 
     def one_iter(_, c):
         x, r, p, rz, it = c
-        Ap = _lanes_matvec(vals, p, offsets)
+        Ap = matvec(vals, p)
         pAp = psum(p * Ap)
         alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = inv_diag * r
+        z = precond(r)
         rz_new = psum(r * z)
         beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
         p = z + beta * p
@@ -233,6 +230,55 @@ def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, max
         return lax.fori_loop(0, check_every, one_iter, c)
 
     x, r, p, rz, it = lax.while_loop(cond, body, (x0, r0, z0, rz0, jnp.int32(0)))
+    return x, it
+
+
+def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, maxiter: int, offsets, check_every: int = 16, wt_ref=None, binv_ref=None):
+    """CG for a LANE-TILE of samples: state (n, Bt), one sample per lane.
+
+    One sample's grid is a handful of (8, 128) vector tiles, so the
+    single-sample kernel is latency-bound on its serial reduce -> scalar ->
+    broadcast chain and leaves the VPU ~97% idle (measured 2-4k solves/s).
+    Putting up to 128 samples on the lane axis makes every vector op Bt-wide
+    at the same dependency depth: per-sample inner products are sublane
+    reductions to (1, Bt), and alpha/beta are native sublane broadcasts.
+    Samples that converge early ride along until the tile converges (extra
+    CG iterations are harmless — alpha ~ 0). Iteration form: _jacobi_cg."""
+
+    def matvec(vals, p):
+        acc = vals[DIAG_SLOT] * p
+        for s, o in enumerate(offsets):
+            if s == DIAG_SLOT:
+                continue
+            acc += vals[s] * pltpu.roll(p, -o % p.shape[0], 0)
+        return acc
+
+    def psum(a):  # per-sample inner product -> (1, Bt)
+        return jnp.sum(a, axis=0, keepdims=True)
+
+    coarse = None
+    if wt_ref is not None:
+        # two-level deflation (ops/deflation.py): Wt (m, n) bf16 shared
+        # across tiles, binv (m, m, Bt) per-lane-sample coarse inverses
+        def apply_WT(r):  # (n, Bt) -> (m, Bt)
+            return jax.lax.dot_general(
+                wt_ref[:], r.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        def binv_fn(y):  # (m, Bt) -> (m, Bt)
+            return jnp.sum(binv_ref[:] * y[None, :, :], axis=1)
+
+        def apply_W(c):  # (m, Bt) -> (n, Bt)
+            return jax.lax.dot_general(
+                wt_ref[:], c.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        coarse = (apply_WT, apply_W, binv_fn)
+
+    x, it = _jacobi_cg(
+        matvec, psum, vals_ref[:], F_ref[:], x0_ref[:], tol2_ref[0],
+        maxiter=maxiter, check_every=check_every, coarse=coarse,
+    )
     out_ref[:] = x
     it_ref[:] = jnp.full(it_ref.shape, it, jnp.int32)
 
@@ -248,6 +294,8 @@ def pcg_stencil_batch_lanes(
     tile: int = 128,
     offsets: tuple = (),
     check_every: int = 16,
+    Wt: jax.Array | None = None,  # (m, n) deflation basis (ops/deflation.py)
+    Binv: jax.Array | None = None,  # (B, m, m) per-sample coarse inverses
 ):
     """Lane-tiled fused PCG (see _pcg_kernel_lanes). B must be a multiple of
     tile (solve_fom_stencil_pallas pads). Returns (x: (B, n), iters: (B,) —
@@ -270,24 +318,41 @@ def pcg_stencil_batch_lanes(
         jax.ShapeDtypeStruct((n_tiles, n, tile), dtype),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
     )
+    in_specs = [
+        pl.BlockSpec((1, 7, n, tile), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, tile), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, tile), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    extra = []
+    if Wt is not None:
+        m = Wt.shape[0]
+        # per-lane-sample coarse inverses: (n_tiles, m, m, tile)
+        binv_t = Binv.reshape(n_tiles, tile, m, m).transpose(0, 2, 3, 1)
+        extra = [Wt.astype(jnp.bfloat16), binv_t]
+        in_specs.extend([
+            pl.BlockSpec((m, n), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, m, tile), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 7, n, tile), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, tile), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, n, tile), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
 
-    def kern(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref):
+    def kern(tol2_ref, vals_ref, F_ref, x0_ref, *rest):
+        if Wt is not None:
+            wt_ref, binv_ref, out_ref, it_ref = rest
+            binv_ref = binv_ref.at[0]
+        else:
+            (out_ref, it_ref), wt_ref, binv_ref = rest, None, None
         _pcg_kernel_lanes(
             tol2_ref, vals_ref.at[0], F_ref, x0_ref.at[0], out_ref.at[0], it_ref.at[0],
             maxiter=maxiter, offsets=offsets, check_every=check_every,
+            wt_ref=wt_ref, binv_ref=binv_ref,
         )
 
     est_iters = max(maxiter // 4, 64)
@@ -302,19 +367,186 @@ def pcg_stencil_batch_lanes(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(1024 * 1024 * 127)),
         cost_estimate=cost,
-    )(tol2, vals_t, F_bt, x0_t)
+    )(tol2, vals_t, F_bt, x0_t, *extra)
     x = x.transpose(0, 2, 1).reshape(B, n)
     return x, jnp.repeat(iters[:, 0, 0], tile)
 
 
-def pick_sample_tile(n: int, batch: int, vmem_budget_bytes: int = 80 * 1024 * 1024) -> int:
-    """128 if the lanes layout fits this problem, else 1 (2-D kernel).
+def _pcg_kernel_sublanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, maxiter: int, offsets, check_every: int = 16, wt_ref=None, binv_ref=None):
+    """CG for a SUBLANE-TILE of samples: state (S, n), one sample per sublane
+    row, the whole flat grid on the lane axis.
 
-    Mosaic requires the lane (last) dimension 128-aligned and pads it to 128
-    physically, so the only useful lane tile is exactly 128; the VMEM working
-    set is ~(7 vals + F + x0 + out + 4 state) * n * 128 * 4 bytes. Batches
-    under half a tile waste more lanes than the layout wins — use the
-    single-sample 2-D kernel there."""
+    This is the layout that keeps batching alive at resolutions where the
+    lane-tiled kernel's (n, 128) working set no longer fits VMEM (res >= 8 —
+    VERDICT r2 item 1): per-sample VMEM cost is n*4 bytes per array instead
+    of 128x that, so S = 8..64 samples still iterate together. Every vector
+    op is S*n wide (vs n for the single-sample kernel, which is ~97%
+    latency-bound on the serial reduce->broadcast chain), per-sample inner
+    products are lane-axis reductions to (S, 1), and alpha/beta broadcast
+    back along lanes. Stencil shifts are lane-axis rolls by the FLAT offset
+    (wrap-around reads are multiplied by structurally-zero stencil values —
+    same argument as _shift)."""
+    def matvec(vals, p):  # (S, n) stencil apply, lane-axis rolls
+        acc = vals[DIAG_SLOT] * p
+        for s, o in enumerate(offsets):
+            if s == DIAG_SLOT:
+                continue
+            acc += vals[s] * pltpu.roll(p, -o % p.shape[1], 1)
+        return acc
+
+    def psum(a):  # per-sample inner product -> (S, 1)
+        return jnp.sum(a, axis=1, keepdims=True)
+
+    coarse = None
+    if wt_ref is not None:
+        # two-level deflation (ops/deflation.py): Wt (m, n) bf16 shared
+        # across tiles, binv (S, m, m) per-sample coarse inverses
+        def apply_WT(r):  # (S, n) -> (S, m)
+            return jax.lax.dot_general(
+                r.astype(jnp.bfloat16), wt_ref[:],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        def binv_fn(y):  # (S, m) -> (S, m)
+            return jnp.sum(binv_ref[:] * y[:, None, :], axis=2)
+
+        def apply_W(c):  # (S, m) -> (S, n)
+            return jax.lax.dot_general(
+                c.astype(jnp.bfloat16), wt_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        coarse = (apply_WT, apply_W, binv_fn)
+
+    x, it = _jacobi_cg(
+        matvec, psum, vals_ref[:], F_ref[:], x0_ref[:], tol2_ref[0],
+        maxiter=maxiter, check_every=check_every, coarse=coarse,
+    )
+    out_ref[:] = x
+    it_ref[:] = jnp.full(it_ref.shape, it, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("maxiter", "tile", "offsets", "check_every"))
+def pcg_stencil_batch_sublanes(
+    vals_flat: jax.Array,  # (B, n, 7) flat per-sample diagonal values
+    F_flat: jax.Array,  # (n,)
+    x0_flat: jax.Array | None = None,  # (B, n)
+    *,
+    tol: float = 1e-7,
+    maxiter: int = 2000,
+    tile: int = 8,
+    offsets: tuple = (),
+    check_every: int = 16,
+    Wt: jax.Array | None = None,  # (m, n) deflation basis (ops/deflation.py)
+    Binv: jax.Array | None = None,  # (B, m, m) per-sample coarse inverses
+):
+    """Sublane-tiled fused PCG (see _pcg_kernel_sublanes). B must be a
+    multiple of tile (solve_fom_stencil_pallas pads); tile a multiple of 8
+    (the f32 sublane granule). Returns (x: (B, n), iters: (B,) — each
+    tile's joint iteration count)."""
+    B, n, seven = vals_flat.shape
+    assert seven == 7 and B % tile == 0 and tile % 8 == 0
+    dtype = vals_flat.dtype
+    tol2 = jnp.asarray([tol * tol], dtype)
+    n_tiles = B // tile
+
+    # (n_tiles, 7, S, n); the output (n_tiles, S, n) reshapes straight back
+    vals_t = vals_flat.reshape(n_tiles, tile, n, 7).transpose(0, 3, 1, 2)
+    F_1n = F_flat[None, :]
+    x0_t = (
+        jnp.zeros((n_tiles, tile, n), dtype)
+        if x0_flat is None
+        else x0_flat.reshape(n_tiles, tile, n)
+    )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((n_tiles, tile, n), dtype),
+        jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
+    )
+    in_specs = [
+        pl.BlockSpec((1, 7, tile, n), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, n), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    extra = []
+    if Wt is not None:
+        m = Wt.shape[0]
+        binv_t = Binv.reshape(n_tiles, tile, m, m)
+        extra = [Wt.astype(jnp.bfloat16), binv_t]
+        in_specs.extend([
+            pl.BlockSpec((m, n), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m, m), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, tile, n), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+
+    def kern(tol2_ref, vals_ref, F_ref, x0_ref, *rest):
+        if Wt is not None:
+            wt_ref, binv_ref, out_ref, it_ref = rest
+            binv_ref = binv_ref.at[0]
+        else:
+            (out_ref, it_ref), wt_ref, binv_ref = rest, None, None
+        _pcg_kernel_sublanes(
+            tol2_ref, vals_ref.at[0], F_ref, x0_ref.at[0], out_ref.at[0], it_ref.at[0],
+            maxiter=maxiter, offsets=offsets, check_every=check_every,
+            wt_ref=wt_ref, binv_ref=binv_ref,
+        )
+
+    est_iters = max(maxiter // 4, 64)
+    cost = pl.CostEstimate(
+        flops=int(B * est_iters * n * 26),
+        bytes_accessed=int(B * (7 + 4) * n * 4),
+        transcendentals=0,
+    )
+    x, iters = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(1024 * 1024 * 127)),
+        cost_estimate=cost,
+    )(tol2, vals_t, F_1n, x0_t, *extra)
+    return x.reshape(B, n), jnp.repeat(iters[:, 0, 0], tile)
+
+
+def pick_layout(
+    n: int, batch: int, vmem_budget_bytes: int = 100 * 1024 * 1024
+) -> tuple[str, int]:
+    """Choose the fused-PCG batching layout for problem size n and batch.
+
+    ("lanes", 128): samples on the lane axis, state (n, 128) — the fastest
+    layout, VMEM working set ~14*n*128*4 bytes (only fits small meshes;
+    res<=4 at the default budget).
+
+    ("sublanes", S): samples on the sublane axis, state (S, n) — keeps
+    batching alive at res>=8 (VERDICT r2 item 1). S is the largest multiple
+    of 8 whose full VMEM footprint fits: ~(2x double-buffered 7 value planes
+    + 2x2 in/out blocks + 4 live CG arrays + ~2 temporaries) * S * n * 4
+    ≈ 24*S*n*4 bytes.
+
+    ("single", 1): the per-sample 2-D grid kernel — fallback for problems
+    too large for even an 8-sublane tile."""
+    if batch >= 64 and 14 * n * 128 * 4 <= vmem_budget_bytes:
+        return "lanes", 128
+    S = (vmem_budget_bytes // (24 * n * 4)) // 8 * 8
+    # cap at 32: larger sublane tiles blow up the Mosaic compile (S=40 at
+    # res8 fails with a compile-helper crash; S=128 at res4 never finishes)
+    # and measured throughput peaks at small S anyway (8: 1969/s, 16: 1905,
+    # 32: 1850 at res8 B=256 — grid-step pipelining covers the difference)
+    S = min(S, 32)
+    if S >= 8:
+        return "sublanes", S
+    return "single", 1
+
+
+def pick_sample_tile(n: int, batch: int, vmem_budget_bytes: int = 80 * 1024 * 1024) -> int:
+    """Backwards-compatible wrapper over pick_layout: the lane tile (128)
+    when the lanes layout fits, else 1. Prefer pick_layout (which can also
+    return the sublane layout that replaces the 1-cliff at res>=8)."""
     working_set = 14 * n * 128 * 4
     if working_set > vmem_budget_bytes or batch < 64:
         return 1
@@ -334,6 +566,18 @@ def derived_maxiter(resolution: int) -> int:
     return max(480, 120 * int(resolution))
 
 
+def effective_maxiter(maxiter: int, layout: str, deflated: bool) -> int:
+    """The static loop bound solve_fom_stencil_pallas actually runs with:
+    tiled layouts get 15% joint-convergence headroom; deflation halves the
+    bound (iterations drop 3.3-5.6x). Exported so the solver-audit path
+    (api.audit_fom_iters) can report the true cap."""
+    if layout in ("lanes", "sublanes"):
+        maxiter = int(maxiter * 1.15)
+    if deflated and layout in ("lanes", "sublanes"):
+        maxiter = max(96, int(maxiter * 0.5))
+    return maxiter
+
+
 def solve_fom_stencil_pallas(
     op,
     ks: jax.Array,
@@ -342,6 +586,9 @@ def solve_fom_stencil_pallas(
     maxiter: int | None = None,
     x0: jax.Array | None = None,
     sample_tile: int | None = None,
+    layout: str | None = None,
+    deflation=None,
+    coarse_inv: jax.Array | None = None,
 ):
     """Batched FOM solve through the fused Pallas kernel.
 
@@ -354,32 +601,71 @@ def solve_fom_stencil_pallas(
     derived_maxiter) — prefer it: a hand-picked loose bound silently costs
     up to 12x runtime (Mosaic scheduling artifact).
 
-    sample_tile: samples iterated together per kernel instance (None = auto
-    by VMEM budget; 1 = the single-sample kernel). Tiling fills the VPU —
-    a lone (X, Y) grid is latency-bound on the CG reduction chain.
+    layout/sample_tile: batching layout (see pick_layout; None = auto by
+    VMEM budget). layout in {"lanes", "sublanes", "single"}; sample_tile
+    overrides the tile size (legacy: sample_tile=128 means lanes,
+    sample_tile=1 means single). Tiling fills the VPU — a lone grid is
+    latency-bound on the CG reduction chain.
+
+    deflation: optional ops.deflation.DeflationBasis — adds the two-level
+    coarse correction to the lanes/sublanes kernels (measured 3.3-5.6x
+    iteration cut); the per-sample coarse inverses are a batched m x m
+    XLA op before the kernel launch. The static loop bound shrinks with it
+    (Mosaic runtime scales with the bound — CLAUDE.md rule 7).
     """
     if maxiter is None:
         maxiter = derived_maxiter(op.resolution)
     B = ks.shape[0]
-    if sample_tile is None:
-        sample_tile = pick_sample_tile(op.n, B)
-    if sample_tile <= 1:
+    if layout is None:
+        if sample_tile is None:
+            layout, sample_tile = pick_layout(op.n, B)
+        elif sample_tile <= 1:
+            layout = "single"
+        elif sample_tile == 128 and 14 * op.n * 128 * 4 <= 100 * 1024 * 1024:
+            layout = "lanes"
+        else:
+            layout = "sublanes"
+    elif sample_tile is None:
+        sample_tile = {"lanes": 128, "single": 1}.get(layout) or pick_layout(op.n, B)[1]
+
+    if layout == "single":
         vals2d = jax.vmap(op.vals_grid)(ks)  # (B, 7, X, Y)
         F2d = op.to_grid(op.F_root)
         x02d = None if x0 is None else jax.vmap(op.to_grid)(x0)
         x2d, iters = pcg_stencil_batch(vals2d, F2d, x02d, tol=tol, maxiter=maxiter)
         u = jax.vmap(op.from_grid)(x2d)
         return u, iters
-    # lanes layout works on the FLAT 7-diagonal values directly
+    # lanes/sublanes layouts work on the FLAT 7-diagonal values directly.
+    # A tile converges jointly (max over its samples, not the mean), so the
+    # derived bound gets 15% headroom — measured: res16 tiles run to ~1.3x
+    # the single-sample MEAN (which derived_maxiter already covers 1.5x);
+    # without this the tile caps (unconverged); deflation then HALVES the
+    # bound (iterations drop 3.3-5.6x). Kept tight: Mosaic runtime scales
+    # with the static bound itself (CLAUDE.md rule 7).
+    maxiter = effective_maxiter(maxiter, layout, deflation is not None)
     vals = jax.vmap(op.vals)(ks)  # (B, n, 7)
+    Wt = Binv = None
+    if deflation is not None:
+        Wt = deflation.Wt.astype(op.dtype)
+        if coarse_inv is not None:  # non-affine operators precompute these
+            Binv = coarse_inv.astype(op.dtype)
+        elif ks.shape[-1] == deflation.C.shape[0] - 1:  # affine 5-param path
+            Binv = deflation.coarse_inverses(ks, op.biot).astype(op.dtype)
+        else:  # generic: exact per-sample projection through the basis
+            Binv = deflation.coarse_inverses_from_vals(op, vals).astype(op.dtype)
     pad = (-B) % sample_tile
     if pad:
         # pad with copies of sample 0 (converge together; sliced off)
         vals = jnp.concatenate([vals, jnp.repeat(vals[:1], pad, 0)], 0)
         if x0 is not None:
             x0 = jnp.concatenate([x0, jnp.repeat(x0[:1], pad, 0)], 0)
-    u, iters = pcg_stencil_batch_lanes(
+    if Binv is not None:
+        pad_b = (-B) % sample_tile
+        if pad_b:
+            Binv = jnp.concatenate([Binv, jnp.repeat(Binv[:1], pad_b, 0)], 0)
+    batch_fn = pcg_stencil_batch_lanes if layout == "lanes" else pcg_stencil_batch_sublanes
+    u, iters = batch_fn(
         vals, op.F_root, x0, tol=tol, maxiter=maxiter, tile=sample_tile,
-        offsets=tuple(int(o) for o in op.offsets),
+        offsets=tuple(int(o) for o in op.offsets), Wt=Wt, Binv=Binv,
     )
     return u[:B], iters[:B]

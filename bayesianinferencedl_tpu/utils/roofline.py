@@ -32,6 +32,21 @@ def stencil_pcg_flops(grid_x: int, grid_y: int, iters: float) -> float:
     return 26.0 * grid_x * grid_y * iters
 
 
+def stencil_pcg_flops_flat(n: int, iters: float) -> float:
+    """FLOPs of one PCG solve in the FLAT lanes/sublanes layouts — same
+    26 flops/cell/iter tally as stencil_pcg_flops but on the flat padded
+    length n (the grid-plane X*Y figure overcounts the lane-padding cells
+    the flat layouts never touch)."""
+    return 26.0 * n * iters
+
+
+def deflation_mxu_flops(n: int, m: int, iters: float) -> float:
+    """bf16 MXU FLOPs of the two-level coarse correction per solve: two
+    (n x m) matmul applications per iteration (ops/deflation.py; the m x m
+    part is negligible)."""
+    return 2.0 * 2.0 * n * m * iters
+
+
 def stencil_pcg_vmem_bytes_per_sample(n: int, iters: float) -> float:
     """VMEM traffic per solve in the lane-tiled kernel (ops/pcg_stencil.py
     pcg_stencil_batch_lanes): each iteration touches ~14 full arrays (7 value

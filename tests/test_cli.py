@@ -57,3 +57,23 @@ def test_cli_bad_args():
     assert out.returncode != 0
     out = _run(["nonsense"])
     assert out.returncode != 0
+
+
+def test_cli_invert_box_prior():
+    """The reference's uniform-prior user story end-to-end from the CLI
+    (SURVEY.md A.5; VERDICT r2 item 9): invert with a log-uniform box prior
+    on k, tiny everything."""
+    out = _run([
+        "invert", "--resolution", "1", "--n-snapshots", "24", "--r", "8",
+        "--n-train", "64", "--epochs", "20", "--chains", "8",
+        "--steps", "120", "--burn", "40", "--noise", "1e-2",
+        "--prior", "log_uniform", "--prior-low", "0.2", "--prior-high", "5.0",
+    ], timeout=900)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["prior"] == "log_uniform"
+    # posterior mean reported in log k, inside the box
+    import math
+
+    for m in rec["posterior_mean_log_k"]:
+        assert math.log(0.2) - 1e-6 <= m <= math.log(5.0) + 1e-6

@@ -1,0 +1,75 @@
+"""Rank-normalized split diagnostics (Vehtari et al. 2021; SURVEY.md §4
+posterior-quality oracles — the estimators that do NOT flatter a multimodal
+posterior, unlike plain Gelman-Rubin / per-chain-summed ESS)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bayesianinferencedl_tpu.infer.diagnostics import (
+    effective_sample_size,
+    ess_bulk,
+    rhat,
+    split_rhat,
+)
+
+
+def _rng():
+    return np.random.default_rng(0)
+
+
+def test_iid_chains_ess_near_total_and_rhat_one():
+    x = jnp.asarray(_rng().standard_normal((1000, 8, 3)))
+    ess = np.asarray(ess_bulk(x))
+    assert np.all(ess > 0.6 * 8000) and np.all(ess < 2.0 * 8000)
+    r = np.asarray(split_rhat(x))
+    assert np.all(np.abs(r - 1.0) < 0.01)
+
+
+def test_stuck_chains_expose_per_chain_ess_flattery():
+    """Chains parked in two separated modes: the per-chain-summed estimator
+    reports near-full ESS (each chain looks white), the combined
+    between-chain estimator must collapse it."""
+    rng = _rng()
+    modes = np.repeat([[-3.0], [3.0]], 4, axis=0).T  # (1, 8)
+    y = jnp.asarray(
+        modes[None].repeat(1000, 0).reshape(1000, 8, 1)
+        + 0.1 * rng.standard_normal((1000, 8, 1))
+    )
+    ess_old = float(effective_sample_size(y)[0])
+    ess_new = float(ess_bulk(y)[0])
+    assert ess_old > 4000  # the flattery
+    assert ess_new < 100  # the honest figure
+    assert float(split_rhat(y)[0]) > 1.1
+
+
+def test_split_rhat_catches_within_chain_drift():
+    """Identical trending chains: cross-chain variance is zero so plain
+    Gelman-Rubin sees nothing; splitting makes the drift visible."""
+    rng = _rng()
+    t = np.linspace(-3, 3, 1000)[:, None, None].repeat(8, 1)
+    z = jnp.asarray(t + 0.1 * rng.standard_normal((1000, 8, 1)))
+    assert float(rhat(z)[0]) < 1.01  # blind
+    assert float(split_rhat(z)[0]) > 1.1  # caught
+
+
+def test_ar1_ess_matches_theory():
+    """AR(1) with rho=0.9: ESS = N (1-rho)/(1+rho) within ~25%."""
+    rho = 0.9
+    rng = _rng()
+    e = rng.standard_normal((2000, 8))
+    ar = np.zeros((2000, 8))
+    for i in range(1, 2000):
+        ar[i] = rho * ar[i - 1] + np.sqrt(1 - rho**2) * e[i]
+    ess = float(ess_bulk(jnp.asarray(ar)))
+    expect = 16000 * (1 - rho) / (1 + rho)
+    assert 0.75 * expect < ess < 1.35 * expect
+
+
+def test_heavy_tail_robustness():
+    """Cauchy chains: rank normalization keeps the estimators finite and
+    calibrated where moment-based ones blow up."""
+    x = jnp.asarray(_rng().standard_t(df=1, size=(1000, 8, 2)))
+    r = np.asarray(split_rhat(x))
+    assert np.all(np.isfinite(r)) and np.all(r < 1.02)
+    ess = np.asarray(ess_bulk(x))
+    assert np.all(np.isfinite(ess)) and np.all(ess > 0.3 * 8000)

@@ -79,6 +79,77 @@ def test_ff_inversion_smoke(ffpipe):
     assert float(jnp.mean(res.accept_rate)) > 0.05  # adapted beta
 
 
+def test_ff_pt_pcn(ffpipe):
+    """Parallel-tempered pCN in coefficient space (five-param-parity:
+    VERDICT r2 item 5): cold-level samples fit the data, swap rates healthy."""
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        ffpipe, likelihood="rom_nn", sampler="pt_pcn",
+        n_chains=16, n_steps=600, n_burn=200, noise_sigma=1e-3,
+        n_temps=3, lambda_min=0.1, key=jax.random.PRNGKey(11),
+    )
+    assert res.samples.shape == (400, 16, 16)
+    assert bool(jnp.isfinite(res.samples).all())
+    assert np.all(np.asarray(res.swap_rate) > 0.05)
+    fwd = ffpipe.forward_fn("rom_nn")
+    z_post = res.samples.mean(axis=(0, 1))
+    assert float(jnp.linalg.norm(fwd(z_post) - data)) < float(
+        jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data)
+    )
+
+
+def test_ff_pt_da_pcn_fom(ffpipe):
+    """Tempered delayed acceptance with the exact FOM target in coefficient
+    space — the full-field analog of the five-param production sampler."""
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        ffpipe, likelihood="fom", sampler="pt_da_pcn",
+        n_chains=8, n_steps=120, n_burn=40, noise_sigma=1e-2,
+        n_temps=3, lambda_min=0.1, subchain=4, key=jax.random.PRNGKey(12),
+    )
+    assert res.samples.shape == (80, 8, 16)
+    assert bool(jnp.isfinite(res.samples).all())
+    acc = float(jnp.mean(res.accept_rate))
+    assert 0.05 < acc <= 1.0
+
+
+def test_ff_sharded_pcn_matches_contract():
+    """mesh= sharding on the full-field pipeline (8 virtual CPU devices)."""
+    from bayesianinferencedl_tpu.parallel import device_mesh
+
+    pipe = build_full_field_pipeline(
+        resolution=1, dtype=jnp.float64, n_features=8, n_snapshots=24,
+        basis_size=6, k_basis_size=16, n_train=96, surrogate_hidden=(16,),
+        surrogate_steps=300, cg_tol=1e-10, cg_maxiter=2000, use_pallas=False,
+    )
+    mesh = device_mesh()
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        pipe, likelihood="rom_nn", sampler="pcn", n_chains=16,
+        n_steps=200, n_burn=100, noise_sigma=1e-2,
+        key=jax.random.PRNGKey(13), mesh=mesh,
+    )
+    assert res.samples.shape == (100, 16, 8)
+    assert bool(jnp.isfinite(res.samples).all())
+    # and the PT sampler under the same mesh
+    res2, *_ = run_full_field_inversion(
+        pipe, likelihood="rom_nn", sampler="pt_pcn", n_chains=16,
+        n_steps=200, n_burn=100, noise_sigma=1e-2, n_temps=3, lambda_min=0.1,
+        key=jax.random.PRNGKey(14), mesh=mesh,
+    )
+    assert res2.samples.shape == (100, 16, 8)
+    assert bool(jnp.isfinite(res2.samples).all())
+
+
+def test_ff_da_degenerate_guard(ffpipe):
+    """da/pt_da with likelihood='rom_nn' (coarse == fine) must raise, not
+    silently waste subchain+1 identical evaluations per sample (round-2
+    advisor finding)."""
+    for smp in ("da_pcn", "pt_da_pcn"):
+        with pytest.raises(ValueError, match="degenerate"):
+            run_full_field_inversion(
+                ffpipe, likelihood="rom_nn", sampler=smp,
+                n_chains=4, n_steps=10, n_burn=0,
+            )
+
+
 def test_ff_delayed_acceptance_fom(ffpipe):
     """DA in coefficient space: rom_nn subchains, exact FOM correction.
     The deliberately-coarse r=6 surrogate is biased, so outer corrections

@@ -99,6 +99,84 @@ def test_da_resume_bit_identical(tmp_path):
     )
 
 
+def test_pt_resume_bit_identical(tmp_path):
+    """Kill/resume contract for the HEADLINE parallel-tempered sampler
+    (VERDICT r2 item 4): cold-level samples, final (K, G, d) ladder states,
+    and adapted per-level betas must be bit-identical to an uninterrupted
+    run."""
+    from bayesianinferencedl_tpu.api import run_pt_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    key = jax.random.PRNGKey(3)
+    kw = dict(n_steps=800, n_burn=200, n_temps=3, lambda_min=0.1, segment=200)
+
+    full = run_pt_checkpointed(
+        misfit, prior, theta0, key,
+        ckpt_path=str(tmp_path / "pt_full.npz"), resume=False, **kw,
+    )
+    run_pt_checkpointed(
+        misfit, prior, theta0, key,
+        n_steps=400, n_burn=200, n_temps=3, lambda_min=0.1, segment=200,
+        ckpt_path=str(tmp_path / "pt_crash.npz"), resume=False,
+    )
+    resumed = run_pt_checkpointed(
+        misfit, prior, theta0, key,
+        ckpt_path=str(tmp_path / "pt_crash.npz"), resume=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(full.samples), np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.theta), np.asarray(resumed.theta))
+    np.testing.assert_array_equal(np.asarray(full.beta), np.asarray(resumed.beta))
+    np.testing.assert_allclose(
+        np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
+    )
+    np.testing.assert_allclose(np.asarray(full.swap_rate), np.asarray(resumed.swap_rate))
+
+
+def test_pt_da_resume_bit_identical(tmp_path):
+    """Kill/resume for tempered delayed acceptance (the expensive
+    exact-FOM-posterior runs are the ones worth protecting)."""
+    from bayesianinferencedl_tpu.api import run_pt_da_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    misfit_c = lambda t: misfit(t) * 0.95
+    key = jax.random.PRNGKey(9)
+    kw = dict(n_steps=300, n_burn=100, subchain=3, n_temps=3, lambda_min=0.1, segment=100)
+
+    full = run_pt_da_checkpointed(
+        misfit, misfit_c, prior, theta0, key,
+        ckpt_path=str(tmp_path / "ptda_full.npz"), resume=False, **kw,
+    )
+    run_pt_da_checkpointed(
+        misfit, misfit_c, prior, theta0, key,
+        n_steps=100, n_burn=100, subchain=3, n_temps=3, lambda_min=0.1, segment=100,
+        ckpt_path=str(tmp_path / "ptda_crash.npz"), resume=False,
+    )
+    resumed = run_pt_da_checkpointed(
+        misfit, misfit_c, prior, theta0, key,
+        ckpt_path=str(tmp_path / "ptda_crash.npz"), resume=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(full.samples), np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.theta), np.asarray(resumed.theta))
+    np.testing.assert_array_equal(np.asarray(full.beta), np.asarray(resumed.beta))
+    np.testing.assert_allclose(
+        np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
+    )
+    assert full.n_fine_evals == resumed.n_fine_evals
+
+
+def test_pt_checkpointed_rejects_odd_segment(tmp_path):
+    from bayesianinferencedl_tpu.api import run_pt_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    import pytest
+
+    with pytest.raises(ValueError, match="even"):
+        run_pt_checkpointed(
+            misfit, prior, theta0, jax.random.PRNGKey(0),
+            n_steps=10, segment=5, ckpt_path=str(tmp_path / "x.npz"),
+        )
+
+
 def test_checkpointed_burn_only_returns_empty_arrays(tmp_path):
     """A burn-only run (n_steps == n_burn) must return well-formed empty
     sample arrays, not None — downstream consumers call .shape on them."""
