@@ -234,11 +234,35 @@ def make_fom_solver(
         # keep the kernel's static loop bound tight (CLAUDE.md rule 7)
         mi = min(maxiter, derived_maxiter(fin.op.resolution))
         defl = fin.deflation_basis() if deflate else None
+        state = {"defl": defl}
 
         def solve(ks):
-            return solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=mi, deflation=defl)
+            # graceful degradation: this environment's remote compile helper
+            # intermittently rejects fresh programs ("Failed to find host
+            # bounds..."); if the deflated kernel won't compile, fall back
+            # permanently to the plain (round-2-proven) kernel rather than
+            # killing the whole sweep/benchmark.
+            if state["defl"] is not None:
+                try:
+                    return solve_fom_stencil_pallas(
+                        fin.op, ks, tol=tol, maxiter=mi, deflation=state["defl"]
+                    )
+                except Exception as e:  # pragma: no cover - env-dependent
+                    import warnings
 
-        return solve if with_iters else (lambda ks: solve(ks)[0])
+                    warnings.warn(
+                        f"deflated FOM kernel unavailable ({str(e)[:120]}); "
+                        "falling back to plain Jacobi-CG kernel", stacklevel=2,
+                    )
+                    state["defl"] = None
+            return solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=mi)
+
+        solve.deflated = lambda: state["defl"] is not None  # audit introspection
+        if with_iters:
+            return solve
+        u_only = lambda ks: solve(ks)[0]
+        u_only.deflated = solve.deflated
+        return u_only
     from bayesianinferencedl_tpu.rom.snapshots import generate_snapshots as _gen
 
     if with_iters:
@@ -863,9 +887,7 @@ def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]
         )
         _, iters = solver(ks)
         layout, _ = pick_layout(pipe.fin.op.n, ks.shape[0])
-        cap = effective_maxiter(
-            cap_in, layout, pipe.fin.deflation_basis() is not None
-        )
+        cap = effective_maxiter(cap_in, layout, solver.deflated())
     else:
         cap = pipe.fin.cg_maxiter
         solver = make_fom_solver(

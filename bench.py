@@ -124,7 +124,7 @@ def main() -> None:
     n_flat = pipe.fin.op.n
     pcg_flops_per_solve = rl.stencil_pcg_flops_flat(n_flat, mean_iters)
     pcg_achieved_flops = pcg_flops_per_solve * fom_sps_pallas_peak
-    defl_m = pipe.fin.deflation_basis().m
+    defl_m = pipe.fin.deflation_basis().m if iters_solver.deflated() else 0
     defl_mxu_flops = rl.deflation_mxu_flops(n_flat, defl_m, mean_iters) * fom_sps_pallas_peak
     pcg_vmem_bw = rl.stencil_pcg_vmem_bytes_per_sample(n_flat, mean_iters) * fom_sps_pallas_peak
     pcg_hbm_avoided = 17.0 * 4.0 * n_flat * mean_iters * fom_sps_pallas_peak
@@ -155,7 +155,7 @@ def main() -> None:
         layout_r, tile_r = pick_layout(fin_r.op.n, 256)
         rate = 256 / dt
         it_mean = float(jnp.mean(it_r))
-        m_defl = fin_r.deflation_basis().m
+        m_defl = fin_r.deflation_basis().m if solver_r.deflated() else 0
         n_r = fin_r.op.n
         vpu = rl.stencil_pcg_flops_flat(n_r, it_mean) * rate
         mxu = rl.deflation_mxu_flops(n_r, m_defl, it_mean) * rate
@@ -218,7 +218,15 @@ def main() -> None:
             likelihood="fom", sampler="da_pcn", subchain=8,
         ),
     )
-    inv_da = run_inversion(dataclasses.replace(pipe, config=cfg_da), metrics=log)
+    # fail-soft: the DA-FOM chain compiles the deflated kernel inside the
+    # sampler jit, where the eager fallback can't reach — a remote-compile
+    # helper failure here must not zero the whole artifact
+    try:
+        inv_da = run_inversion(dataclasses.replace(pipe, config=cfg_da), metrics=log)
+        da_err = None
+    except Exception as e:  # pragma: no cover - env-dependent
+        inv_da = None
+        da_err = str(e)[:300]
 
     kept_per_chain = inv.result.samples.shape[0]
     chain_steps_per_sec = kept_per_chain / inv.wall_seconds
@@ -267,24 +275,28 @@ def main() -> None:
                 "ess_bulk_min": round(float(jnp.min(inv_mh.ess)), 1),
                 "rhat_split_max": round(float(jnp.max(inv_mh.rhat)), 4),
             },
-            "da_fom_exact": {
-                "sampler": "da_pcn (rom_nn subchains x8 + exact FOM correction)",
-                "ess_per_sec": round(inv_da.ess_per_sec, 2),
-                "ess_bulk_min": round(float(jnp.min(inv_da.ess)), 1),
-                "rhat_split_max": round(float(jnp.max(inv_da.rhat)), 4),
-                "outer_accept": round(float(jnp.mean(inv_da.result.accept_rate)), 3),
-                "outer_steps_per_sec": round(
-                    inv_da.result.samples.shape[0] / inv_da.wall_seconds, 2
-                ),
-                # solver-iteration audit over kept chain states (VERDICT r2
-                # item 7): hit_cap_frac > 0 would mean unconverged solves
-                # biased the chain
-                "fom_iter_audit": {
-                    "cap": inv_da.fom_iter_cap,
-                    "max_iters": inv_da.fom_iter_max,
-                    "hit_cap_frac": inv_da.fom_hit_cap_frac,
-                },
-            },
+            "da_fom_exact": (
+                {
+                    "sampler": "da_pcn (rom_nn subchains x8 + exact FOM correction)",
+                    "ess_per_sec": round(inv_da.ess_per_sec, 2),
+                    "ess_bulk_min": round(float(jnp.min(inv_da.ess)), 1),
+                    "rhat_split_max": round(float(jnp.max(inv_da.rhat)), 4),
+                    "outer_accept": round(float(jnp.mean(inv_da.result.accept_rate)), 3),
+                    "outer_steps_per_sec": round(
+                        inv_da.result.samples.shape[0] / inv_da.wall_seconds, 2
+                    ),
+                    # solver-iteration audit over kept chain states (VERDICT
+                    # r2 item 7): hit_cap_frac > 0 would mean unconverged
+                    # solves biased the chain
+                    "fom_iter_audit": {
+                        "cap": inv_da.fom_iter_cap,
+                        "max_iters": inv_da.fom_iter_max,
+                        "hit_cap_frac": inv_da.fom_hit_cap_frac,
+                    },
+                }
+                if inv_da is not None
+                else {"error": da_err}
+            ),
             "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
             "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),
             "fom_solves_per_sec_pallas_b4096": round(fom_sps_pallas_peak, 2),
