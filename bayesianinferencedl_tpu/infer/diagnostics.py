@@ -119,21 +119,42 @@ def _split_chains(chains: jax.Array) -> jax.Array:
     return chains[: 2 * n2].reshape(2, n2, c, d).transpose(1, 0, 2, 3).reshape(n2, 2 * c, d)
 
 
-def _rank_normalize(x: jax.Array) -> jax.Array:
-    """Pooled fractional ranks -> normal scores, per parameter dim.
+def _rank_normalize_2d(x: jax.Array) -> jax.Array:
+    """Pooled fractional ranks -> normal scores for ONE parameter dim.
 
-    x: (n, c, d). Ranks are computed over the POOLED n*c draws of each dim
-    (average-rank tie handling is immaterial for continuous chains), mapped
-    through the blom offset (r - 3/8)/(N + 1/4) and the normal quantile.
-    f32 throughout — these are diagnostics; also keeps the sorts cheap."""
-    n, c, d = x.shape
-    flat = x.reshape(n * c, d).astype(jnp.float32)
-    order = jnp.argsort(flat, axis=0)
-    ranks = jnp.zeros_like(order).at[order, jnp.arange(d)[None, :]].set(
-        jnp.arange(1, n * c + 1, dtype=order.dtype)[:, None]
-    )
-    u = (ranks.astype(jnp.float32) - 0.375) / (n * c + 0.25)
-    return jax.scipy.special.ndtri(u).reshape(n, c, d)
+    x: (n, c). Ranks over the pooled n*c draws (average-rank tie handling is
+    immaterial for continuous chains) via double argsort — sort-based, no
+    scatter: at production chain counts (36.9M draws per dim) the scatter
+    lowering of rank assignment allocated 18.9 GB on a 16 GB chip. Mapped
+    through the blom offset (r - 3/8)/(N + 1/4) and the normal quantile; f32
+    throughout (diagnostics), and callers stream one dim at a time.
+
+    The upper half of the ranks goes through the COMPLEMENTARY rank and
+    ndtri's antisymmetry: above ~1e7 pooled draws, (r + 0.625)/(N + 0.25)
+    rounds to exactly 1.0 in f32 for the top ranks, and ndtri(1.0) = +inf
+    poisoned every production-scale R-hat/ESS with NaN (observed at 36.9M
+    draws in the round-3 bench). q = N - 1 - r is exact in int32, so the
+    mirrored u stays a small, well-resolved f32 on both tails."""
+    n, c = x.shape
+    flat = x.reshape(-1).astype(jnp.float32)
+    N = n * c
+    r = jnp.argsort(jnp.argsort(flat))  # 0-based ranks, int32, exact
+    q = (N - 1) - r  # 0-based rank from the top, exact
+    lo = r <= q  # lower-half draws (u <= ~0.5)
+    # blom offset: u = (rank_1based - 0.375) / (N + 0.25) = (r + 0.625)/(N + 0.25)
+    u_small = (jnp.where(lo, r, q).astype(jnp.float32) + 0.625) / (N + 0.25)
+    z = jax.scipy.special.ndtri(u_small)
+    return jnp.where(lo, z, -z).reshape(n, c)
+
+
+def _rhat_2d(z: jax.Array) -> jax.Array:
+    """Gelman-Rubin statistic of one (n, c) set of (already split,
+    rank-normalized) chains."""
+    n = z.shape[0]
+    W = jnp.mean(jnp.var(z, axis=0, ddof=1))
+    B = n * jnp.var(jnp.mean(z, axis=0), ddof=1)
+    var_plus = (n - 1) / n * W + B / n
+    return jnp.sqrt(var_plus / jnp.maximum(W, jnp.finfo(z.dtype).tiny))
 
 
 def split_rhat(chains: jax.Array) -> jax.Array:
@@ -141,12 +162,18 @@ def split_rhat(chains: jax.Array) -> jax.Array:
     tail (folded rank-normalized) statistics. chains: (n, c, d) -> (d,).
 
     Gate at < 1.01 for certification-grade convergence; < 1.05 as the loose
-    benchmark gate this repo uses for throughput-oriented runs."""
+    benchmark gate this repo uses for throughput-oriented runs. Streams one
+    parameter dim at a time (sorts over all pooled draws are the memory
+    hot-spot at production chain counts)."""
     s = _split_chains(chains)
-    bulk = rhat(_rank_normalize(s))
-    folded = jnp.abs(s - jnp.median(s.reshape(-1, s.shape[-1]), axis=0))
-    tail = rhat(_rank_normalize(folded))
-    return jnp.maximum(bulk, tail)
+
+    def per_dim(sd):  # (n2, c2)
+        bulk = _rhat_2d(_rank_normalize_2d(sd))
+        folded = jnp.abs(sd - jnp.median(sd))
+        tail = _rhat_2d(_rank_normalize_2d(folded))
+        return jnp.maximum(bulk, tail)
+
+    return jax.lax.map(per_dim, jnp.moveaxis(s, 2, 0))
 
 
 def _combined_tau(z: jax.Array) -> jax.Array:
@@ -187,9 +214,10 @@ def ess_bulk(chains: jax.Array) -> jax.Array:
     """
     squeeze = chains.ndim == 2
     s = _split_chains(chains)  # (n2, 2c, d)
-    z = _rank_normalize(s)
-    n2, c2, d = z.shape
-    tau = jax.lax.map(lambda zz: _combined_tau(zz), jnp.moveaxis(z, 2, 0))  # (d,)
+    n2, c2, _ = s.shape
+    tau = jax.lax.map(
+        lambda sd: _combined_tau(_rank_normalize_2d(sd)), jnp.moveaxis(s, 2, 0)
+    )  # (d,)
     ess = (n2 * c2) / tau
     # cap at the optimistic iid-plus limit like Stan does (antithetic chains)
     ess = jnp.minimum(ess, jnp.asarray(n2 * c2 * jnp.log10(jnp.asarray(n2 * c2, jnp.float32))))

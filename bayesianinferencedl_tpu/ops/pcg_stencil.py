@@ -533,11 +533,15 @@ def pick_layout(
     if batch >= 64 and 14 * n * 128 * 4 <= vmem_budget_bytes:
         return "lanes", 128
     S = (vmem_budget_bytes // (24 * n * 4)) // 8 * 8
-    # cap at 32: larger sublane tiles blow up the Mosaic compile (S=40 at
-    # res8 fails with a compile-helper crash; S=128 at res4 never finishes)
-    # and measured throughput peaks at small S anyway (8: 1969/s, 16: 1905,
-    # 32: 1850 at res8 B=256 — grid-step pipelining covers the difference)
-    S = min(S, 32)
+    # cap at 8: the kernel is VPU-issue-bound, so per-tile-iteration time
+    # scales ~linearly with S (S=8: 4.94us, S=16: 9.77us at res8) and
+    # measured throughput peaks at S=8 (8: 1969/s, 16: 1905, 32: 1850 at
+    # res8 B=256 plain). With the deflation basis resident the larger tiles
+    # also blow the VMEM budget this formula doesn't see — the round-3 bench
+    # measured S=32 + m=128 at res8 collapsing to 140/s vs 2808/s at S=8.
+    # (Mosaic compile limits bite above 32 anyway: S=40 at res8 crashes the
+    # compile helper; S=128 at res4 never finishes.)
+    S = min(S, 8)
     if S >= 8:
         return "sublanes", S
     return "single", 1

@@ -27,7 +27,7 @@ def readme_block(art, src):
     d = art["detail"]
     rl = d["roofline"]
     rows = [
-        ("Batched FOM solves (fused Pallas scaled-CG, lane-tiled, whole CG in VMEM)",
+        ("Batched FOM solves (fused Pallas deflated-CG, lane-tiled, whole CG in VMEM)",
          f"**{fmt_m(d['fom_solves_per_sec_pallas_b4096'])} solves/s** at batch 4096; "
          f"{fmt_m(d['fom_solves_per_sec_pallas'])} at batch 256 "
          f"(XLA path: {fmt_m(d['fom_solves_per_sec_xla'])})"),
@@ -43,10 +43,12 @@ def readme_block(art, src):
          f"**{fmt_m(d['laplace_mh']['ess_per_sec'])} effective samples/s** "
          f"(split-R̂ {d['laplace_mh']['rhat_split_max']})"),
         ("**Delayed acceptance** — the *exact* full-order posterior (ROM+NN subchains ×8 + batched Pallas FOM correction)",
-         f"**{fmt_m(d['da_fom_exact']['ess_per_sec'])} ESS/s**, outer acceptance "
-         f"{d['da_fom_exact']['outer_accept']}, split-R̂ "
-         f"{d['da_fom_exact']['rhat_split_max']}; solver-iteration audit clean "
-         f"(hit_cap_frac {d['da_fom_exact']['fom_iter_audit']['hit_cap_frac']})"),
+         (f"**{fmt_m(d['da_fom_exact']['ess_per_sec'])} ESS/s**, outer acceptance "
+          f"{d['da_fom_exact']['outer_accept']}, split-R̂ "
+          f"{d['da_fom_exact']['rhat_split_max']}; solver-iteration audit clean "
+          f"(hit_cap_frac {d['da_fom_exact']['fom_iter_audit']['hit_cap_frac']})")
+         if "error" not in d["da_fom_exact"]
+         else "(section skipped by a remote-compile outage in this artifact — see artifacts/ for the previous figures)"),
         ("ROM+NN corrected forward evaluations",
          f"{fmt_m(d['rom_nn_solves_per_sec'])} solves/s"),
     ]
@@ -93,7 +95,8 @@ def baseline_block(art, src):
         ("MCMC effective samples/sec",
          f"PT-pCN {fmt_m(d['ess_per_sec'])} bulk-ESS/s; Laplace-MH "
          f"{fmt_m(d['laplace_mh']['ess_per_sec'])} (unimodal regime); DA-FOM "
-         f"{fmt_m(d['da_fom_exact']['ess_per_sec'])} (exact FOM posterior)",
+         + (fmt_m(d['da_fom_exact']['ess_per_sec']) + " (exact FOM posterior)"
+            if "error" not in d["da_fom_exact"] else "(skipped: compile outage)"),
          "figure of merit", "—"),
         ("Forward solves/sec, FOM",
          f"{fmt_m(d['fom_solves_per_sec_pallas_b4096'])} (fused Pallas, batch 4096); "
@@ -128,7 +131,8 @@ def splice(path, block):
     pat = re.compile(r"<!-- BENCH:begin -->.*?<!-- BENCH:end -->", re.S)
     if not pat.search(text):
         raise SystemExit(f"{path}: no BENCH markers found")
-    new = pat.sub(f"<!-- BENCH:begin -->\n{block}\n<!-- BENCH:end -->", text)
+    repl = f"<!-- BENCH:begin -->\n{block}\n<!-- BENCH:end -->"
+    new = pat.sub(lambda m: repl, text)
     with open(path, "w") as f:
         f.write(new)
     print(f"synced {path}")

@@ -65,6 +65,37 @@ def test_ar1_ess_matches_theory():
     assert 0.75 * expect < ess < 1.35 * expect
 
 
+def test_production_scale_draws_stay_finite():
+    """~16.8M pooled draws: above ~1e7 the top-rank blom quantile
+    (r + 0.625)/(N + 0.25) rounds to 1.0 in f32 and ndtri(1.0) = +inf
+    NaN'd every production R-hat/ESS (round-3 bench regression). The
+    complementary-rank formulation must stay finite and calibrated."""
+    x = jnp.asarray(
+        _rng().standard_normal((4096, 4096, 1)).astype(np.float32)
+    )
+    r = float(split_rhat(x)[0])
+    assert np.isfinite(r) and abs(r - 1.0) < 0.01
+    ess = float(ess_bulk(x)[0])
+    n_total = 4096 * 4096
+    assert np.isfinite(ess) and 0.5 * n_total < ess < 2.0 * n_total
+
+
+def test_rank_normalize_complement_matches_f64_oracle():
+    """The two-branch (lower/complementary) rank map must agree with a
+    straight f64 blom + ndtri computation."""
+    from scipy.special import ndtri as ndtri64
+
+    from bayesianinferencedl_tpu.infer.diagnostics import _rank_normalize_2d
+
+    x = _rng().standard_normal((313, 7))
+    z = np.asarray(_rank_normalize_2d(jnp.asarray(x)))
+    flat = x.reshape(-1)
+    ranks = np.argsort(np.argsort(flat))
+    u = (ranks + 1.0 - 0.375) / (flat.size + 0.25)
+    z_ref = ndtri64(u).reshape(313, 7)
+    np.testing.assert_allclose(z, z_ref, rtol=0, atol=5e-5)
+
+
 def test_heavy_tail_robustness():
     """Cauchy chains: rank normalization keeps the estimators finite and
     calibrated where moment-based ones blow up."""

@@ -109,7 +109,10 @@ def test_pick_layout_no_cliff():
     kind4, t4 = pick_layout(6400, 256)
     assert (kind4, t4) == ("lanes", 128)
     kind8, t8 = pick_layout(24960, 256)
-    assert kind8 == "sublanes" and t8 >= 16
+    # capped at 8: the kernel is issue-bound so throughput peaks at S=8,
+    # and the deflation basis needs the VMEM headroom (bench r3 measured
+    # S=32 + m=128 collapsing 20x vs S=8)
+    assert (kind8, t8) == ("sublanes", 8)
     kind16, t16 = pick_layout(99072, 256)
     assert kind16 == "sublanes" and t16 >= 8
     # absurdly large problem still falls back cleanly
