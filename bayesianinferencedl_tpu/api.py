@@ -229,12 +229,41 @@ def make_fom_solver(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and hasattr(fin.op, "vals_grid") and fin.op.dtype == jnp.float32:
-        from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
+        from bayesianinferencedl_tpu.ops.pcg_stencil import (
+            chunked_batched_solve,
+            derived_maxiter,
+            pick_layout,
+            solve_fom_stencil_pallas,
+            sublanes_program_batch_limit,
+        )
 
         # keep the kernel's static loop bound tight (CLAUDE.md rule 7)
         mi = min(maxiter, derived_maxiter(fin.op.resolution))
         defl = fin.deflation_basis() if deflate else None
         state = {"defl": defl}
+
+        # The WHOLE solve is one jitted program. The pre-kernel prep —
+        # affine vals assembly and the Newton-Schulz coarse inverses — is
+        # ~100 XLA primitives; run eagerly they cost a dispatch round-trip
+        # EACH (~10 ms over the remote tunnel), which measured 1.6 s/batch
+        # at res8 vs 53 ms for the same math inside one jit (30x).
+        defl_solve = jax.jit(
+            lambda ks: solve_fom_stencil_pallas(
+                fin.op, ks, tol=tol, maxiter=mi, deflation=defl
+            )
+        )
+        plain_solve = jax.jit(
+            lambda ks: solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=mi)
+        )
+
+        def _limit(B, m):
+            # at res16-scale the sublane grid self-chunks and one program
+            # holds <= 4 kernel instances; bigger batches split across
+            # async dispatches (ops/pcg_stencil.py)
+            layout, tile = pick_layout(fin.op.n, B)
+            if layout != "sublanes":
+                return None
+            return sublanes_program_batch_limit(fin.op.n, tile, m)
 
         def solve(ks):
             # graceful degradation: this environment's remote compile helper
@@ -244,8 +273,8 @@ def make_fom_solver(
             # killing the whole sweep/benchmark.
             if state["defl"] is not None:
                 try:
-                    return solve_fom_stencil_pallas(
-                        fin.op, ks, tol=tol, maxiter=mi, deflation=state["defl"]
+                    return chunked_batched_solve(
+                        defl_solve, ks, _limit(ks.shape[0], defl.m)
                     )
                 except Exception as e:  # pragma: no cover - env-dependent
                     import warnings
@@ -255,7 +284,7 @@ def make_fom_solver(
                         "falling back to plain Jacobi-CG kernel", stacklevel=2,
                     )
                     state["defl"] = None
-            return solve_fom_stencil_pallas(fin.op, ks, tol=tol, maxiter=mi)
+            return chunked_batched_solve(plain_solve, ks, _limit(ks.shape[0], 0))
 
         solve.deflated = lambda: state["defl"] is not None  # audit introspection
         if with_iters:

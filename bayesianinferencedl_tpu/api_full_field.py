@@ -88,6 +88,11 @@ class FullFieldPipeline:
             # still governs the jnp path
             mi = min(self.cg_maxiter, derived_maxiter(self.op.resolution))
 
+            # jit the whole solve: the non-affine coarse projection prep is
+            # hundreds of XLA primitives; eager dispatch costs ~10 ms each
+            # over the remote tunnel (api.make_fom_solver measured 30x).
+            # Inside a sampler's jit this inner jit is inlined — free.
+            @jax.jit
             def fwd_b(zs):
                 ks = jax.vmap(self.conductivity)(zs)
                 u, _ = solve_fom_stencil_pallas(
@@ -159,17 +164,32 @@ def build_full_field_pipeline(
     if use_pallas:
         from bayesianinferencedl_tpu.ops.deflation import DeflationBasis
         from bayesianinferencedl_tpu.ops.pcg_stencil import (
-            derived_maxiter, effective_maxiter, pick_layout, solve_fom_stencil_pallas,
+            chunked_batched_solve, derived_maxiter, effective_maxiter,
+            pick_layout, solve_fom_stencil_pallas, sublanes_program_batch_limit,
         )
 
-        deflation = DeflationBasis.create(
-            host, biot=biot, m=128 if op.n <= 50_000 else 64
-        )
+        # m must be a multiple of 128 (kernel lane alignment — m=64 SIGABRTs
+        # the Mosaic compile helper; models/five_param.py deflation_basis)
+        deflation = DeflationBasis.create(host, biot=biot, m=128)
         mi = min(cg_maxiter, derived_maxiter(op.resolution))
 
+        # one jitted program for the WHOLE solve: the non-affine coarse
+        # projection (coarse_inverses_from_vals) is hundreds of XLA
+        # primitives, each paying a ~10 ms tunnel dispatch when run eagerly
+        # (measured 30x on the five-param path — api.make_fom_solver)
+        jit_solve = jax.jit(
+            lambda ks: solve_fom_stencil_pallas(
+                op, ks, tol=cg_tol, maxiter=mi, deflation=deflation
+            )
+        )
+
         def solver(ks):
-            u, iters = solve_fom_stencil_pallas(op, ks, tol=cg_tol, maxiter=mi,
-                                                deflation=deflation)
+            layout_s, tile_s = pick_layout(op.n, int(ks.shape[0]))
+            lim = (
+                sublanes_program_batch_limit(op.n, tile_s, deflation.m)
+                if layout_s == "sublanes" else None
+            )
+            u, iters = chunked_batched_solve(jit_solve, ks, lim)
             # derived_maxiter was calibrated on the 5-param log-uniform
             # range; nodal GP fields with higher contrast can need more.
             # An iters==cap solve is UNCONVERGED and would silently bias

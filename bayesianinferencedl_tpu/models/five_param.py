@@ -77,15 +77,19 @@ class FiveParamFin:
         modes + affine-Galerkin coarse components, host f64 once per mesh.
         Returns None for the ELL layout (no structured grid).
 
-        m defaults to 128 (a full MXU/lane tile) and drops to 64 on large
-        meshes where the bf16 Wt copy would crowd the kernels' VMEM."""
+        m defaults to 128 (a full MXU/lane tile). It must STAY a multiple of
+        128: the kernels' deflation matmuls put m on the lane axis, and m=64
+        SIGABRTs the Mosaic compile helper on the lane-alignment check
+        (measured 2026-08-17). At res16 (n~99k) the bf16 Wt copy is ~25 MB —
+        still inside the 127 MB kernel VMEM budget with the S=8 sublane
+        tile."""
         if not hasattr(self.host, "to_scipy_components"):
             return None
         if getattr(self, "_deflation", None) is None:
             from bayesianinferencedl_tpu.ops.deflation import DeflationBasis
 
             if m is None:
-                m = 128 if self.op.n <= 50_000 else 64
+                m = 128
             self._deflation = DeflationBasis.create(self.host, biot=self.op.biot, m=m)
         return self._deflation
 

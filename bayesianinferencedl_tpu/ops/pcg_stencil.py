@@ -167,7 +167,7 @@ def pcg_stencil_batch(
 
 
 def _jacobi_cg(matvec, psum, vals, F, x0, tol2_scale, *, maxiter: int,
-               check_every: int, coarse=None):
+               check_every: int, coarse=None, diag_slot: int = DIAG_SLOT):
     """Jacobi-PCG shared by the lanes and sublanes kernels, with an optional
     two-level deflation coarse correction.
 
@@ -187,7 +187,7 @@ def _jacobi_cg(matvec, psum, vals, F, x0, tol2_scale, *, maxiter: int,
     iteration counts grow like 1/h^2 — iterations drop several-fold for two
     small MXU matmuls per iteration.
     """
-    diag = vals[DIAG_SLOT]
+    diag = vals[diag_slot]
     inv_diag = jnp.where(diag != 0.0, pl.reciprocal(jnp.where(diag != 0.0, diag, 1.0), approx=False), 0.0)
 
     def precond(r):
@@ -243,14 +243,19 @@ def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, max
     at the same dependency depth: per-sample inner products are sublane
     reductions to (1, Bt), and alpha/beta are native sublane broadcasts.
     Samples that converge early ride along until the tile converges (extra
-    CG iterations are harmless — alpha ~ 0). Iteration form: _jacobi_cg."""
+    CG iterations are harmless — alpha ~ 0). Iteration form: _jacobi_cg.
+
+    vals_ref holds only the 4 UPPER diagonal planes [0, +o1, +o2, +o3]
+    (slot 0 = main diagonal): A is symmetric, so the -o plane is exactly
+    roll(+o plane, o) and the -o neighbor contribution is roll(vals[+o]*p, o)
+    — identical op count (3 muls + 3 rolls + 3 adds either way), 43% less
+    vals VMEM/HBM. offsets: the 3 POSITIVE flat offsets."""
 
     def matvec(vals, p):
-        acc = vals[DIAG_SLOT] * p
-        for s, o in enumerate(offsets):
-            if s == DIAG_SLOT:
-                continue
-            acc += vals[s] * pltpu.roll(p, -o % p.shape[0], 0)
+        acc = vals[0] * p
+        for j, o in enumerate(offsets):
+            acc += vals[1 + j] * pltpu.roll(p, -o % p.shape[0], 0)
+            acc += pltpu.roll(vals[1 + j] * p, o % p.shape[0], 0)
         return acc
 
     def psum(a):  # per-sample inner product -> (1, Bt)
@@ -277,7 +282,7 @@ def _pcg_kernel_lanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, max
 
     x, it = _jacobi_cg(
         matvec, psum, vals_ref[:], F_ref[:], x0_ref[:], tol2_ref[0],
-        maxiter=maxiter, check_every=check_every, coarse=coarse,
+        maxiter=maxiter, check_every=check_every, coarse=coarse, diag_slot=0,
     )
     out_ref[:] = x
     it_ref[:] = jnp.full(it_ref.shape, it, jnp.int32)
@@ -299,15 +304,20 @@ def pcg_stencil_batch_lanes(
 ):
     """Lane-tiled fused PCG (see _pcg_kernel_lanes). B must be a multiple of
     tile (solve_fom_stencil_pallas pads). Returns (x: (B, n), iters: (B,) —
-    each tile's joint iteration count)."""
+    each tile's joint iteration count). offsets: the full 7-entry DIA offset
+    tuple; only the upper planes ship to the kernel (symmetric matvec)."""
     B, n, seven = vals_flat.shape
     assert seven == 7 and B % tile == 0
+    assert len(offsets) == 7
+    offs_pos = tuple(offsets[DIAG_SLOT + 1:])
     dtype = vals_flat.dtype
     tol2 = jnp.asarray([tol * tol], dtype)
     n_tiles = B // tile
 
-    # lanes layout: (n_tiles, 7, n, tile); XLA does these transposes in HBM
-    vals_t = vals_flat.reshape(n_tiles, tile, n, 7).transpose(0, 3, 2, 1)
+    # lanes layout: (n_tiles, 4, n, tile) upper planes only (A symmetric —
+    # _pcg_kernel_lanes reconstructs the -o contributions by rolling);
+    # XLA does these transposes in HBM
+    vals_t = vals_flat[:, :, DIAG_SLOT:].reshape(n_tiles, tile, n, 4).transpose(0, 3, 2, 1)
     F_bt = jnp.broadcast_to(F_flat[:, None], (n, tile))
     if x0_flat is None:
         x0_t = jnp.zeros((n_tiles, n, tile), dtype)
@@ -319,7 +329,7 @@ def pcg_stencil_batch_lanes(
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
     )
     in_specs = [
-        pl.BlockSpec((1, 7, n, tile), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, n, tile), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n, tile), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, tile), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -351,14 +361,14 @@ def pcg_stencil_batch_lanes(
             (out_ref, it_ref), wt_ref, binv_ref = rest, None, None
         _pcg_kernel_lanes(
             tol2_ref, vals_ref.at[0], F_ref, x0_ref.at[0], out_ref.at[0], it_ref.at[0],
-            maxiter=maxiter, offsets=offsets, check_every=check_every,
+            maxiter=maxiter, offsets=offs_pos, check_every=check_every,
             wt_ref=wt_ref, binv_ref=binv_ref,
         )
 
     est_iters = max(maxiter // 4, 64)
     cost = pl.CostEstimate(
         flops=int(B * est_iters * n * 26),
-        bytes_accessed=int(B * (7 + 4) * n * 4),
+        bytes_accessed=int(B * (4 + 4) * n * 4),
         transcendentals=0,
     )
     x, iters = pl.pallas_call(
@@ -385,13 +395,17 @@ def _pcg_kernel_sublanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, 
     products are lane-axis reductions to (S, 1), and alpha/beta broadcast
     back along lanes. Stencil shifts are lane-axis rolls by the FLAT offset
     (wrap-around reads are multiplied by structurally-zero stencil values —
-    same argument as _shift)."""
-    def matvec(vals, p):  # (S, n) stencil apply, lane-axis rolls
-        acc = vals[DIAG_SLOT] * p
-        for s, o in enumerate(offsets):
-            if s == DIAG_SLOT:
-                continue
-            acc += vals[s] * pltpu.roll(p, -o % p.shape[1], 1)
+    same argument as _shift).
+
+    vals_ref holds only the 4 UPPER planes [0, +o1, +o2, +o3] (slot 0 =
+    main diagonal): A is symmetric, so the -o contribution is
+    roll(vals[+o]*p, o) — same op count, 43% less vals VMEM/HBM (what fits
+    the m=128 deflation basis at res16). offsets: the 3 POSITIVE offsets."""
+    def matvec(vals, p):  # (S, n) symmetric stencil apply, lane-axis rolls
+        acc = vals[0] * p
+        for j, o in enumerate(offsets):
+            acc += vals[1 + j] * pltpu.roll(p, -o % p.shape[1], 1)
+            acc += pltpu.roll(vals[1 + j] * p, o % p.shape[1], 1)
         return acc
 
     def psum(a):  # per-sample inner product -> (S, 1)
@@ -416,15 +430,17 @@ def _pcg_kernel_sublanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, 
 
         coarse = (apply_WT, apply_W, binv_fn)
 
+    # x0_ref=None: cold start synthesized in-kernel (no VMEM block at all)
+    x0 = jnp.zeros(out_ref.shape, F_ref.dtype) if x0_ref is None else x0_ref[:]
     x, it = _jacobi_cg(
-        matvec, psum, vals_ref[:], F_ref[:], x0_ref[:], tol2_ref[0],
-        maxiter=maxiter, check_every=check_every, coarse=coarse,
+        matvec, psum, vals_ref[:], F_ref[:], x0, tol2_ref[0],
+        maxiter=maxiter, check_every=check_every, coarse=coarse, diag_slot=0,
     )
     out_ref[:] = x
     it_ref[:] = jnp.full(it_ref.shape, it, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("maxiter", "tile", "offsets", "check_every"))
+@partial(jax.jit, static_argnames=("maxiter", "tile", "offsets", "check_every", "chunk"))
 def pcg_stencil_batch_sublanes(
     vals_flat: jax.Array,  # (B, n, 7) flat per-sample diagonal values
     F_flat: jax.Array,  # (n,)
@@ -437,80 +453,192 @@ def pcg_stencil_batch_sublanes(
     check_every: int = 16,
     Wt: jax.Array | None = None,  # (m, n) deflation basis (ops/deflation.py)
     Binv: jax.Array | None = None,  # (B, m, m) per-sample coarse inverses
+    chunk: bool | None = None,  # None = auto by VMEM estimate
 ):
     """Sublane-tiled fused PCG (see _pcg_kernel_sublanes). B must be a
     multiple of tile (solve_fom_stencil_pallas pads); tile a multiple of 8
     (the f32 sublane granule). Returns (x: (B, n), iters: (B,) — each
-    tile's joint iteration count)."""
+    tile's joint iteration count). offsets: the full 7-entry DIA offset
+    tuple; only the upper planes ship to the kernel (symmetric matvec).
+
+    x0_flat=None lowers a kernel with NO x0 operand (cold start synthesized
+    in-kernel) — one less (tile, n) VMEM block, which matters at res16.
+
+    When the multi-tile grid's double-buffered blocks would exceed VMEM
+    (big n + resident deflation basis), the call self-chunks: lax.map over
+    per-tile pallas_calls, each grid=(1,) and single-buffered. The lost
+    cross-tile transfer overlap is ~15 us/tile of HBM traffic against
+    multi-ms of in-kernel compute."""
     B, n, seven = vals_flat.shape
     assert seven == 7 and B % tile == 0 and tile % 8 == 0
+    assert len(offsets) == 7
+    offs_pos = tuple(offsets[DIAG_SLOT + 1:])
     dtype = vals_flat.dtype
     tol2 = jnp.asarray([tol * tol], dtype)
     n_tiles = B // tile
+    m = 0 if Wt is None else Wt.shape[0]
 
-    # (n_tiles, 7, S, n); the output (n_tiles, S, n) reshapes straight back
-    vals_t = vals_flat.reshape(n_tiles, tile, n, 7).transpose(0, 3, 1, 2)
+    # (n_tiles, 4, S, n) upper planes only (A symmetric — the kernel
+    # reconstructs -o contributions by rolling); the output (n_tiles, S, n)
+    # reshapes straight back
+    vals_t = vals_flat[:, :, DIAG_SLOT:].reshape(n_tiles, tile, n, 4).transpose(0, 3, 1, 2)
     F_1n = F_flat[None, :]
-    x0_t = (
-        jnp.zeros((n_tiles, tile, n), dtype)
-        if x0_flat is None
-        else x0_flat.reshape(n_tiles, tile, n)
-    )
+    x0_t = None if x0_flat is None else x0_flat.reshape(n_tiles, tile, n)
 
-    out_shape = (
-        jax.ShapeDtypeStruct((n_tiles, tile, n), dtype),
-        jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
-    )
-    in_specs = [
-        pl.BlockSpec((1, 7, tile, n), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile, n), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    extra = []
-    if Wt is not None:
-        m = Wt.shape[0]
-        binv_t = Binv.reshape(n_tiles, tile, m, m)
-        extra = [Wt.astype(jnp.bfloat16), binv_t]
-        in_specs.extend([
-            pl.BlockSpec((m, n), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, m, m), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        ])
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, tile, n), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-        ),
-    )
-
-    def kern(tol2_ref, vals_ref, F_ref, x0_ref, *rest):
-        if Wt is not None:
-            wt_ref, binv_ref, out_ref, it_ref = rest
-            binv_ref = binv_ref.at[0]
-        else:
-            (out_ref, it_ref), wt_ref, binv_ref = rest, None, None
-        _pcg_kernel_sublanes(
-            tol2_ref, vals_ref.at[0], F_ref, x0_ref.at[0], out_ref.at[0], it_ref.at[0],
-            maxiter=maxiter, offsets=offsets, check_every=check_every,
-            wt_ref=wt_ref, binv_ref=binv_ref,
+    # per-tile VMEM estimate with double buffering: 2x(4 vals planes [+x0]
+    # + out) + ~7 live CG/temp arrays, all (tile, n) f32, + resident Wt bf16
+    # + binv. Chunk to single-buffered per-tile calls when it busts the
+    # physical 128M (measured: res16 S=8 deflated = 137M double-buffered).
+    if chunk is None:
+        chunk = n_tiles > 1 and sublanes_needs_chunking(
+            n, tile, m, with_x0=x0_t is not None
+        )
+    if chunk and n_tiles > SUBLANES_MAX_UNROLL:
+        raise ValueError(
+            f"sublane-tiled PCG at n={n} needs self-chunking (VMEM) but "
+            f"B={B} is {n_tiles} tiles > the {SUBLANES_MAX_UNROLL}-tile "
+            "per-program limit (the remote Mosaic compile helper dies on "
+            "more kernel instances). Split the batch across dispatches: "
+            "chunked_batched_solve / sublanes_program_batch_limit."
         )
 
-    est_iters = max(maxiter // 4, 64)
-    cost = pl.CostEstimate(
-        flops=int(B * est_iters * n * 26),
-        bytes_accessed=int(B * (7 + 4) * n * 4),
-        transcendentals=0,
-    )
-    x, iters = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(1024 * 1024 * 127)),
-        cost_estimate=cost,
-    )(tol2, vals_t, F_1n, x0_t, *extra)
+    def call(vals_c, x0_c, binv_c):
+        nt = vals_c.shape[0]
+        out_shape = (
+            jax.ShapeDtypeStruct((nt, tile, n), dtype),
+            jax.ShapeDtypeStruct((nt, 1, 128), jnp.int32),
+        )
+        in_specs = [
+            pl.BlockSpec((1, 4, tile, n), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        ops = [vals_c, F_1n]
+        if x0_c is not None:
+            in_specs.append(pl.BlockSpec((1, tile, n), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM))
+            ops.append(x0_c)
+        if Wt is not None:
+            in_specs.extend([
+                pl.BlockSpec((m, n), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, m, m), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            ])
+            ops.extend([Wt.astype(jnp.bfloat16), binv_c])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, tile, n), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            ),
+        )
+
+        def kern(tol2_ref, vals_ref, F_ref, *rest):
+            if x0_c is not None:
+                x0_ref, rest = rest[0].at[0], rest[1:]
+            else:
+                x0_ref = None
+            if Wt is not None:
+                wt_ref, binv_ref, out_ref, it_ref = rest
+                binv_ref = binv_ref.at[0]
+            else:
+                (out_ref, it_ref), wt_ref, binv_ref = rest, None, None
+            _pcg_kernel_sublanes(
+                tol2_ref, vals_ref.at[0], F_ref, x0_ref, out_ref.at[0], it_ref.at[0],
+                maxiter=maxiter, offsets=offs_pos, check_every=check_every,
+                wt_ref=wt_ref, binv_ref=binv_ref,
+            )
+
+        est_iters = max(maxiter // 4, 64)
+        cost = pl.CostEstimate(
+            flops=int(nt * tile * est_iters * n * 26),
+            bytes_accessed=int(nt * tile * (4 + 4) * n * 4),
+            transcendentals=0,
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(1024 * 1024 * 127)),
+            cost_estimate=cost,
+        )(tol2, *ops)
+
+    binv_t = None if Wt is None else Binv.reshape(n_tiles, tile, m, m)
+    if chunk:
+        # trace-time unroll, NOT lax.map/scan: this environment's remote
+        # AOT helper crashes (subprocess exit 1) on a pallas_call inside a
+        # scan body, while N identical top-level custom calls compile fine
+        # (the Mosaic payload is identical -> compiled once). XLA schedules
+        # the calls sequentially; each runs grid=(1,) single-buffered.
+        xs, its = [], []
+        for t in range(n_tiles):
+            x1, it1 = call(
+                vals_t[t:t + 1],
+                None if x0_t is None else x0_t[t:t + 1],
+                None if binv_t is None else binv_t[t:t + 1],
+            )
+            xs.append(x1)
+            its.append(it1)
+        x = jnp.concatenate(xs, 0)
+        iters = jnp.concatenate(its, 0)
+    else:
+        x, iters = call(vals_t, x0_t, binv_t)
     return x.reshape(B, n), jnp.repeat(iters[:, 0, 0], tile)
+
+
+# one program may hold at most this many single-buffered kernel instances:
+# the remote Mosaic compile helper compiles 4 unrolled per-tile calls at
+# res16+deflation but dies (subprocess exit 1) on 6 or 8 (measured
+# 2026-08-17)
+SUBLANES_MAX_UNROLL = 4
+
+
+def sublanes_needs_chunking(n: int, tile: int, m: int = 0, *, with_x0: bool = False) -> bool:
+    """Would the multi-tile sublane grid bust VMEM double-buffered?
+
+    Calibration (res16, S=8, m=128, x0 operand present, 2026-08-17):
+    single-buffered total measured 127.0M of 128M = Wt 25.4M bf16 + binv +
+    ~32 per-tile (tile, n)-f32 units — Mosaic keeps far more live
+    temporaries than the naive 7-array CG state count; double buffering the
+    windowed blocks adds them again (measured 137M pre-symmetric-matvec)."""
+    per_tile = tile * n * 4
+    dbl = (32 + 4 + 1 + (1 if with_x0 else 0)) * per_tile
+    dbl += m * n * 2 + tile * m * m * 4
+    return dbl > 120 * 1024 * 1024
+
+
+def sublanes_program_batch_limit(
+    n: int, tile: int = 8, m: int = 0, *, with_x0: bool = False
+) -> int | None:
+    """Max samples one dispatched program can solve at this problem size, or
+    None if the multi-tile grid fits VMEM (no limit). Callers with bigger
+    batches split across dispatches (chunked_batched_solve) — the dispatches
+    pipeline asynchronously, so the per-program tunnel RTT amortizes."""
+    if sublanes_needs_chunking(n, tile, m, with_x0=with_x0):
+        return SUBLANES_MAX_UNROLL * tile
+    return None
+
+
+def chunked_batched_solve(solve_fn, ks: jax.Array, limit: int | None):
+    """Eager dispatch-level batch splitter for (ks) -> (u, iters) solvers.
+
+    Every chunk is padded to exactly `limit` samples so one compiled program
+    serves all chunks; dispatches are queued back-to-back (JAX async) so the
+    device runs them without waiting on the host."""
+    B = ks.shape[0]
+    if limit is None or B <= limit:
+        return solve_fn(ks)
+    us, its = [], []
+    for i in range(0, B, limit):
+        c = ks[i : i + limit]
+        pad = limit - c.shape[0]
+        if pad:
+            c = jnp.concatenate([c, jnp.repeat(c[:1], pad, 0)], 0)
+        u, it = solve_fn(c)
+        if pad:
+            u, it = u[:-pad], it[:-pad]
+        us.append(u)
+        its.append(it)
+    return jnp.concatenate(us, 0), jnp.concatenate(its, 0)
 
 
 def pick_layout(
@@ -519,20 +647,20 @@ def pick_layout(
     """Choose the fused-PCG batching layout for problem size n and batch.
 
     ("lanes", 128): samples on the lane axis, state (n, 128) — the fastest
-    layout, VMEM working set ~14*n*128*4 bytes (only fits small meshes;
-    res<=4 at the default budget).
+    layout, VMEM working set ~11*n*128*4 bytes with the symmetric 4-plane
+    vals layout (only fits small meshes; res<=4 at the default budget).
 
     ("sublanes", S): samples on the sublane axis, state (S, n) — keeps
     batching alive at res>=8 (VERDICT r2 item 1). S is the largest multiple
-    of 8 whose full VMEM footprint fits: ~(2x double-buffered 7 value planes
+    of 8 whose full VMEM footprint fits: ~(2x double-buffered 4 value planes
     + 2x2 in/out blocks + 4 live CG arrays + ~2 temporaries) * S * n * 4
-    ≈ 24*S*n*4 bytes.
+    ≈ 18*S*n*4 bytes.
 
     ("single", 1): the per-sample 2-D grid kernel — fallback for problems
     too large for even an 8-sublane tile."""
-    if batch >= 64 and 14 * n * 128 * 4 <= vmem_budget_bytes:
+    if batch >= 64 and 11 * n * 128 * 4 <= vmem_budget_bytes:
         return "lanes", 128
-    S = (vmem_budget_bytes // (24 * n * 4)) // 8 * 8
+    S = (vmem_budget_bytes // (18 * n * 4)) // 8 * 8
     # cap at 8: the kernel is VPU-issue-bound, so per-tile-iteration time
     # scales ~linearly with S (S=8: 4.94us, S=16: 9.77us at res8) and
     # measured throughput peaks at S=8 (8: 1969/s, 16: 1905, 32: 1850 at
@@ -551,7 +679,7 @@ def pick_sample_tile(n: int, batch: int, vmem_budget_bytes: int = 80 * 1024 * 10
     """Backwards-compatible wrapper over pick_layout: the lane tile (128)
     when the lanes layout fits, else 1. Prefer pick_layout (which can also
     return the sublane layout that replaces the 1-cliff at res>=8)."""
-    working_set = 14 * n * 128 * 4
+    working_set = 11 * n * 128 * 4
     if working_set > vmem_budget_bytes or batch < 64:
         return 1
     return 128
@@ -625,7 +753,7 @@ def solve_fom_stencil_pallas(
             layout, sample_tile = pick_layout(op.n, B)
         elif sample_tile <= 1:
             layout = "single"
-        elif sample_tile == 128 and 14 * op.n * 128 * 4 <= 100 * 1024 * 1024:
+        elif sample_tile == 128 and 11 * op.n * 128 * 4 <= 100 * 1024 * 1024:
             layout = "lanes"
         else:
             layout = "sublanes"

@@ -101,6 +101,61 @@ def test_pallas_sublanes_kernel_matches_scipy(mesh_r1, op32):
         assert rel < 5e-5, (b, rel)
 
 
+def test_sublanes_chunked_matches_grid(op32):
+    """The self-chunking path (lax.map of single-buffered per-tile calls —
+    what res16+deflation compiles where the multi-tile grid OOMs VMEM) must
+    produce the same solutions as the multi-tile grid path, with and
+    without x0."""
+    from bayesianinferencedl_tpu.ops.pcg_stencil import pcg_stencil_batch_sublanes
+
+    ks = np.exp(np.random.default_rng(3).normal(0, 0.4, (16, 5))).astype(np.float32)
+    vals = jax.vmap(op32.vals)(jnp.asarray(ks))
+    offs = tuple(int(o) for o in op32.offsets)
+    kw = dict(tol=1e-6, maxiter=800, tile=8, offsets=offs)
+    with pltpu.force_tpu_interpret_mode():
+        u_grid, it_grid = pcg_stencil_batch_sublanes(vals, op32.F_root, None, chunk=False, **kw)
+        u_chunk, it_chunk = pcg_stencil_batch_sublanes(vals, op32.F_root, None, chunk=True, **kw)
+        x0 = u_grid * 0.5
+        u_warm, it_warm = pcg_stencil_batch_sublanes(vals, op32.F_root, x0, chunk=True, **kw)
+    np.testing.assert_allclose(np.asarray(u_chunk), np.asarray(u_grid), rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(it_chunk), np.asarray(it_grid))
+    # warm start converges to the same solution in fewer iterations
+    np.testing.assert_allclose(np.asarray(u_warm), np.asarray(u_grid), rtol=0, atol=1e-4)
+    assert (np.asarray(it_warm) <= np.asarray(it_grid)).all()
+
+
+def test_chunked_batched_solve_splits_and_pads(op32):
+    """Dispatch-level batch splitting (res16+deflation: one program holds
+    <= 4 kernel instances) pads every chunk to the compiled size and
+    reassembles exactly; the limit helpers agree on when it's needed."""
+    from bayesianinferencedl_tpu.ops.pcg_stencil import (
+        chunked_batched_solve, sublanes_needs_chunking,
+        sublanes_program_batch_limit,
+    )
+
+    calls = []
+
+    def fake_solve(ks):  # records chunk shapes, returns identifiable output
+        calls.append(int(ks.shape[0]))
+        return ks * 2.0, jnp.full((ks.shape[0],), len(calls), jnp.int32)
+
+    ks = jnp.arange(20.0, dtype=jnp.float32)[:, None] * jnp.ones((1, 5))
+    u, it = chunked_batched_solve(fake_solve, ks, 8)
+    assert calls == [8, 8, 8]  # 20 -> 8 + 8 + 4(padded to 8)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(ks) * 2.0)
+    assert u.shape == (20, 5) and it.shape == (20,)
+    # no limit -> single passthrough call
+    calls.clear()
+    u2, _ = chunked_batched_solve(fake_solve, ks, None)
+    assert calls == [20]
+
+    # res16-sized problem with the m=128 basis must chunk; res8 must not
+    assert sublanes_needs_chunking(99072, 8, 128)
+    assert sublanes_program_batch_limit(99072, 8, 128) == 32
+    assert not sublanes_needs_chunking(24960, 8, 128)
+    assert sublanes_program_batch_limit(24960, 8, 128) is None
+
+
 def test_pick_layout_no_cliff():
     """pick_layout must not cliff to the single-sample kernel at mid
     resolutions: res8/res16-sized problems get a sublane tile >= 8."""
