@@ -48,12 +48,14 @@ def deflation_mxu_flops(n: int, m: int, iters: float) -> float:
 
 
 def stencil_pcg_vmem_bytes_per_sample(n: int, iters: float) -> float:
-    """VMEM traffic per solve in the lane-tiled kernel (ops/pcg_stencil.py
-    pcg_stencil_batch_lanes): each iteration touches ~14 full arrays (7 value
-    planes + Ap/x/r/p/z traffic) of n x 128 lanes x 4 bytes per 128-sample
-    tile — i.e. 14 * n * 4 * iters bytes attributable per sample. The kernel
-    is VMEM-bandwidth-bound (measured ~2.2 TB/s effective), not VPU-bound."""
-    return 14.0 * 4.0 * n * iters
+    """VMEM traffic per solve in the tiled kernels (ops/pcg_stencil.py
+    lanes/sublanes layouts, symmetric 4-plane vals): each iteration touches
+    ~11 full arrays (4 stored value planes + the 3 rolled vals*p products +
+    Ap/x/r/p/z traffic; the flop count is unchanged at 26/cell/iter — the
+    -o planes compute as rolls, not loads) of n x 4 bytes — i.e.
+    11 * n * 4 * iters bytes attributable per sample. The kernel is
+    VMEM-bandwidth-bound (measured ~2.2 TB/s effective), not VPU-bound."""
+    return 11.0 * 4.0 * n * iters
 
 
 def stencil_pcg_xla_bytes(grid_x: int, grid_y: int, iters: float) -> float:

@@ -40,18 +40,24 @@ def _readback(out):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _timed(fn, *args, fresh=None):
-    """Compile (first call), then time the steady-state second call with a
-    forced readback. fresh: optional thunk producing new arguments for the
-    timed call so the dispatch is never identical to the warm-up one."""
+def _timed(fn, *args, fresh=None, reps=3):
+    """Compile (first call), then time `reps` steady-state calls and keep the
+    best, each with a forced readback and FRESH arguments (fresh: thunk
+    taking the repeat index) so no timed dispatch is identical to a previous
+    one (CLAUDE.md timing rule). Best-of-N because single dispatches over
+    the remote tunnel carry multi-tens-of-ms jitter that is queueing, not
+    kernel time (measured 2.3x spread on identical programs)."""
     out = fn(*args)
     _readback(out)
-    if fresh is not None:
-        args = fresh()
-    t0 = time.perf_counter()
-    out = fn(*args)
-    _readback(out)
-    return out, time.perf_counter() - t0
+    best = float("inf")
+    for i in range(reps):
+        if fresh is not None:
+            args = fresh(i)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _readback(out)
+        best = min(best, time.perf_counter() - t0)
+    return out, best
 
 
 def main() -> None:
@@ -99,17 +105,17 @@ def main() -> None:
     fom_xla = jax.jit(
         jax.vmap(lambda k: pipe.fin.op.observe(solve_fom(pipe.fin.op, k, tol=1e-7, maxiter=1500)))
     )
-    _, dt = _timed(fom_xla, ks, fresh=lambda: (ks_batch(4, 256),))
+    _, dt = _timed(fom_xla, ks, fresh=lambda i: (ks_batch(40 + i, 256),))
     fom_sps_xla = 256 / dt
 
     pallas_solver = make_fom_solver(pipe.fin, tol=1e-7, maxiter=1500, use_pallas=True)
-    u_p, dt = _timed(pallas_solver, ks, fresh=lambda: (ks_batch(4, 256),))
+    u_p, dt = _timed(pallas_solver, ks, fresh=lambda i: (ks_batch(40 + i, 256),))
     fom_sps_pallas = 256 / dt
 
     # the lane-tiled kernel's strong regime: samples on the 128-lane axis,
     # batch large enough to fill them (the dataset-generation regime)
     ks4k = ks_batch(5, 4096)
-    _, dt = _timed(pallas_solver, ks4k, fresh=lambda: (ks_batch(6, 4096),))
+    _, dt = _timed(pallas_solver, ks4k, fresh=lambda i: (ks_batch(60 + i, 4096),))
     fom_sps_pallas_peak = 4096 / dt
     # kernel roofline: VPU stencil iterations + MXU deflation, all in VMEM.
     # Flat-layout flop tallies (the grid-plane X*Y figure would overcount
@@ -133,7 +139,7 @@ def main() -> None:
     log_ks = jnp.log(ks)
     big = jnp.tile(log_ks, (64, 1))  # 16384 corrected-forward evals
     corr_batch = jax.jit(jax.vmap(pipe.forward_fn("rom_nn")))
-    _, dt = _timed(corr_batch, big, fresh=lambda: (jnp.tile(jnp.log(ks_batch(4, 256)), (64, 1)),))
+    _, dt = _timed(corr_batch, big, fresh=lambda i: (jnp.tile(jnp.log(ks_batch(40 + i, 256)), (64, 1)),))
     corr_sps = big.shape[0] / dt
 
     # --- resolution scaling of the deflated Pallas kernel (VERDICT r2 #1) ---
@@ -151,7 +157,7 @@ def main() -> None:
             fin_r, tol=1e-7, maxiter=derived_maxiter(res), use_pallas=True,
             with_iters=True,
         )
-        (_, it_r), dt = _timed(solver_r, ks, fresh=lambda: (ks_batch(4, 256),))
+        (_, it_r), dt = _timed(solver_r, ks, fresh=lambda i: (ks_batch(40 + i, 256),))
         layout_r, tile_r = pick_layout(fin_r.op.n, 256)
         rate = 256 / dt
         it_mean = float(jnp.mean(it_r))

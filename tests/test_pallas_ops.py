@@ -124,6 +124,22 @@ def test_sublanes_chunked_matches_grid(op32):
     assert (np.asarray(it_warm) <= np.asarray(it_grid)).all()
 
 
+def test_sublanes_chunk_unroll_limit(op32):
+    """A chunked sublane solve beyond the per-program instance limit must
+    raise the clear split-your-batch error (the remote compile helper dies
+    on >4 kernel instances), not produce an opaque compile failure."""
+    from bayesianinferencedl_tpu.ops.pcg_stencil import pcg_stencil_batch_sublanes
+
+    ks = np.exp(np.random.default_rng(4).normal(0, 0.4, (48, 5))).astype(np.float32)
+    vals = jax.vmap(op32.vals)(jnp.asarray(ks))
+    offs = tuple(int(o) for o in op32.offsets)
+    with pytest.raises(ValueError, match="chunked_batched_solve"):
+        pcg_stencil_batch_sublanes(
+            vals, op32.F_root, None, tol=1e-6, maxiter=800, tile=8,
+            offsets=offs, chunk=True,
+        )
+
+
 def test_chunked_batched_solve_splits_and_pads(op32):
     """Dispatch-level batch splitting (res16+deflation: one program holds
     <= 4 kernel instances) pads every chunk to the compiled size and
