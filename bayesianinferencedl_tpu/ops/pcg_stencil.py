@@ -642,7 +642,8 @@ def chunked_batched_solve(solve_fn, ks: jax.Array, limit: int | None):
 
 
 def pick_layout(
-    n: int, batch: int, vmem_budget_bytes: int = 100 * 1024 * 1024
+    n: int, batch: int, vmem_budget_bytes: int = 100 * 1024 * 1024,
+    deflated: bool = False,
 ) -> tuple[str, int]:
     """Choose the fused-PCG batching layout for problem size n and batch.
 
@@ -657,19 +658,32 @@ def pick_layout(
     ≈ 18*S*n*4 bytes.
 
     ("single", 1): the per-sample 2-D grid kernel — fallback for problems
-    too large for even an 8-sublane tile."""
+    too large for even an 8-sublane tile.
+
+    deflated: the two-level coarse correction changes the optimal S. PLAIN
+    kernels are VPU-issue-bound, so per-tile-iteration time scales ~linearly
+    with S (S=8: 4.94us, S=16: 9.77us at res8) and throughput peaks at S=8
+    (8: 1969/s, 16: 1905, 32: 1850 at res8 B=256). DEFLATED kernels spend
+    their iteration on two (S x n)x(n x m) MXU matmuls that use only S of
+    128 MXU rows — with the symmetric 4-plane kernel, S=16 measured 1.06-
+    1.08x S=8 at res8 B=256 (4768-4773 -> 5026-5179 solves/s, fresh-input
+    timing; the gap was 1.35x before the 4-plane rewrite shrank the VPU
+    share), so take S=16 whenever its footprint still fits unchunked
+    (res8: yes; res12/16: the m=128 basis + state busts VMEM — measured,
+    and sublanes_needs_chunking agrees). Mosaic compile limits bite above
+    32 anyway: S=40 at res8 crashes the compile helper; S=128 at res4 never
+    finishes."""
     if batch >= 64 and 11 * n * 128 * 4 <= vmem_budget_bytes:
         return "lanes", 128
     S = (vmem_budget_bytes // (18 * n * 4)) // 8 * 8
-    # cap at 8: the kernel is VPU-issue-bound, so per-tile-iteration time
-    # scales ~linearly with S (S=8: 4.94us, S=16: 9.77us at res8) and
-    # measured throughput peaks at S=8 (8: 1969/s, 16: 1905, 32: 1850 at
-    # res8 B=256 plain). With the deflation basis resident the larger tiles
-    # also blow the VMEM budget this formula doesn't see — the round-3 bench
-    # measured S=32 + m=128 at res8 collapsing to 140/s vs 2808/s at S=8.
-    # (Mosaic compile limits bite above 32 anyway: S=40 at res8 crashes the
-    # compile helper; S=128 at res4 never finishes.)
     S = min(S, 8)
+    if (
+        deflated
+        and batch >= 16
+        and S >= 8
+        and not sublanes_needs_chunking(n, 16, 128)
+    ):
+        S = 16
     if S >= 8:
         return "sublanes", S
     return "single", 1
@@ -750,7 +764,7 @@ def solve_fom_stencil_pallas(
     B = ks.shape[0]
     if layout is None:
         if sample_tile is None:
-            layout, sample_tile = pick_layout(op.n, B)
+            layout, sample_tile = pick_layout(op.n, B, deflated=deflation is not None)
         elif sample_tile <= 1:
             layout = "single"
         elif sample_tile == 128 and 11 * op.n * 128 * 4 <= 100 * 1024 * 1024:
@@ -758,7 +772,9 @@ def solve_fom_stencil_pallas(
         else:
             layout = "sublanes"
     elif sample_tile is None:
-        sample_tile = {"lanes": 128, "single": 1}.get(layout) or pick_layout(op.n, B)[1]
+        sample_tile = {"lanes": 128, "single": 1}.get(layout) or pick_layout(
+            op.n, B, deflated=deflation is not None
+        )[1]
 
     if layout == "single":
         vals2d = jax.vmap(op.vals_grid)(ks)  # (B, 7, X, Y)

@@ -180,10 +180,12 @@ def test_pick_layout_no_cliff():
     kind4, t4 = pick_layout(6400, 256)
     assert (kind4, t4) == ("lanes", 128)
     kind8, t8 = pick_layout(24960, 256)
-    # capped at 8: the kernel is issue-bound so throughput peaks at S=8,
-    # and the deflation basis needs the VMEM headroom (bench r3 measured
-    # S=32 + m=128 collapsing 20x vs S=8)
+    # plain kernels are issue-bound: throughput peaks at S=8
     assert (kind8, t8) == ("sublanes", 8)
+    # deflated kernels are MXU-row-starved at S=8: S=16 measured 1.06-1.08x
+    # at res8 (where it fits); res16 can't afford it next to the m=128 basis
+    assert pick_layout(24960, 256, deflated=True) == ("sublanes", 16)
+    assert pick_layout(99072, 256, deflated=True) == ("sublanes", 8)
     kind16, t16 = pick_layout(99072, 256)
     assert kind16 == "sublanes" and t16 >= 8
     # absurdly large problem still falls back cleanly
