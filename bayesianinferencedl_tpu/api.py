@@ -162,13 +162,21 @@ class Pipeline:
             rom_precision=_online_precision(cfg.rom.online_precision),
         )
 
-    def batched_forward_fn(self, likelihood: str) -> Callable:
+    def batched_forward_fn(self, likelihood: str, *, differentiable: bool = False) -> Callable:
         """(n_chains, d) -> (n_chains, m) forward map for the chain hot loop.
 
         For the FOM likelihood on TPU this routes the whole proposal batch
         through the fused Pallas PCG kernel in one call per MCMC step —
         full-order-likelihood MCMC as a single XLA program; otherwise it is
-        the vmapped per-theta forward."""
+        the vmapped per-theta forward.
+
+        differentiable=True (gradient-based samplers, infer/mala.py) routes
+        around the non-differentiable fast paths: every solve then goes
+        through ``lax.custom_linear_solve`` (implicit diff — gradients are
+        exact adjoint solves, never reverse-mode through CG iterations),
+        i.e. the vmapped per-theta forward for every likelihood."""
+        if differentiable:
+            return jax.vmap(self.forward_fn(likelihood))
         if (
             likelihood == "fom"
             and jax.default_backend() == "tpu"
@@ -260,7 +268,7 @@ def make_fom_solver(
             # at res16-scale the sublane grid self-chunks and one program
             # holds <= 4 kernel instances; bigger batches split across
             # async dispatches (ops/pcg_stencil.py)
-            layout, tile = pick_layout(fin.op.n, B)
+            layout, tile = pick_layout(fin.op.n, B, deflated=m > 0)
             if layout != "sublanes":
                 return None
             return sublanes_program_batch_limit(fin.op.n, tile, m)
@@ -535,6 +543,108 @@ def run_pcn_checkpointed(
         phi_trace=phis,
         accept_rate=acc_counts / max(acc_steps, 1),
         beta=betas,
+    )
+
+
+def run_mala_checkpointed(
+    misfit_fn,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step: float = 0.1,
+    segment: int = 1000,
+    batched: bool = False,
+    ref=None,
+    ckpt_path: str = "mala_chain_ckpt.npz",
+    resume: bool = True,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Preconditioned MALA with periodic chain-state checkpoints and exact
+    resume — the failure-recovery contract of run_pcn_checkpointed (SURVEY.md
+    §5) for the gradient-based sampler (infer/mala.py).
+
+    Persists (working-coordinate chain states, adapted per-chain step sizes,
+    RNG key, accept counts); a killed run restarted with the same arguments
+    continues with the identical RNG stream, so the surviving samples are
+    bit-identical to an uninterrupted run's corresponding segments."""
+    import os
+
+    from bayesianinferencedl_tpu.infer.mala import MALAResult, run_mala
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    log = metrics or MetricsLogger()
+    hi = jax.lax.Precision.HIGHEST
+    ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
+    dtype = theta0.dtype
+    theta = theta0
+    hs = jnp.full(theta0.shape[:-1], step, dtype)
+    acc_counts = jnp.zeros(theta0.shape[:-1], jnp.float32)
+    step_done = 0
+    acc_steps = 0
+    chunks: list = []
+    chunk_steps: list = []
+    exemplar = (theta, hs, key, acc_counts)
+    if resume and os.path.exists(ckpt_path):
+        (theta, hs, key, acc_counts), meta = load_checkpoint(ckpt_path, exemplar)
+        step_done = int(meta["step"])
+        acc_steps = int(meta.get("accept_steps", 0))
+        chunk_steps = list(meta.get("chunk_steps", []))
+        for s in chunk_steps:
+            z = np.load(f"{ckpt_path}.samples_{s}.npz")
+            chunks.append((z["samples"], z["phis"]))
+        log.log("mala_chain_resume", step=step_done, chunks=len(chunks))
+
+    res = None
+    while step_done < n_steps:
+        this = min(segment, n_steps - step_done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - step_done, 0), this)
+        res = run_mala(
+            misfit_fn, prior, theta, sub,
+            n_steps=this, n_burn=burn, step=hs, thin=1, adapt=True,
+            batched=batched, adapt_t0=jnp.asarray(step_done, dtype), ref=ref,
+        )
+        theta = ref_mean + jnp.dot(res.state.y, ref_chol.T, precision=hi)
+        hs = res.step
+        step_done += this
+        kept = this - burn
+        if kept > 0:
+            acc_counts = acc_counts + res.accept_rate * kept
+            acc_steps += kept
+        if res.samples.shape[0] > 0:
+            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
+            np.savez_compressed(
+                f"{ckpt_path}.samples_{step_done}.npz",
+                samples=np.asarray(res.samples),
+                phis=np.asarray(res.phi_trace),
+            )
+            chunk_steps.append(step_done)
+        save_checkpoint(
+            ckpt_path,
+            (theta, hs, key, acc_counts),
+            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
+        )
+        log.log("mala_chain_checkpoint", step=step_done,
+                accept=float(jnp.mean(res.accept_rate)))
+
+    C, d = theta.shape
+    samples = (
+        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C, d), dtype)
+    )
+    phis = (
+        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C), dtype)
+    )
+    return MALAResult(
+        state=res.state if res is not None else None,
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=acc_counts / max(acc_steps, 1),
+        step=hs,
     )
 
 
@@ -915,7 +1025,7 @@ def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]
             pipe.fin, tol=pipe.fin.cg_tol, maxiter=cap_in, with_iters=True
         )
         _, iters = solver(ks)
-        layout, _ = pick_layout(pipe.fin.op.n, ks.shape[0])
+        layout, _ = pick_layout(pipe.fin.op.n, ks.shape[0], deflated=solver.deflated())
         cap = effective_maxiter(cap_in, layout, solver.deflated())
     else:
         cap = pipe.fin.cg_maxiter
@@ -966,7 +1076,7 @@ def run_inversion(
     fwd = lambda x: fwd_theta(to_theta(x))
     misfit = gaussian_misfit(fwd, data, cfg.noise_sigma)
 
-    if smp in ("laplace_mh", "gpcn"):
+    if smp in ("laplace_mh", "gpcn", "mala_lap"):
         # offline: MAP (multistart BFGS) + Gauss-Newton Laplace approximation
         from bayesianinferencedl_tpu.infer.map import find_map_multistart, laplace_approximation
         from bayesianinferencedl_tpu.infer.samplers import run_gpcn, run_laplace_mh
@@ -983,11 +1093,52 @@ def run_inversion(
                 misfit, pipe.prior, lap, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn,
             )
-        else:
+        elif smp == "gpcn":
             run = lambda k: run_gpcn(
                 misfit, pipe.prior, lap, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
             )
+        else:  # mala_lap: Laplace-preconditioned MALA — posterior-covariance
+            # steps that stay EXACT on non-Gaussian posteriors where the
+            # laplace_mh independence sampler mixes poorly (infer/mala.py)
+            from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
+
+            fwd_bl_theta = pipe.batched_forward_fn(like, differentiable=True)
+            fwd_bl = lambda xs: fwd_bl_theta(to_theta(xs))
+            misfit_bl = gaussian_misfit(fwd_bl, data, cfg.noise_sigma)
+            lap_ref = (lap.mean, lap.chol)
+            if like == "fom":
+                # each step = batched solve + adjoint solve: segment it
+                if mesh is not None:
+                    from bayesianinferencedl_tpu.parallel.sharding import (
+                        sharded_mala_segmented,
+                    )
+
+                    run = lambda k: sharded_mala_segmented(
+                        mesh, misfit_bl, pipe.prior, theta0, k,
+                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
+                        step=cfg.mala_step, segment=32, batched=True, ref=lap_ref,
+                    )
+                else:
+                    run = lambda k: run_mala_segmented(
+                        misfit_bl, pipe.prior, theta0, k,
+                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
+                        step=cfg.mala_step, segment=32, batched=True, ref=lap_ref,
+                    )
+            elif mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
+
+                run = lambda k: sharded_mala(
+                    mesh, misfit_bl, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                    thin=cfg.thin, batched=True, ref=lap_ref,
+                )
+            else:
+                run = lambda k: run_mala(
+                    misfit_bl, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                    thin=cfg.thin, batched=True, ref=lap_ref,
+                )
     else:
         theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
         fwd_b_theta = pipe.batched_forward_fn(like)
@@ -1082,6 +1233,47 @@ def run_inversion(
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     subchain=cfg.subchain, segment=segment,
                     batched_fine=True, batched_coarse=True,
+                )
+        elif smp == "mala":
+            # prior-preconditioned MALA: gradient-informed proposals from
+            # ONE fused forward+reverse pass per step — rom/rom_nn gradients
+            # are matmul+MLP autodiff; fom gradients are exact adjoint solves
+            # through lax.custom_linear_solve (infer/mala.py)
+            from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
+
+            fwd_bd_theta = pipe.batched_forward_fn(like, differentiable=True)
+            fwd_bd = lambda xs: fwd_bd_theta(to_theta(xs))
+            misfit_b = gaussian_misfit(fwd_bd, data, cfg.noise_sigma)
+            if like == "fom":
+                if mesh is not None:
+                    from bayesianinferencedl_tpu.parallel.sharding import (
+                        sharded_mala_segmented,
+                    )
+
+                    run = lambda k: sharded_mala_segmented(
+                        mesh, misfit_b, pipe.prior, theta0, k,
+                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
+                        step=cfg.mala_step, segment=32, batched=True,
+                    )
+                else:
+                    run = lambda k: run_mala_segmented(
+                        misfit_b, pipe.prior, theta0, k,
+                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
+                        step=cfg.mala_step, segment=32, batched=True,
+                    )
+            elif mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
+
+                run = lambda k: sharded_mala(
+                    mesh, misfit_b, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                    thin=cfg.thin, batched=True,
+                )
+            else:
+                run = lambda k: run_mala(
+                    misfit_b, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                    thin=cfg.thin, batched=True,
                 )
         elif like == "fom":
             # full-order solves per step: segment the run so no single device

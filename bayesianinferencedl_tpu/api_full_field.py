@@ -80,7 +80,13 @@ class FullFieldPipeline:
             return lambda z: ff(self.conductivity(z)) + self.surrogate.predict(z)
         raise ValueError(f"unknown likelihood {likelihood!r}")
 
-    def batched_forward_fn(self, likelihood: str) -> Callable:
+    def batched_forward_fn(self, likelihood: str, *, differentiable: bool = False) -> Callable:
+        """differentiable=True (gradient-based samplers, infer/mala.py):
+        route around the non-differentiable fast paths so every solve goes
+        through lax.custom_linear_solve — same contract as
+        api.Pipeline.batched_forward_fn."""
+        if differentiable:
+            return jax.vmap(self.forward_fn(likelihood))
         if likelihood == "fom" and jax.default_backend() == "tpu" and self.op.dtype == jnp.float32:
             from bayesianinferencedl_tpu.ops.pcg_stencil import derived_maxiter, solve_fom_stencil_pallas
 
@@ -184,7 +190,7 @@ def build_full_field_pipeline(
         )
 
         def solver(ks):
-            layout_s, tile_s = pick_layout(op.n, int(ks.shape[0]))
+            layout_s, tile_s = pick_layout(op.n, int(ks.shape[0]), deflated=True)
             lim = (
                 sublanes_program_batch_limit(op.n, tile_s, deflation.m)
                 if layout_s == "sublanes" else None
@@ -195,7 +201,9 @@ def build_full_field_pipeline(
             # An iters==cap solve is UNCONVERGED and would silently bias
             # the training/observation 'truth' — surface it. (The kernel's
             # effective bound accounts for tiling + deflation.)
-            cap = effective_maxiter(mi, pick_layout(op.n, int(ks.shape[0]))[0], True)
+            cap = effective_maxiter(
+                mi, pick_layout(op.n, int(ks.shape[0]), deflated=True)[0], True
+            )
             max_it = int(jnp.max(iters))
             if max_it >= cap:
                 log.log("fom_solver_unconverged", max_iters=max_it, cap=cap)
@@ -288,6 +296,7 @@ def run_full_field_inversion(
     n_temps: int = 5,
     lambda_min: float = 0.02,
     subchain: int = 8,
+    mala_step: float = 0.1,
     z_true: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     mesh=None,
@@ -302,12 +311,15 @@ def run_full_field_inversion(
     coefficient space first (the whole point of the unbounded z coordinates) —
     "da_pcn" (rom_nn subchains + exact `likelihood` correction per outer
     step; n_steps/n_burn then count outer steps), "pt_pcn" (parallel
-    tempering — multimodal posteriors), or "pt_da_pcn" (tempered delayed
-    acceptance: exact `likelihood` posterior on a multimodal problem).
+    tempering — multimodal posteriors), "pt_da_pcn" (tempered delayed
+    acceptance: exact `likelihood` posterior on a multimodal problem), or
+    "mala"/"mala_lap" (gradient-based Langevin proposals — prior- or
+    Laplace-preconditioned; infer/mala.py).
 
     mesh: optional jax.sharding.Mesh — shards the chain (group) axis over
-    ICI for pcn/da_pcn/pt_pcn/pt_da_pcn, same contract as api.run_inversion
-    (the Laplace samplers stay single-device; their cost is the offline MAP).
+    ICI for pcn/da_pcn/pt_pcn/pt_da_pcn/mala/mala_lap, same contract as
+    api.run_inversion (the Laplace independence/gpcn samplers stay
+    single-device; their cost is the offline MAP).
     """
     from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
 
@@ -366,7 +378,49 @@ def run_full_field_inversion(
                 ess_min=float(jnp.min(ess)), accept_rate=float(jnp.mean(res.accept_rate)))
         return res, z_true, data, ess, r, wall
 
-    if sampler == "pt_pcn":
+    if sampler in ("mala", "mala_lap"):
+        # gradient-based MCMC in the M-dimensional coefficient space — the
+        # regime where Langevin drift pays most (measured 6.3x pCN's ESS at
+        # d=64 on the linear-Gaussian family, tests/test_mala.py). Gradients
+        # flow through the differentiable batched forward (all solves via
+        # lax.custom_linear_solve; infer/mala.py).
+        from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
+
+        misfit = gaussian_misfit(
+            pipe.batched_forward_fn(likelihood, differentiable=True), data, noise_sigma
+        )
+        ref = None
+        if sampler == "mala_lap":
+            from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation
+
+            fwd = pipe.forward_fn(likelihood)
+            mis1 = gaussian_misfit(fwd, data, noise_sigma)
+            with log.timer("map_laplace"):
+                z_map, _ = find_map(
+                    mis1, pipe.prior, jnp.zeros_like(pipe.prior.mean), maxiter=300
+                )
+                lap = laplace_approximation(fwd, data, noise_sigma, pipe.prior, z_map)
+            theta0 = lap.sample(k_init, (n_chains,))
+            ref = (lap.mean, lap.chol)
+        if likelihood == "fom":
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_mala_segmented
+
+                runner = lambda m, p, t0, k, **kw: sharded_mala_segmented(
+                    mesh, m, p, t0, k, segment=32, ref=ref, **kw
+                )
+            else:
+                runner = lambda m, p, t0, k, **kw: run_mala_segmented(
+                    m, p, t0, k, segment=32, ref=ref, **kw
+                )
+        elif mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
+
+            runner = lambda m, p, t0, k, **kw: sharded_mala(mesh, m, p, t0, k, ref=ref, **kw)
+        else:
+            runner = lambda m, p, t0, k, **kw: run_mala(m, p, t0, k, ref=ref, **kw)
+        kwargs = dict(n_steps=n_steps, n_burn=n_burn, step=mala_step, batched=True)
+    elif sampler == "pt_pcn":
         if likelihood == "fom":
             raise NotImplementedError(
                 "pt_pcn with the fom likelihood compiles a full-order solve "

@@ -130,7 +130,13 @@ class MCMCConfig:
              n_steps/n_burn then count OUTER steps), or "pt_da_pcn"
              (tempered delayed acceptance: the exact `likelihood` posterior
              on a MULTIMODAL problem — DA subchains per temperature level,
-             swaps on the carried fine misfits).
+             swaps on the carried fine misfits), or "mala" (prior-
+             preconditioned Metropolis-adjusted Langevin on autodiff
+             gradients of the misfit — FOM gradients are exact adjoints via
+             custom_linear_solve), or "mala_lap" (MALA preconditioned with
+             the Laplace approximation computed at the MAP — posterior-
+             covariance steps, exact on non-Gaussian posteriors where the
+             laplace_mh independence sampler mixes poorly).
     n_temps / lambda_min: temperature-ladder controls for pt_pcn
              (geometric inverse temperatures lambda_min .. 1).
     subchain / da_coarse: delayed-acceptance controls (inner steps per fine
@@ -143,13 +149,14 @@ class MCMCConfig:
     beta: float = 0.25
     noise_sigma: float = 1e-3
     likelihood: str = "rom_nn"  # "fom" | "rom" | "rom_nn"
-    sampler: str = "pcn"  # pcn | laplace_mh | gpcn | pt_pcn | da_pcn | pt_da_pcn
+    sampler: str = "pcn"  # pcn | laplace_mh | gpcn | pt_pcn | da_pcn | pt_da_pcn | mala | mala_lap
     seed: int = 0
     thin: int = 1
     n_temps: int = 4
     lambda_min: float = 0.05
     subchain: int = 8
     da_coarse: str = "rom_nn"
+    mala_step: float = 0.1  # initial MALA step size h (adapted per chain)
 
     def to_dict(self):
         return _asdict(self)

@@ -103,6 +103,54 @@ def test_laplace_sampler_inversion(pipe):
     assert float(jnp.min(inv_mh.ess)) > 2 * float(jnp.min(inv_pcn.ess))
 
 
+def test_mala_sampler_inversion(pipe):
+    """mala + mala_lap through the full pipeline (gradients of the rom_nn
+    likelihood via the differentiable batched forward): posterior means agree
+    with the Laplace independence sampler, and the Laplace-preconditioned
+    variant mixes far better than random-walk pCN."""
+    key = jax.random.PRNGKey(23)
+    theta_true = pipe.prior.sample(key)
+    inv_mh = run_inversion(pipe, likelihood="rom_nn", sampler="laplace_mh",
+                           theta_true=theta_true, key=key)
+    inv_m = run_inversion(pipe, likelihood="rom_nn", sampler="mala",
+                          theta_true=theta_true, key=key)
+    inv_ml = run_inversion(pipe, likelihood="rom_nn", sampler="mala_lap",
+                           theta_true=theta_true, key=key)
+    m_mh = np.asarray(inv_mh.result.samples.mean(axis=(0, 1)))
+    m_m = np.asarray(inv_m.result.samples.mean(axis=(0, 1)))
+    m_ml = np.asarray(inv_ml.result.samples.mean(axis=(0, 1)))
+    np.testing.assert_allclose(m_ml, m_mh, atol=0.1)
+    np.testing.assert_allclose(m_m, m_mh, atol=0.2)
+    assert 0.3 < float(jnp.mean(inv_ml.result.accept_rate)) < 0.9
+    inv_pcn = run_inversion(pipe, likelihood="rom_nn", sampler="pcn",
+                            theta_true=theta_true, key=key)
+    assert float(jnp.min(inv_ml.ess)) > 2 * float(jnp.min(inv_pcn.ess))
+
+
+def test_mala_fom_likelihood_adjoint_gradients(pipe):
+    """sampler='mala' with the FOM likelihood: each step differentiates the
+    full-order solve through lax.custom_linear_solve (exact adjoint — the
+    reference's hand-coded-adjoint capability driving a sampler, SURVEY.md
+    A.5) on the segmented watchdog-safe path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        pipe.config,
+        mcmc=MCMCConfig(
+            n_chains=8, n_steps=120, n_burn=60, noise_sigma=1e-2,
+            likelihood="fom", sampler="mala",
+        ),
+    )
+    p = dataclasses.replace(pipe, config=cfg)
+    inv = run_inversion(p, key=jax.random.PRNGKey(29))
+    assert inv.result.samples.shape == (60, 8, 5)
+    assert np.isfinite(np.asarray(inv.result.samples)).all()
+    acc = float(jnp.mean(inv.result.accept_rate))
+    assert 0.05 < acc <= 1.0
+    # the audit route still sees the fom likelihood
+    assert inv.fom_hit_cap_frac == 0.0
+
+
 def test_three_way_likelihood_comparison(pipe):
     """FOM, ROM, ROM+NN posteriors must be mutually consistent on a well-
     resolved problem (Appendix C claim structure). The near-iid Laplace

@@ -79,6 +79,43 @@ def test_ff_inversion_smoke(ffpipe):
     assert float(jnp.mean(res.accept_rate)) > 0.05  # adapted beta
 
 
+def test_ff_mala(ffpipe):
+    """Gradient-based samplers in coefficient space (mala through the prior
+    frame, mala_lap through the Laplace frame): samples fit the data and the
+    Laplace-preconditioned variant out-mixes plain pCN at the same budget.
+
+    Run in the UNIMODAL 1e-2-noise regime: at 1e-3 this coarse-ROM posterior
+    is metastable (rhat ~4 for every single-temperature sampler — the
+    tempered samplers' regime), so an ESS comparison there measures basin
+    stranding, not proposal quality. Measured here: mala_lap ess_min ~259
+    vs pcn ~59 (4.4x) with split-rhat 1.05."""
+    kw = dict(
+        likelihood="rom_nn", n_chains=16, n_steps=800, n_burn=400,
+        noise_sigma=1e-2, key=jax.random.PRNGKey(8),
+    )
+    res_m, z_true, data, ess_m, r_m, _ = run_full_field_inversion(
+        ffpipe, sampler="mala", **kw
+    )
+    res_ml, _, _, ess_ml, r_ml, _ = run_full_field_inversion(
+        ffpipe, sampler="mala_lap", **kw
+    )
+    res_p, _, _, ess_p, r_p, _ = run_full_field_inversion(
+        ffpipe, sampler="pcn", **kw
+    )
+    for res in (res_m, res_ml):
+        assert res.samples.shape == (400, 16, 16)
+        assert bool(jnp.isfinite(res.samples).all())
+        fwd = ffpipe.forward_fn("rom_nn")
+        z_post = res.samples.mean(axis=(0, 1))
+        assert float(jnp.linalg.norm(fwd(z_post) - data)) < float(
+            jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data)
+        )
+    assert 0.2 < float(jnp.mean(res_ml.accept_rate)) < 0.95
+    assert float(jnp.min(ess_ml)) > 2.0 * float(jnp.min(ess_p)), (
+        float(jnp.min(ess_ml)), float(jnp.min(ess_p)),
+    )
+
+
 def test_ff_pt_pcn(ffpipe):
     """Parallel-tempered pCN in coefficient space (five-param-parity:
     VERDICT r2 item 5): cold-level samples fit the data, swap rates healthy."""

@@ -164,6 +164,37 @@ def test_pt_da_resume_bit_identical(tmp_path):
     assert full.n_fine_evals == resumed.n_fine_evals
 
 
+def test_mala_resume_bit_identical(tmp_path):
+    """Kill/resume contract for the gradient-based sampler: samples, final
+    working-coordinate states, and adapted per-chain step sizes must be
+    bit-identical to an uninterrupted run."""
+    from bayesianinferencedl_tpu.api import run_mala_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    key = jax.random.PRNGKey(13)
+    kw = dict(n_steps=1000, n_burn=200, segment=400)
+
+    full = run_mala_checkpointed(
+        misfit, prior, theta0, key,
+        ckpt_path=str(tmp_path / "m_full.npz"), resume=False, **kw,
+    )
+    run_mala_checkpointed(
+        misfit, prior, theta0, key,
+        n_steps=400, n_burn=200, segment=400,
+        ckpt_path=str(tmp_path / "m_crash.npz"), resume=False,
+    )
+    resumed = run_mala_checkpointed(
+        misfit, prior, theta0, key,
+        ckpt_path=str(tmp_path / "m_crash.npz"), resume=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(full.samples), np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.state.y), np.asarray(resumed.state.y))
+    np.testing.assert_array_equal(np.asarray(full.step), np.asarray(resumed.step))
+    np.testing.assert_allclose(
+        np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
+    )
+
+
 def test_pt_checkpointed_rejects_odd_segment(tmp_path):
     from bayesianinferencedl_tpu.api import run_pt_checkpointed
 
