@@ -129,7 +129,15 @@ def sharded_mala(
 ):
     """Preconditioned MALA with the chain batch sharded over the mesh axis
     (same contract as sharded_pcn: chains are independent, zero per-step
-    communication; gradients are per-shard vjps of the local chain batch)."""
+    communication; gradients are per-shard vjps of the local chain batch).
+
+    check_vma=False: the differentiable likelihoods route every solve
+    through lax.custom_linear_solve, whose internal pvary bookkeeping
+    rejects chain-varying operands under shard_map (rom/galerkin.py notes
+    the same for the direct route). MALA needs no collectives at all —
+    chains are independent and the RNG fold_in uses only axis_index — so
+    disabling the varying-axis checker is sound here, not a workaround
+    smell: there is no cross-device semantics for it to check."""
     from bayesianinferencedl_tpu.infer.mala import MALAResult, MALAState, run_mala
 
     axis = mesh.axis_names[0]
@@ -152,7 +160,10 @@ def sharded_mala(
         accept_rate=P(axis),
         step=P(axis),
     )
-    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs)
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs,
+        check_vma=False,
+    )
     return f(theta0, step_arr, key)
 
 

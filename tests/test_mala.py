@@ -140,6 +140,40 @@ def test_mala_thinning_and_burnin_shapes():
     assert res.phi_trace.shape == (200, 8)
 
 
+def test_sharded_mala_custom_linear_solve_likelihood():
+    """The production mesh path: sharded_mala differentiating a likelihood
+    whose forward goes through lax.custom_linear_solve (every differentiable
+    batched_forward_fn does). custom_linear_solve's internal pvary rejects
+    chain-varying operands under shard_map — sharded_mala must run with vma
+    checking disabled (chains need no collectives), or this throws."""
+    from jax.sharding import Mesh
+
+    from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
+
+    mesh = Mesh(np.array(jax.devices()), ("devices",))
+    rng = np.random.default_rng(3)
+    M = jnp.asarray(rng.standard_normal((4, 4)))
+    A0 = M @ M.T + 4.0 * jnp.eye(4)
+    data = jnp.asarray(rng.standard_normal(4))
+    prior = GaussianPrior.iid(4, sigma=0.8, dtype=jnp.float64)
+
+    def fwd(t):  # solve (A0 + diag(exp(t))) u = 1 via custom_linear_solve
+        A = A0 + jnp.diag(jnp.exp(t))
+        solve = lambda mv, b: jnp.linalg.solve(A, b)
+        return jax.lax.custom_linear_solve(
+            lambda v: A @ v, jnp.ones(4, jnp.float64), solve=solve, symmetric=True
+        )
+
+    misfit = gaussian_misfit(fwd, data, 0.5)
+    theta0 = prior.sample(jax.random.PRNGKey(0), (32,))
+    res = sharded_mala(
+        mesh, misfit, prior, theta0, jax.random.PRNGKey(1), n_steps=300, n_burn=100
+    )
+    assert res.samples.shape == (200, 32, 4)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert 0.2 < float(np.mean(np.asarray(res.accept_rate))) <= 1.0
+
+
 def test_sharded_mala_matches_stats():
     from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
 
