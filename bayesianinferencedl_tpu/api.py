@@ -664,6 +664,7 @@ def run_da_checkpointed(
     resume: bool = True,
     batched_fine: bool = False,
     batched_coarse: bool = False,
+    inner: str = "pcn",
     metrics: Optional[MetricsLogger] = None,
 ):
     """Delayed-acceptance pCN with periodic checkpoints and exact resume —
@@ -713,7 +714,7 @@ def run_da_checkpointed(
             misfit_fine, misfit_coarse, prior, state.theta, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             adapt=True, batched_fine=batched_fine, batched_coarse=batched_coarse,
-            adapt_t0=jnp.asarray(step_done, state.theta.dtype),
+            adapt_t0=jnp.asarray(step_done, state.theta.dtype), inner=inner,
         )
         state, betas = res.state, res.beta
         step_done += this
@@ -1207,12 +1208,16 @@ def run_inversion(
                     lambda_min=cfg.lambda_min, segment=segment, batched=True,
                 )
         elif smp == "da_pcn":
-            # delayed acceptance: subchains of cheap da_coarse pCN steps,
+            # delayed acceptance: subchains of cheap da_coarse steps (pCN
+            # random walk, or MALA when cfg.da_inner == "mala" — gradient-
+            # informed subchains decorrelate faster per fine evaluation),
             # Metropolis-corrected against the exact `like` potential — the
             # exact posterior at ~1/subchain of the fine evaluations
             # (infer/delayed_acceptance.py). Fine evals are one batched call
             # per outer step; segmented so no program outlives the watchdog.
-            coarse_theta = pipe.batched_forward_fn(cfg.da_coarse)
+            coarse_theta = pipe.batched_forward_fn(
+                cfg.da_coarse, differentiable=(cfg.da_inner == "mala")
+            )
             coarse_b = lambda xs: coarse_theta(to_theta(xs))
             misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
             segment = 64 if like == "fom" else 512
@@ -1223,7 +1228,7 @@ def run_inversion(
                     mesh, misfit_b, misfit_c, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     subchain=cfg.subchain, segment=segment,
-                    batched_fine=True, batched_coarse=True,
+                    batched_fine=True, batched_coarse=True, inner=cfg.da_inner,
                 )
             else:
                 from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
@@ -1232,7 +1237,7 @@ def run_inversion(
                     misfit_b, misfit_c, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     subchain=cfg.subchain, segment=segment,
-                    batched_fine=True, batched_coarse=True,
+                    batched_fine=True, batched_coarse=True, inner=cfg.da_inner,
                 )
         elif smp == "mala":
             # prior-preconditioned MALA: gradient-informed proposals from

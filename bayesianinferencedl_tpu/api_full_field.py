@@ -297,6 +297,7 @@ def run_full_field_inversion(
     lambda_min: float = 0.02,
     subchain: int = 8,
     mala_step: float = 0.1,
+    da_inner: str = "pcn",
     z_true: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     mesh=None,
@@ -458,24 +459,29 @@ def run_full_field_inversion(
             n_temps=n_temps, lambda_min=lambda_min,
         )
     elif sampler == "da_pcn":
-        # delayed acceptance in RFF-coefficient space: rom_nn subchains,
+        # delayed acceptance in RFF-coefficient space: rom_nn subchains (pCN
+        # or, with da_inner="mala", gradient-informed — the 64-dim regime
+        # where Langevin subchains decorrelate ~6x faster per fine eval),
         # exact `likelihood` correction once per outer step (exactness
         # argument in infer/delayed_acceptance.py; n_steps count OUTER steps)
-        misfit_c = gaussian_misfit(pipe.batched_forward_fn("rom_nn"), data, noise_sigma)
+        misfit_c = gaussian_misfit(
+            pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")),
+            data, noise_sigma,
+        )
         segment = 64 if likelihood == "fom" else 512
         if mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_da_pcn_segmented
 
             runner = lambda m, p, t0, k, **kw: sharded_da_pcn_segmented(
-                mesh, m, misfit_c, p, t0, k,
-                segment=segment, batched_fine=True, batched_coarse=True, **kw,
+                mesh, m, misfit_c, p, t0, k, segment=segment,
+                batched_fine=True, batched_coarse=True, inner=da_inner, **kw,
             )
         else:
             from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn_segmented
 
             runner = lambda m, p, t0, k, **kw: run_da_pcn_segmented(
-                m, misfit_c, p, t0, k,
-                segment=segment, batched_fine=True, batched_coarse=True, **kw,
+                m, misfit_c, p, t0, k, segment=segment,
+                batched_fine=True, batched_coarse=True, inner=da_inner, **kw,
             )
         kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=subchain)
     elif mesh is not None:

@@ -213,6 +213,7 @@ def cmd_invert(args) -> None:
             sampler=args.sampler, seed=args.seed,
             n_temps=args.n_temps, lambda_min=args.lambda_min,
             subchain=args.subchain, da_coarse=args.da_coarse,
+            da_inner=args.da_inner,
         ),
         prior=_prior_config(args),
     )
@@ -322,6 +323,7 @@ def cmd_invert_ff(args) -> None:
         n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
         beta=args.beta, noise_sigma=args.noise,
         n_temps=args.n_temps, lambda_min=args.lambda_min, subchain=args.subchain,
+        da_inner=args.da_inner,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
     z_post = res.samples.mean(axis=(0, 1))
@@ -410,6 +412,10 @@ def main(argv=None) -> None:
             p.add_argument("--lambda-min", type=float, default=0.05, help="pt_pcn hottest level")
             p.add_argument("--subchain", type=int, default=8, help="da_pcn inner steps per fine correction")
             p.add_argument("--da-coarse", choices=["rom", "rom_nn"], default="rom_nn")
+            p.add_argument(
+                "--da-inner", choices=["pcn", "mala"], default="pcn",
+                help="da_pcn subchain kernel (mala = gradient-informed)",
+            )
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)
 
@@ -437,6 +443,10 @@ def main(argv=None) -> None:
     p.add_argument("--n-temps", type=int, default=5)
     p.add_argument("--lambda-min", type=float, default=0.02)
     p.add_argument("--subchain", type=int, default=8)
+    p.add_argument(
+        "--da-inner", choices=["pcn", "mala"], default="pcn",
+        help="da_pcn subchain kernel (mala = gradient-informed)",
+    )
     p.add_argument("--shard", action="store_true")
     p.set_defaults(fn=cmd_invert_ff)
 

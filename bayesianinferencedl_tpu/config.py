@@ -156,6 +156,9 @@ class MCMCConfig:
     lambda_min: float = 0.05
     subchain: int = 8
     da_coarse: str = "rom_nn"
+    # DA subchain kernel: "pcn" (random walk) or "mala" (gradient-informed —
+    # better subchain decorrelation per fine evaluation; infer/mala.py)
+    da_inner: str = "pcn"
     mala_step: float = 0.1  # initial MALA step size h (adapted per chain)
 
     def to_dict(self):

@@ -103,18 +103,43 @@ def _make_nlp(
     return to_theta, eval_fn
 
 
+def _tamed(g: jax.Array, h: jax.Array, kappa: float = 2.0) -> jax.Array:
+    """Noise-scale drift clip: g unchanged unless the drift move (h/2)||g||
+    would exceed kappa x the proposal noise scale sqrt(h d), i.e.
+    ||g|| <= 2 kappa sqrt(d/h).
+
+    Far from the posterior the log-density gradient can be enormous (a
+    1e-2-noise misfit at a prior-typical state has |g| ~ 1e3-1e4), and the
+    raw drift (h/2) g then moves O(1) per step NO MATTER HOW SMALL h is —
+    the step-size adaptation loses control of the move size, which stalls
+    burn-in and (inside delayed acceptance) makes the outer correction veto
+    every subchain. A norm CLIP at the noise scale restores (drift <=
+    kappa sqrt(h d), so smaller h genuinely means smaller moves) while
+    leaving the stationary regime EXACTLY untouched — there ||g|| ~ sqrt(d)
+    and h ~ d^{-1/3}, so the clip radius 2 kappa sqrt(d/h) sits far above
+    it. (Smooth Roberts-Tweedie taming g/(1+h||g||) was measured to cost
+    ~4x ESS in that regime: h||g|| ~ 2 at d=16, so it divides every
+    stationary drift by ~3.) The MH correction uses the clipped drift in
+    its q densities, so exactness is unaffected — any drift is corrected
+    exactly."""
+    d = g.shape[-1]
+    r = 2.0 * kappa * jnp.sqrt(d / h)[..., None]
+    gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return g * jnp.minimum(1.0, r / jnp.maximum(gn, jnp.finfo(g.dtype).tiny))
+
+
 def mala_step(eval_fn, h: jax.Array, state: MALAState, key: jax.Array):
-    """One MALA step for a batch of chains. h: per-chain (n_chains,) step
-    sizes. Returns (state, accept mask)."""
+    """One (drift-clipped) MALA step for a batch of chains. h: per-chain
+    (n_chains,) step sizes. Returns (state, accept mask)."""
     k_prop, k_acc = jax.random.split(key)
     dtype = state.y.dtype
     hcol = h[..., None]
-    g = -state.grad  # gradient of LOG posterior
+    g = _tamed(-state.grad, h)  # drift-clipped gradient of LOG posterior
     xi = jax.random.normal(k_prop, state.y.shape, dtype)
     prop = state.y + 0.5 * hcol * g + jnp.sqrt(hcol) * xi
 
     nlp_p, phi_p, grad_p = eval_fn(prop)
-    g_p = -grad_p
+    g_p = _tamed(-grad_p, h)
     # explicit Gaussian proposal densities (same per-chain h both directions)
     fwd = prop - state.y - 0.5 * hcol * g
     bwd = state.y - prop - 0.5 * hcol * g_p

@@ -289,12 +289,18 @@ def sharded_da_pcn(
     batched_fine: bool = False,
     batched_coarse: bool = False,
     adapt_t0=0.0,
+    inner: str = "pcn",
 ):
     """Delayed-acceptance pCN with the chain batch sharded over the mesh.
 
     Chains are independent, so each device runs its shard fully locally —
     including its own batched fine (Pallas FOM) evaluations — with only the
-    RNG decorrelated per device. Same contract as sharded_pcn."""
+    RNG decorrelated per device. Same contract as sharded_pcn.
+
+    inner="mala" (gradient-informed subchains) disables vma checking: the
+    differentiable coarse misfit routes solves through custom_linear_solve,
+    whose pvary bookkeeping rejects chain-varying operands under shard_map
+    (see sharded_mala — DA needs no collectives either)."""
     from bayesianinferencedl_tpu.infer.delayed_acceptance import (
         DAResult, DAState, run_da_pcn,
     )
@@ -308,7 +314,7 @@ def sharded_da_pcn(
             misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
             n_steps=n_steps, n_burn=n_burn, beta=beta_shard, subchain=subchain,
             batched_fine=batched_fine, batched_coarse=batched_coarse,
-            adapt_t0=adapt_t0,
+            adapt_t0=adapt_t0, inner=inner,
         )
         # the int leaf must be an array to carry a replicated out-spec
         return res._replace(n_fine_evals=jnp.int32(res.n_fine_evals))
@@ -322,7 +328,10 @@ def sharded_da_pcn(
         beta=P(axis),
         n_fine_evals=P(),
     )
-    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs)
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs,
+        check_vma=(inner != "mala"),
+    )
     return f(theta0, beta_arr, key)
 
 
@@ -440,6 +449,7 @@ def sharded_da_pcn_segmented(
     segment: int = 64,
     batched_fine: bool = False,
     batched_coarse: bool = False,
+    inner: str = "pcn",
 ):
     """sharded_da_pcn in fixed-size outer segments (watchdog-safe;
     infer.segmented); chain state and adapted betas carry across segments."""
@@ -456,7 +466,7 @@ def sharded_da_pcn_segmented(
             mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             batched_fine=batched_fine, batched_coarse=batched_coarse,
-            adapt_t0=jnp.asarray(start, theta0.dtype),
+            adapt_t0=jnp.asarray(start, theta0.dtype), inner=inner,
         )
         return res, (res.state.theta, res.beta)
 

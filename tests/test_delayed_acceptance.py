@@ -55,6 +55,65 @@ def test_da_corrects_biased_coarse_to_fine_posterior():
     assert 0.2 < out_acc < 0.999
 
 
+def test_da_mala_inner_corrects_biased_coarse():
+    """inner='mala': gradient-informed subchains must target the SAME fine
+    posterior (the S-step MALA kernel is reversible w.r.t. the coarse
+    posterior, so the DA composition argument is unchanged)."""
+    H, data, prior, sigma, mu, Cpost = _linear_gaussian_setup()
+    misfit_f = gaussian_misfit(lambda t: H @ t, data, sigma)
+    bias = jnp.asarray([0.4, -0.3, 0.2, 0.1], jnp.float64)
+    misfit_c = gaussian_misfit(lambda t: H @ t + bias, data, sigma)
+
+    theta0 = prior.sample(jax.random.PRNGKey(0), (64,))
+    res = run_da_pcn(
+        misfit_f, misfit_c, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=6000, n_burn=1000, beta=0.4, subchain=4, inner="mala",
+    )
+    samples = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(samples.mean(0), mu, atol=0.06)
+    np.testing.assert_allclose(np.cov(samples.T), Cpost, atol=0.08)
+    out_acc = float(np.mean(np.asarray(res.accept_rate)))
+    assert 0.2 < out_acc < 0.999
+
+
+def test_da_mala_inner_beats_pcn_inner_ess():
+    """The reason the option exists: at d=16 the MALA subchain decorrelates
+    materially faster per OUTER step (= per fine evaluation — the DA figure
+    of merit) than the random-walk subchain, at identical exactness.
+
+    Run in DA's design regime — accurate surrogate (small additive bias),
+    chains initialized near the posterior (measured here: mala-inner
+    ess_min 330 vs pcn-inner 154 at identical posterior means). From
+    PRIOR-DISTANT starts with a multiplicative surrogate error, BOTH inner
+    kernels stall (the outer veto scales with the subchain's accumulated
+    misfit drift — the classic DA pathology the run_da_pcn adaptation note
+    documents), so that regime is not a proposal-quality comparison."""
+    from bayesianinferencedl_tpu.infer.diagnostics import ess_bulk
+
+    H, data, prior, sigma, mu, Cpost = _linear_gaussian_setup(d=16, m=24, sigma=0.3)
+    misfit_f = gaussian_misfit(lambda t: H @ t, data, sigma)
+    rng = np.random.default_rng(7)
+    bias = jnp.asarray(rng.standard_normal(24) * 0.02)
+    misfit_c = gaussian_misfit(lambda t: H @ t + bias, data, sigma)
+    L = np.linalg.cholesky(Cpost)
+    z = np.random.default_rng(1).standard_normal((32, 16))
+    theta0 = jnp.asarray(mu + z @ L.T)
+    kw = dict(n_steps=1500, n_burn=500, subchain=8)
+    res_m = run_da_pcn(
+        misfit_f, misfit_c, prior, theta0, jax.random.PRNGKey(1), inner="mala", **kw
+    )
+    res_p = run_da_pcn(
+        misfit_f, misfit_c, prior, theta0, jax.random.PRNGKey(1), inner="pcn", **kw
+    )
+    ess_m = float(jnp.min(ess_bulk(res_m.samples)))
+    ess_p = float(jnp.min(ess_bulk(res_p.samples)))
+    assert ess_m > 1.5 * ess_p, (ess_m, ess_p)
+    # both exact: posterior means agree with the analytic fine posterior
+    for res in (res_m, res_p):
+        emp = np.asarray(res.samples).reshape(-1, 16).mean(0)
+        np.testing.assert_allclose(emp, mu, atol=0.08)
+
+
 def test_da_identity_coarse_accepts_everything():
     """With coarse == fine the outer log-ratio is identically zero, so every
     outer correction accepts — DA degrades gracefully to subsampled pCN."""
