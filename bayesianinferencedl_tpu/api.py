@@ -1172,6 +1172,38 @@ def run_inversion(
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
                 )
+        elif smp == "pt_mala":
+            # gradient-informed parallel tempering: MALA within-level moves
+            # (one fused forward+reverse pass for the whole ladder per step)
+            # + the pt_pcn replica-exchange rule (infer/tempering.py
+            # run_pt_mala). Worth ~2x pt_pcn's per-step cost only when the
+            # cold-level autocorrelation is within-basin dominated — measure
+            # before switching (docs/SAMPLERS.md).
+            if like == "fom":
+                raise NotImplementedError(
+                    "pt_mala with the fom likelihood compiles a full-order "
+                    "solve AND its adjoint into every step; use "
+                    "sampler='pt_da_pcn' with da_inner subchains instead"
+                )
+            fwd_bd_theta = pipe.batched_forward_fn(like, differentiable=True)
+            fwd_bd = lambda xs: fwd_bd_theta(to_theta(xs))
+            misfit_bd = gaussian_misfit(fwd_bd, data, cfg.noise_sigma)
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_mala
+
+                run = lambda k: sharded_pt_mala(
+                    mesh, misfit_bd, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                    n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                )
+            else:
+                from bayesianinferencedl_tpu.infer.tempering import run_pt_mala
+
+                run = lambda k: run_pt_mala(
+                    misfit_bd, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                    n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                )
         elif smp in ("pt_da_pcn", "da_pcn") and like == cfg.da_coarse:
             raise ValueError(
                 f"sampler={smp!r} with likelihood == da_coarse ({like!r}) is "

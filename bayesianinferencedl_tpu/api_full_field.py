@@ -312,13 +312,15 @@ def run_full_field_inversion(
     coefficient space first (the whole point of the unbounded z coordinates) —
     "da_pcn" (rom_nn subchains + exact `likelihood` correction per outer
     step; n_steps/n_burn then count outer steps), "pt_pcn" (parallel
-    tempering — multimodal posteriors), "pt_da_pcn" (tempered delayed
-    acceptance: exact `likelihood` posterior on a multimodal problem), or
-    "mala"/"mala_lap" (gradient-based Langevin proposals — prior- or
-    Laplace-preconditioned; infer/mala.py).
+    tempering — multimodal posteriors), "pt_mala" (MALA within every
+    temperature level — gradient-informed tempering for high-dimensional
+    multimodal targets), "pt_da_pcn" (tempered delayed acceptance: exact
+    `likelihood` posterior on a multimodal problem), or "mala"/"mala_lap"
+    (gradient-based Langevin proposals — prior- or Laplace-preconditioned;
+    infer/mala.py).
 
     mesh: optional jax.sharding.Mesh — shards the chain (group) axis over
-    ICI for pcn/da_pcn/pt_pcn/pt_da_pcn/mala/mala_lap, same contract as
+    ICI for pcn/da_pcn/pt_pcn/pt_mala/pt_da_pcn/mala/mala_lap, same contract as
     api.run_inversion (the Laplace independence/gpcn samplers stay
     single-device; their cost is the offline MAP).
     """
@@ -437,6 +439,33 @@ def run_full_field_inversion(
             runner = run_pt_pcn
         kwargs = dict(
             n_steps=n_steps, n_burn=n_burn, beta=beta,
+            n_temps=n_temps, lambda_min=lambda_min, batched=True,
+        )
+    elif sampler == "pt_mala":
+        # gradient-informed tempering: MALA within every level + replica
+        # exchange (infer/tempering.py run_pt_mala). The M-dimensional
+        # coefficient space is where the Langevin drift pays over pt_pcn's
+        # random-walk levels — measure ESS/s against pt_pcn before adopting
+        # (docs/SAMPLERS.md records both regimes).
+        if likelihood == "fom":
+            raise NotImplementedError(
+                "pt_mala with the fom likelihood compiles a full-order solve "
+                "AND its adjoint into every step; use sampler='pt_da_pcn' "
+                "with da_inner='mala' subchains instead"
+            )
+        misfit = gaussian_misfit(
+            pipe.batched_forward_fn(likelihood, differentiable=True), data, noise_sigma
+        )
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_mala
+
+            runner = lambda m, p, t0, k, **kw: sharded_pt_mala(mesh, m, p, t0, k, **kw)
+        else:
+            from bayesianinferencedl_tpu.infer.tempering import run_pt_mala
+
+            runner = run_pt_mala
+        kwargs = dict(
+            n_steps=n_steps, n_burn=n_burn, step=mala_step,
             n_temps=n_temps, lambda_min=lambda_min, batched=True,
         )
     elif sampler == "pt_da_pcn":

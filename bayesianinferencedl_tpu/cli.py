@@ -405,7 +405,7 @@ def main(argv=None) -> None:
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
             p.add_argument(
                 "--sampler",
-                choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "da_pcn", "pt_da_pcn", "mala", "mala_lap"],
+                choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mala", "mala_lap"],
                 default="pcn",
             )
             p.add_argument("--n-temps", type=int, default=4, help="pt_pcn ladder size")
@@ -437,7 +437,7 @@ def main(argv=None) -> None:
     p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
     p.add_argument(
         "--sampler",
-        choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "da_pcn", "pt_da_pcn", "mala", "mala_lap"],
+        choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mala", "mala_lap"],
         default="pcn",
     )
     p.add_argument("--n-temps", type=int, default=5)

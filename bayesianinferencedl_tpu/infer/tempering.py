@@ -225,6 +225,185 @@ def run_pt_pcn(
     )
 
 
+class PTMALAResult(NamedTuple):
+    samples: jax.Array  # (n_kept, G, d) cold-level samples (WORKING coords)
+    phi_trace: jax.Array  # (n_kept, G) cold-level misfits
+    accept_rate: jax.Array  # (K, G) within-level post-burn acceptance
+    swap_rate: jax.Array  # (K-1,) mean swap acceptance per adjacent pair
+    step: jax.Array  # (K, G) final adapted MALA step sizes h
+    theta: jax.Array  # (K, G, d) final states, WORKING coords (resume)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("misfit_fn", "n_steps", "n_burn", "n_temps", "adapt", "batched"),
+)
+def run_pt_mala(
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,  # (G, d) cold inits, or (K, G, d) per-level resume
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step=0.1,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    adapt: bool = True,
+    batched: bool = False,
+    adapt_t0=0.0,
+) -> PTMALAResult:
+    """Gradient-informed parallel tempering: MALA within-level moves +
+    replica exchange (SURVEY.md A.5; composes infer/mala.py with the
+    tempering machinery above).
+
+    Why: pt_pcn's cold-level moves are a random walk, so its honest
+    bulk-ESS/s is bounded by within-basin diffusion even when swaps handle
+    the between-basin moves. Every likelihood here is differentiable end to
+    end (matmul/MLP autodiff for rom/rom_nn; exact adjoints through
+    ``lax.custom_linear_solve`` for fom), so level j can run drift-clipped
+    whitened MALA on its tempered target
+
+        -log pi_j(y) = lambda_j Phi(theta(y)) + 0.5 ||y||^2
+
+    at ~2x the cost of a pCN move (one fused forward+reverse pass for the
+    whole (K, G) ladder per step). Swaps are the standard rule on the
+    carried UNtempered misfits (prior factors cancel — identical to
+    run_pt_pcn), so the cold level samples the exact posterior.
+
+    TPU mapping: per-step work is ONE vjp over the flattened (K*G, d) batch
+    plus elementwise updates; the misfit gradient d(Phi)/dy is carried per
+    level and swaps with the state (it is a function of y alone — the level
+    temperature multiplies it on use), so a swap costs no extra evaluation.
+
+    theta0 in WORKING coordinates (same contract as run_pt_pcn); whitening
+    uses the prior frame (the dimension-robust choice on a possibly
+    multimodal posterior — a Laplace frame centers on ONE basin). step:
+    scalar or (K, G) resume array; every level adapts per-chain log h
+    toward 57.4% acceptance during burn-in.
+    """
+    from bayesianinferencedl_tpu.infer.mala import (
+        TARGET_ACCEPT_MALA, _inv_chol, _tamed,
+    )
+
+    if theta0.ndim == 2:
+        G, d = theta0.shape
+        theta_init = jnp.broadcast_to(theta0[None], (n_temps, G, d))
+    else:
+        if theta0.shape[0] != n_temps:
+            raise ValueError(
+                f"resume states theta0 carry {theta0.shape[0]} temperature "
+                f"levels but n_temps={n_temps} — a PT run must be resumed "
+                "with the ladder size it was saved with (PTMALAResult.theta "
+                "is (n_temps, G, d))"
+            )
+        _, G, d = theta0.shape
+        theta_init = theta0
+    K = n_temps
+    dtype = theta0.dtype
+    hi = jax.lax.Precision.HIGHEST
+    lambdas = geometric_ladder(K, lambda_min, dtype)[:, None]  # (K, 1) over G
+    mean, chol = prior.mean, prior.chol
+    Li = _inv_chol(chol)
+
+    def to_theta(Y):
+        return mean + jnp.dot(Y, chol.T, precision=hi)
+
+    def phi_and_grad(Y):  # (K, G, d) -> (K, G), (K, G, d) misfit + d(Phi)/dy
+        flat = Y.reshape(K * G, d)
+
+        def phi_of_y(yf):
+            th = to_theta(yf)
+            return misfit_fn(th) if batched else jax.vmap(misfit_fn)(th)
+
+        phi, pullback = jax.vjp(phi_of_y, flat)
+        (g,) = pullback(jnp.ones_like(phi))
+        return phi.reshape(K, G), g.reshape(K, G, d)
+
+    y = jnp.dot(theta_init - mean, Li.T, precision=hi)
+    phi, gphi = phi_and_grad(y)
+    log_h = jnp.log(jnp.broadcast_to(jnp.asarray(step, dtype), (K, G))) + phi * 0
+    n_accept = (phi * 0).astype(jnp.int32)
+    # derive from phi so the carry stays device-varying under shard_map (vma)
+    n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi.sum() * 0
+
+    def nlp_grad(lam, ph, gph, Y):
+        """Tempered negative log posterior and its y-gradient from the
+        carried (phi, d(Phi)/dy) — the prior term is analytic in y."""
+        nlp = lam * ph + 0.5 * jnp.sum(Y * Y, axis=-1)
+        return nlp, lam[..., None] * gph + Y
+
+    def step_fn(carry, inp):
+        y, phi, gphi, log_h, n_accept, n_swap = carry
+        t, k_t = inp
+        k_prop, k_acc, k_swap = jax.random.split(k_t, 3)
+        h = jnp.exp(log_h)  # (K, G)
+        hcol = h[..., None]
+
+        nlp, grad = nlp_grad(lambdas, phi, gphi, y)
+        g = _tamed(-grad, h)  # drift-clipped gradient of log pi_j
+        xi = jax.random.normal(k_prop, y.shape, dtype)
+        prop = y + 0.5 * hcol * g + jnp.sqrt(hcol) * xi
+
+        phi_p, gphi_p = phi_and_grad(prop)
+        nlp_p, grad_p = nlp_grad(lambdas, phi_p, gphi_p, prop)
+        g_p = _tamed(-grad_p, h)
+        fwd = prop - y - 0.5 * hcol * g
+        bwd = y - prop - 0.5 * hcol * g_p
+        log_q_fwd = -jnp.sum(fwd * fwd, axis=-1) / (2.0 * h)
+        log_q_bwd = -jnp.sum(bwd * bwd, axis=-1) / (2.0 * h)
+        log_alpha = (nlp - nlp_p) + (log_q_bwd - log_q_fwd)
+
+        u = jax.random.uniform(k_acc, phi.shape, dtype)
+        acc = jnp.log(u) < log_alpha
+        acol = acc[..., None]
+        y = jnp.where(acol, prop, y)
+        phi = jnp.where(acc, phi_p, phi)
+        gphi = jnp.where(acol, gphi_p, gphi)
+        n_accept = n_accept + acc.astype(jnp.int32)
+        if adapt:
+            tg = t.astype(dtype) + jnp.asarray(adapt_t0, dtype)
+            eta = jnp.where(t < n_burn, 0.5 / (1.0 + tg) ** 0.6, 0.0)
+            log_h = jnp.clip(
+                log_h + eta * (acc.astype(dtype) - dtype.type(TARGET_ACCEPT_MALA)),
+                jnp.log(1e-8),
+                jnp.log(10.0),
+            )
+
+        if K > 1:
+            t_global = t + jnp.asarray(adapt_t0, dtype)
+            (y, phi, gphi), n_swap = _replica_exchange(
+                t, t_global, lambdas, phi, (y, phi, gphi), k_swap, n_burn, n_swap
+            )
+
+        out = (to_theta(y[-1]), phi[-1])  # cold level, working coords
+        return (y, phi, gphi, log_h, n_accept, n_swap), out
+
+    k_burn, k_main = jax.random.split(key)
+    carry = (y, phi, gphi, log_h, n_accept, n_swap)
+    if n_burn > 0:
+        ts = jnp.arange(n_burn, dtype=dtype)
+        carry, _ = jax.lax.scan(step_fn, carry, (ts, jax.random.split(k_burn, n_burn)))
+        y, phi, gphi, log_h, n_accept, n_swap = carry
+        carry = (y, phi, gphi, log_h, n_accept * 0, n_swap * 0)
+
+    n_keep = n_steps - n_burn
+    ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
+    carry, (samples, phis) = jax.lax.scan(
+        step_fn, carry, (ts, jax.random.split(k_main, n_keep))
+    )
+    y, phi, gphi, log_h, n_accept, n_swap = carry
+
+    return PTMALAResult(
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=n_accept.astype(jnp.float32) / max(n_keep, 1),
+        swap_rate=n_swap / max(n_keep / 2, 1),
+        step=jnp.exp(log_h),
+        theta=to_theta(y),
+    )
+
+
 class PTDAResult(NamedTuple):
     samples: jax.Array  # (n_kept, G, d) cold-level samples
     phi_trace: jax.Array  # (n_kept, G) cold-level FINE misfits

@@ -434,6 +434,52 @@ def sharded_pt_pcn(
     return f(theta0, key)
 
 
+def sharded_pt_mala(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,  # (G, d)
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step=0.1,
+    n_temps: int = 4,
+    lambda_min: float = 0.05,
+    batched: bool = False,
+):
+    """Gradient-informed parallel tempering with the chain-GROUP axis sharded
+    over the mesh (each device owns the full K-level ladder for its shard of
+    groups; swaps are shard-local, reported swap_rate is pmean'd).
+
+    check_vma=False for the same reason as sharded_mala: the differentiable
+    likelihoods route solves through lax.custom_linear_solve, whose internal
+    pvary bookkeeping rejects chain-varying operands under shard_map; the
+    sampler itself needs no collectives (groups are independent)."""
+    from bayesianinferencedl_tpu.infer.tempering import PTMALAResult, run_pt_mala
+
+    axis = mesh.axis_names[0]
+
+    def local(theta0_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        res = run_pt_mala(
+            misfit_fn, prior, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, step=step,
+            n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+        )
+        return res._replace(swap_rate=jax.lax.pmean(res.swap_rate, axis))
+
+    out_specs = PTMALAResult(
+        samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
+        swap_rate=P(), step=P(None, axis), theta=P(None, axis),
+    )
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(theta0, key)
+
+
 def sharded_da_pcn_segmented(
     mesh: Mesh,
     misfit_fine: Callable,

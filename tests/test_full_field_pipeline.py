@@ -134,6 +134,29 @@ def test_ff_pt_pcn(ffpipe):
     )
 
 
+def test_ff_pt_mala(ffpipe):
+    """Gradient-informed tempering in coefficient space: MALA within every
+    level, pt_pcn swaps — the high-dimensional regime pt_mala targets
+    (docs/SAMPLERS.md records the measured pt_pcn comparison)."""
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        ffpipe, likelihood="rom_nn", sampler="pt_mala",
+        n_chains=16, n_steps=600, n_burn=200, noise_sigma=1e-3,
+        n_temps=3, lambda_min=0.1, mala_step=0.05, key=jax.random.PRNGKey(11),
+    )
+    assert res.samples.shape == (400, 16, 16)
+    assert bool(jnp.isfinite(res.samples).all())
+    assert np.all(np.asarray(res.swap_rate) > 0.05)
+    # every level adapted toward the MALA target acceptance (200 burn steps
+    # get within ~0.15 at the cold level in 16 dims — direction, not precision)
+    acc = np.asarray(res.accept_rate).mean(axis=1)
+    assert (np.abs(acc - 0.574) < 0.2).all(), acc
+    fwd = ffpipe.forward_fn("rom_nn")
+    z_post = res.samples.mean(axis=(0, 1))
+    assert float(jnp.linalg.norm(fwd(z_post) - data)) < float(
+        jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data)
+    )
+
+
 def test_ff_pt_da_pcn_fom(ffpipe):
     """Tempered delayed acceptance with the exact FOM target in coefficient
     space — the full-field analog of the five-param production sampler."""

@@ -186,3 +186,119 @@ def test_pt_da_segmented_carries_state():
     assert res.theta.shape == (4, 32, 1)
     np.testing.assert_allclose(np.asarray(res.accept_rate), 1.0)
     assert abs(float((np.asarray(res.samples).reshape(-1) > 0).mean()) - mass_right) < 0.07
+
+
+# --- gradient-informed tempering (run_pt_mala) -------------------------------
+
+
+def test_pt_mala_matches_analytic_posterior_unimodal():
+    """Cold level of the MALA ladder matches the analytic linear-Gaussian
+    posterior — the tempering + Langevin + drift-clip machinery adds no bias
+    (same oracle as test_pt_matches_analytic_posterior_unimodal)."""
+    from bayesianinferencedl_tpu.infer.tempering import run_pt_mala
+
+    d, m, sigma, prior_sigma = 3, 4, 0.5, 1.0
+    rng = np.random.default_rng(0)
+    H = jnp.asarray(rng.standard_normal((m, d)))
+    data = jnp.asarray(rng.standard_normal(m))
+    prior = GaussianPrior.iid(d, mean=0.0, sigma=prior_sigma, dtype=jnp.float64)
+    Cpost = np.linalg.inv(np.asarray(H.T @ H) / sigma**2 + np.eye(d) / prior_sigma**2)
+    mu = Cpost @ np.asarray(H.T @ data) / sigma**2
+
+    misfit = gaussian_misfit(lambda t: H @ t, data, sigma)
+    theta0 = prior.sample(jax.random.PRNGKey(0), (64,))
+    res = run_pt_mala(
+        misfit, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=6000, n_burn=1000, step=0.2, n_temps=4, lambda_min=0.1,
+    )
+    samples = np.asarray(res.samples).reshape(-1, d)
+    np.testing.assert_allclose(samples.mean(0), mu, atol=0.05)
+    np.testing.assert_allclose(np.cov(samples.T), Cpost, atol=0.06)
+    # every level adapted toward the MALA target acceptance and exchanges
+    acc = np.asarray(res.accept_rate)
+    assert (np.abs(acc.mean(axis=1) - 0.574) < 0.08).all(), acc.mean(axis=1)
+    assert np.asarray(res.swap_rate).min() > 0.2
+
+
+def test_pt_mala_recovers_bimodal_masses():
+    """Exact mode masses on the unequal-depth bimodal target (quadrature
+    oracle) — swaps move states across basins while the within-level moves
+    are Langevin; the drift clip keeps hot-level drifts bounded."""
+    from bayesianinferencedl_tpu.infer.tempering import run_pt_mala
+
+    misfit, mass_right, mean = _bimodal_setup()
+    prior = GaussianPrior.iid(1, mean=0.0, sigma=1.0, dtype=jnp.float64)
+    theta0 = prior.sample(jax.random.PRNGKey(2), (64,))
+    res = run_pt_mala(
+        misfit, prior, theta0, jax.random.PRNGKey(3),
+        n_steps=8000, n_burn=2000, step=0.05, n_temps=5, lambda_min=0.02,
+    )
+    s = np.asarray(res.samples).reshape(-1)
+    est_mass = float((s > 0).mean())
+    assert abs(est_mass - mass_right) < 0.05, (est_mass, mass_right)
+    assert abs(s.mean() - mean) < 0.1
+    # cold chains hop modes (that's the tempering, not the Langevin drift)
+    s_chain = np.asarray(res.samples)[..., 0]
+    assert (np.sign(s_chain[1:]) != np.sign(s_chain[:-1])).mean() > 1e-3
+
+
+def test_pt_mala_resume_shape_contract():
+    from bayesianinferencedl_tpu.infer.tempering import run_pt_mala
+
+    prior = GaussianPrior.iid(2, dtype=jnp.float64)
+    misfit = lambda t: 0.5 * jnp.sum(t * t, -1)
+    theta0 = prior.sample(jax.random.PRNGKey(0), (8,))
+    res = run_pt_mala(
+        misfit, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=50, n_burn=10, n_temps=3, batched=True,
+    )
+    assert res.theta.shape == (3, 8, 2)
+    assert res.step.shape == (3, 8)
+    # resume with the saved ladder: accepted
+    res2 = run_pt_mala(
+        misfit, prior, res.theta, jax.random.PRNGKey(2),
+        n_steps=20, n_burn=0, step=res.step, n_temps=3, batched=True,
+    )
+    assert res2.samples.shape == (20, 8, 2)
+    # wrong ladder size: clear error naming the contract
+    import pytest
+
+    with pytest.raises(ValueError, match="resumed with the ladder size"):
+        run_pt_mala(
+            misfit, prior, res.theta, jax.random.PRNGKey(2),
+            n_steps=20, n_burn=0, n_temps=4, batched=True,
+        )
+
+
+def test_sharded_pt_mala_custom_linear_solve_likelihood():
+    """Mesh path with a custom_linear_solve likelihood (the production
+    differentiable forward) — must run with vma checking disabled, like
+    sharded_mala (tests/test_mala.py)."""
+    from jax.sharding import Mesh
+
+    from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_mala
+
+    mesh = Mesh(np.array(jax.devices()), ("devices",))
+    rng = np.random.default_rng(3)
+    M = jnp.asarray(rng.standard_normal((4, 4)))
+    A0 = M @ M.T + 4.0 * jnp.eye(4)
+    data = jnp.asarray(rng.standard_normal(4))
+    prior = GaussianPrior.iid(4, sigma=0.8, dtype=jnp.float64)
+
+    def fwd(t):
+        A = A0 + jnp.diag(jnp.exp(t))
+        solve = lambda mv, b: jnp.linalg.solve(A, b)
+        return jax.lax.custom_linear_solve(
+            lambda v: A @ v, jnp.ones(4, jnp.float64), solve=solve, symmetric=True
+        )
+
+    misfit = gaussian_misfit(fwd, data, 0.5)
+    theta0 = prior.sample(jax.random.PRNGKey(0), (32,))
+    res = sharded_pt_mala(
+        mesh, misfit, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=300, n_burn=100, n_temps=3,
+    )
+    assert res.samples.shape == (200, 32, 4)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert res.swap_rate.shape == (2,)
+    assert 0.2 < float(np.mean(np.asarray(res.accept_rate))) <= 1.0
