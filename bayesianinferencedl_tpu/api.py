@@ -1214,30 +1214,36 @@ def run_inversion(
         elif smp == "pt_da_pcn":
             # tempered delayed acceptance: exact `like` posterior on a
             # multimodal problem at ~1/subchain of the fine evaluations —
-            # every level runs DA subchains on the da_coarse surrogate, the
+            # every level runs DA subchains on the da_coarse surrogate (pCN
+            # random walk, or tempered MALA when cfg.da_inner == "mala"), the
             # whole ladder's fine corrections are ONE batched call per outer
             # step, swaps ride the carried fine misfits (infer/tempering.py).
-            coarse_theta = pipe.batched_forward_fn(cfg.da_coarse)
+            coarse_theta = pipe.batched_forward_fn(
+                cfg.da_coarse, differentiable=(cfg.da_inner == "mala")
+            )
             coarse_b = lambda xs: coarse_theta(to_theta(xs))
             misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
+            da_beta = cfg.mala_step if cfg.da_inner == "mala" else cfg.beta
             segment = 32 if like == "fom" else 512
             if mesh is not None:
                 from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_da_segmented
 
                 run = lambda k: sharded_pt_da_segmented(
                     mesh, misfit_b, misfit_c, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
                     subchain=cfg.subchain, n_temps=cfg.n_temps,
                     lambda_min=cfg.lambda_min, segment=segment, batched=True,
+                    inner=cfg.da_inner,
                 )
             else:
                 from bayesianinferencedl_tpu.infer.tempering import run_pt_da_segmented
 
                 run = lambda k: run_pt_da_segmented(
                     misfit_b, misfit_c, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
                     subchain=cfg.subchain, n_temps=cfg.n_temps,
                     lambda_min=cfg.lambda_min, segment=segment, batched=True,
+                    inner=cfg.da_inner,
                 )
         elif smp == "da_pcn":
             # delayed acceptance: subchains of cheap da_coarse steps (pCN
@@ -1252,13 +1258,16 @@ def run_inversion(
             )
             coarse_b = lambda xs: coarse_theta(to_theta(xs))
             misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
+            # inner step size: pCN beta lives in (0,1); MALA's h starts at
+            # mala_step (both adapt per chain during burn-in)
+            da_beta = cfg.mala_step if cfg.da_inner == "mala" else cfg.beta
             segment = 64 if like == "fom" else 512
             if mesh is not None:
                 from bayesianinferencedl_tpu.parallel.sharding import sharded_da_pcn_segmented
 
                 run = lambda k: sharded_da_pcn_segmented(
                     mesh, misfit_b, misfit_c, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
                     subchain=cfg.subchain, segment=segment,
                     batched_fine=True, batched_coarse=True, inner=cfg.da_inner,
                 )
@@ -1267,7 +1276,7 @@ def run_inversion(
 
                 run = lambda k: run_da_pcn_segmented(
                     misfit_b, misfit_c, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
                     subchain=cfg.subchain, segment=segment,
                     batched_fine=True, batched_coarse=True, inner=cfg.da_inner,
                 )

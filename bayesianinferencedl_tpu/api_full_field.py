@@ -469,22 +469,28 @@ def run_full_field_inversion(
             n_temps=n_temps, lambda_min=lambda_min, batched=True,
         )
     elif sampler == "pt_da_pcn":
-        misfit_c = gaussian_misfit(pipe.batched_forward_fn("rom_nn"), data, noise_sigma)
+        misfit_c = gaussian_misfit(
+            pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")),
+            data, noise_sigma,
+        )
         segment = 32 if likelihood == "fom" else 512
         if mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_da_segmented
 
             runner = lambda m, p, t0, k, **kw: sharded_pt_da_segmented(
-                mesh, m, misfit_c, p, t0, k, segment=segment, batched=True, **kw
+                mesh, m, misfit_c, p, t0, k, segment=segment, batched=True,
+                inner=da_inner, **kw
             )
         else:
             from bayesianinferencedl_tpu.infer.tempering import run_pt_da_segmented
 
             runner = lambda m, p, t0, k, **kw: run_pt_da_segmented(
-                m, misfit_c, p, t0, k, segment=segment, batched=True, **kw
+                m, misfit_c, p, t0, k, segment=segment, batched=True,
+                inner=da_inner, **kw
             )
         kwargs = dict(
-            n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=subchain,
+            n_steps=n_steps, n_burn=n_burn,
+            beta=mala_step if da_inner == "mala" else beta, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min,
         )
     elif sampler == "da_pcn":
@@ -512,7 +518,10 @@ def run_full_field_inversion(
                 m, misfit_c, p, t0, k, segment=segment,
                 batched_fine=True, batched_coarse=True, inner=da_inner, **kw,
             )
-        kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, subchain=subchain)
+        kwargs = dict(
+            n_steps=n_steps, n_burn=n_burn,
+            beta=mala_step if da_inner == "mala" else beta, subchain=subchain,
+        )
     elif mesh is not None:
         from bayesianinferencedl_tpu.parallel.sharding import (
             sharded_pcn, sharded_pcn_segmented,

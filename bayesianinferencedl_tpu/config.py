@@ -161,8 +161,9 @@ class MCMCConfig:
     lambda_min: float = 0.05
     subchain: int = 8
     da_coarse: str = "rom_nn"
-    # DA subchain kernel: "pcn" (random walk) or "mala" (gradient-informed —
-    # better subchain decorrelation per fine evaluation; infer/mala.py)
+    # DA subchain kernel for da_pcn AND pt_da_pcn: "pcn" (random walk) or
+    # "mala" (gradient-informed — better subchain decorrelation per fine
+    # evaluation; infer/mala.py. Initial step size is then mala_step.)
     da_inner: str = "pcn"
     mala_step: float = 0.1  # initial MALA step size h (adapted per chain)
 

@@ -419,7 +419,7 @@ class PTDAResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "misfit_fine", "misfit_coarse", "n_steps", "n_burn", "n_temps",
-        "subchain", "adapt", "batched",
+        "subchain", "adapt", "batched", "inner",
     ),
 )
 def run_pt_da(
@@ -438,12 +438,13 @@ def run_pt_da(
     adapt: bool = True,
     batched: bool = False,
     adapt_t0=0.0,
+    inner: str = "pcn",
 ) -> PTDAResult:
     """Tempered delayed acceptance: the EXACT fine (e.g. full-order)
     posterior on a MULTIMODAL problem, at ~1/subchain of the fine evals.
 
     Level j targets pi_j ~ exp(-lambda_j Phi_f) mu0. Its within-level move is
-    a DA step: `subchain` coarse pCN steps targeting exp(-lambda_j Phi_c) mu0
+    a DA step: `subchain` coarse steps targeting exp(-lambda_j Phi_c) mu0
     (reversible w.r.t. it), then one Metropolis correction with
 
         log alpha = lambda_j [(Phi_f - Phi_f*) - (Phi_c - Phi_c*)]
@@ -454,6 +455,14 @@ def run_pt_da(
     with Phi = Phi_f), so the cold level samples the exact fine posterior.
     The fine model runs ONCE per outer step as a single (K*G)-batch call —
     on TPU one fused Pallas PCG dispatch for the whole ladder.
+
+    inner: "pcn" (tempered random-walk subchains) or "mala" (tempered
+    drift-clipped whitened MALA subchains on nlp_j = lambda_j Phi_c(theta(y))
+    + ||y||^2/2 — misfit_coarse must be differentiable; each inner step is
+    one fused forward+reverse coarse pass for the whole ladder, and the
+    subchain decorrelates like Langevin instead of a random walk; see
+    infer/delayed_acceptance.py mala_inner_kernel for the single-level
+    measured rationale). beta is then the initial MALA step size h.
 
     n_steps/n_burn count OUTER steps. beta may be a scalar or a (K, G)
     array (resume support)."""
@@ -487,6 +496,31 @@ def run_pt_da(
     # derive from phi_f so the carry stays device-varying under shard_map (vma)
     n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi_f.sum() * 0
     mean, chol = prior.mean, prior.chol
+    hi = jax.lax.Precision.HIGHEST
+
+    if inner == "mala":
+        from bayesianinferencedl_tpu.infer.mala import (
+            TARGET_ACCEPT_MALA, _inv_chol, _tamed,
+        )
+
+        Li = _inv_chol(chol)
+        inner_target, lo_clip, hi_clip = TARGET_ACCEPT_MALA, jnp.log(1e-8), jnp.log(10.0)
+
+        def phi_grad_c(Y):  # (K, G, d) -> coarse misfit + d(Phi_c)/dy
+            flat = Y.reshape(K * G, d)
+
+            def f(yf):
+                th = mean + jnp.dot(yf, chol.T, precision=hi)
+                return misfit_coarse(th) if batched else jax.vmap(misfit_coarse)(th)
+
+            phi, pullback = jax.vjp(f, flat)
+            (g,) = pullback(jnp.ones_like(phi))
+            return phi.reshape(K, G), g.reshape(K, G, d)
+
+    elif inner == "pcn":
+        inner_target, lo_clip, hi_clip = TARGET_ACCEPT, jnp.log(1e-4), jnp.log(0.9999)
+    else:
+        raise ValueError(f"unknown PT-DA inner kernel {inner!r} (use 'pcn' or 'mala')")
 
     def step(carry, inp):
         theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap = carry
@@ -494,23 +528,61 @@ def run_pt_da(
         k_sub, k_acc, k_swap = jax.random.split(k_t, 3)
         b = jnp.exp(log_beta)[..., None]  # frozen for this outer step
 
-        # --- inner subchain: S tempered-coarse pCN steps --------------------
-        def inner(c, k):
-            th, pc, na = c
-            k1, k2 = jax.random.split(k)
-            xi = jnp.dot(jax.random.normal(k1, th.shape, dtype), chol.T,
-                         precision=jax.lax.Precision.HIGHEST)
-            prop = mean + jnp.sqrt(1.0 - b**2) * (th - mean) + b * xi
-            pc_prop = phi_all(misfit_coarse, prop)
-            u = jax.random.uniform(k2, pc.shape, dtype)
-            acc = jnp.log(u) < lambdas * (pc - pc_prop)
-            th = jnp.where(acc[..., None], prop, th)
-            pc = jnp.where(acc, pc_prop, pc)
-            return (th, pc, na + acc.astype(jnp.int32)), None
+        if inner == "mala":
+            # --- S tempered drift-clipped MALA steps in whitened coords ----
+            # (one fused coarse forward+reverse pass per inner step; each
+            # level's target is exp(-lambda_j Phi_c) mu0, i.e.
+            # nlp_j(y) = lambda_j Phi_c(theta(y)) + ||y||^2 / 2)
+            h = jnp.exp(log_beta)
+            hcol = b
+            y0 = jnp.dot(theta - mean, Li.T, precision=hi)
+            pc0, gpc0 = phi_grad_c(y0)  # recomputed: the vjp needs it anyway
 
-        (th_s, pc_s, n_in_step), _ = jax.lax.scan(
-            inner, (theta, phi_c, n_in * 0), jax.random.split(k_sub, subchain)
-        )
+            def inner_step(c, k):
+                y, pc, gpc, na = c
+                k1, k2 = jax.random.split(k)
+                nlp = lambdas * pc + 0.5 * jnp.sum(y * y, axis=-1)
+                g = _tamed(-(lambdas[..., None] * gpc + y), h)
+                xi = jax.random.normal(k1, y.shape, dtype)
+                prop = y + 0.5 * hcol * g + jnp.sqrt(hcol) * xi
+                pc_p, gpc_p = phi_grad_c(prop)
+                nlp_p = lambdas * pc_p + 0.5 * jnp.sum(prop * prop, axis=-1)
+                g_p = _tamed(-(lambdas[..., None] * gpc_p + prop), h)
+                fq = prop - y - 0.5 * hcol * g
+                bq = y - prop - 0.5 * hcol * g_p
+                log_q = (jnp.sum(fq * fq, -1) - jnp.sum(bq * bq, -1)) / (2.0 * h)
+                u = jax.random.uniform(k2, pc.shape, dtype)
+                acc = jnp.log(u) < (nlp - nlp_p) + log_q
+                acol = acc[..., None]
+                return (
+                    jnp.where(acol, prop, y),
+                    jnp.where(acc, pc_p, pc),
+                    jnp.where(acol, gpc_p, gpc),
+                    na + acc.astype(jnp.int32),
+                ), None
+
+            (y_s, pc_s, _, n_in_step), _ = jax.lax.scan(
+                inner_step, (y0, pc0, gpc0, n_in * 0), jax.random.split(k_sub, subchain)
+            )
+            th_s = mean + jnp.dot(y_s, chol.T, precision=hi)
+        else:
+            # --- inner subchain: S tempered-coarse pCN steps ----------------
+            def inner_step(c, k):
+                th, pc, na = c
+                k1, k2 = jax.random.split(k)
+                xi = jnp.dot(jax.random.normal(k1, th.shape, dtype), chol.T,
+                             precision=hi)
+                prop = mean + jnp.sqrt(1.0 - b**2) * (th - mean) + b * xi
+                pc_prop = phi_all(misfit_coarse, prop)
+                u = jax.random.uniform(k2, pc.shape, dtype)
+                acc = jnp.log(u) < lambdas * (pc - pc_prop)
+                th = jnp.where(acc[..., None], prop, th)
+                pc = jnp.where(acc, pc_prop, pc)
+                return (th, pc, na + acc.astype(jnp.int32)), None
+
+            (th_s, pc_s, n_in_step), _ = jax.lax.scan(
+                inner_step, (theta, phi_c, n_in * 0), jax.random.split(k_sub, subchain)
+            )
 
         # --- outer fine correction (one K*G-batch fine evaluation) ----------
         pf_s = phi_all(misfit_fine, th_s)
@@ -531,8 +603,8 @@ def run_pt_da(
             frac = n_in_step.astype(dtype) / dtype.type(subchain)
             frac = frac * acc.astype(dtype)
             log_beta = jnp.clip(
-                log_beta + eta * (frac - dtype.type(TARGET_ACCEPT)),
-                jnp.log(1e-4), jnp.log(0.9999),
+                log_beta + eta * (frac - dtype.type(inner_target)),
+                lo_clip, hi_clip,
             )
 
         # --- replica exchange on the carried fine misfits (_replica_exchange)
@@ -584,6 +656,7 @@ def run_pt_da_segmented(
     lambda_min: float = 0.05,
     segment: int = 32,
     batched: bool = False,
+    inner: str = "pcn",
 ) -> PTDAResult:
     """run_pt_da in fixed-size outer segments (watchdog-safe for expensive
     fine models; infer.segmented); per-level states and adapted betas carry
@@ -604,7 +677,7 @@ def run_pt_da_segmented(
             misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, adapt=True, batched=batched,
-            adapt_t0=jnp.asarray(start, theta0.dtype),
+            adapt_t0=jnp.asarray(start, theta0.dtype), inner=inner,
         )
         return res, (res.theta, res.beta)
 

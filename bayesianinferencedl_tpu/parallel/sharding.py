@@ -351,6 +351,7 @@ def sharded_pt_da(
     lambda_min: float = 0.05,
     batched: bool = False,
     adapt_t0=0.0,
+    inner: str = "pcn",
 ):
     """Tempered DA with the chain-GROUP axis sharded over the mesh.
 
@@ -359,7 +360,8 @@ def sharded_pt_da(
     groups; swaps are shard-local and the reported swap_rate is pmean'd over
     the mesh. theta0: (G, d) cold-level inits or (K, G, d) per-level resume
     states; beta: scalar or (K, G) adapted step sizes (resume). G divisible
-    by the mesh size."""
+    by the mesh size. inner="mala" (gradient-informed subchains) disables
+    vma checking for the same custom_linear_solve reason as sharded_da_pcn."""
     from bayesianinferencedl_tpu.infer.tempering import PTDAResult, run_pt_da
 
     axis = mesh.axis_names[0]
@@ -373,7 +375,7 @@ def sharded_pt_da(
             misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
             n_steps=n_steps, n_burn=n_burn, beta=beta_in, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
-            adapt_t0=adapt_t0,
+            adapt_t0=adapt_t0, inner=inner,
         )
         return res._replace(
             swap_rate=jax.lax.pmean(res.swap_rate, axis),
@@ -391,7 +393,8 @@ def sharded_pt_da(
         n_fine_evals=P(),
     )
     f = jax.shard_map(
-        local, mesh=mesh, in_specs=(theta_spec, beta_spec, P()), out_specs=out_specs
+        local, mesh=mesh, in_specs=(theta_spec, beta_spec, P()), out_specs=out_specs,
+        check_vma=(inner != "mala"),
     )
     return f(theta0, beta if beta_is_arr else jnp.asarray(beta, theta0.dtype), key)
 
@@ -547,6 +550,7 @@ def sharded_pt_da_segmented(
     lambda_min: float = 0.05,
     segment: int = 32,
     batched: bool = False,
+    inner: str = "pcn",
 ):
     """sharded_pt_da in fixed-size outer segments (watchdog-safe;
     infer.segmented); per-level states and adapted betas carry across
@@ -562,7 +566,7 @@ def sharded_pt_da_segmented(
             mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
-            adapt_t0=jnp.asarray(start, theta0.dtype),
+            adapt_t0=jnp.asarray(start, theta0.dtype), inner=inner,
         )
         return res, (res.theta, res.beta)
 

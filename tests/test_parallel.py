@@ -186,3 +186,32 @@ def test_run_inversion_routes_mesh_for_pt_mala():
     assert inv.result.theta.shape == (3, 16, 5)
     assert inv.result.step.shape == (3, 16)
     assert bool(jnp.isfinite(inv.result.samples).all())
+
+
+def test_run_inversion_routes_mesh_for_pt_da_mala_inner():
+    """sampler='pt_da_pcn' with cfg.da_inner='mala' through
+    run_inversion(mesh=...): tempered DA with gradient-informed subchains on
+    the sharded path (sharded_pt_da_segmented inner='mala' — vma checking
+    disabled for the differentiable coarse forward's custom_linear_solve)."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=1),
+        fem=FEMConfig(biot=0.1, cg_tol=1e-6, cg_maxiter=300),
+        rom=ROMConfig(n_snapshots=32, basis_size=10),
+        surrogate=SurrogateConfig(hidden=(16, 16), n_train=64, epochs=30),
+        mcmc=MCMCConfig(
+            n_chains=16, n_steps=40, n_burn=16, noise_sigma=1e-2,
+            likelihood="rom_nn", sampler="pt_da_pcn", subchain=2,
+            da_coarse="rom", da_inner="mala", n_temps=3,
+        ),
+    )
+    pipe = build_pipeline(cfg, dtype=jnp.float32)
+    inv = run_inversion(pipe, mesh=device_mesh())
+    assert inv.result.samples.shape == (24, 16, 5)
+    assert inv.result.theta.shape == (3, 16, 5)
+    assert bool(jnp.isfinite(inv.result.samples).all())
+    assert 0.0 < float(jnp.mean(inv.result.inner_accept_rate)) <= 1.0

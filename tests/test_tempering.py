@@ -302,3 +302,36 @@ def test_sharded_pt_mala_custom_linear_solve_likelihood():
     assert np.isfinite(np.asarray(res.samples)).all()
     assert res.swap_rate.shape == (2,)
     assert 0.2 < float(np.mean(np.asarray(res.accept_rate))) <= 1.0
+
+
+def test_pt_da_mala_inner_exact_bimodal_masses():
+    """Tempered DA with GRADIENT-INFORMED subchains (inner='mala'): same
+    biased-coarse bimodal oracle as the pCN-inner test — the tempered MALA
+    subchain kernel is reversible w.r.t. each level's coarse target, so the
+    fine correction still recovers the exact fine masses."""
+    from bayesianinferencedl_tpu.infer.tempering import run_pt_da
+
+    misfit_f, mass_right, mean = _bimodal_setup()
+
+    a, s = 1.6, 0.12  # same wells, depth 0 -> wrong relative mass
+
+    def misfit_c(t):
+        q1 = (t[..., 0] - a) ** 2 / (2 * s**2)
+        q2 = (t[..., 0] + a) ** 2 / (2 * s**2)
+        return -jax.scipy.special.logsumexp(jnp.stack([-q1, -q2], -1), axis=-1)
+
+    prior = GaussianPrior.iid(1, mean=0.0, sigma=1.0, dtype=jnp.float64)
+    theta0 = prior.sample(jax.random.PRNGKey(2), (64,))
+    res = run_pt_da(
+        misfit_f, misfit_c, prior, theta0, jax.random.PRNGKey(3),
+        n_steps=4000, n_burn=1000, beta=0.05, subchain=4, n_temps=5,
+        lambda_min=0.02, inner="mala",
+    )
+    s_da = np.asarray(res.samples).reshape(-1)
+    est_mass = float((s_da > 0).mean())
+    assert abs(est_mass - mass_right) < 0.05, (est_mass, mass_right)
+    assert abs(s_da.mean() - mean) < 0.1
+    s_chain = np.asarray(res.samples)[..., 0]
+    assert (np.sign(s_chain[1:]) != np.sign(s_chain[:-1])).mean() > 1e-3
+    out_acc = float(np.mean(np.asarray(res.accept_rate)))
+    assert 0.15 < out_acc < 0.9999
