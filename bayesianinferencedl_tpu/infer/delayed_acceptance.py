@@ -248,26 +248,45 @@ def run_da_pcn(
     if n_burn > 0:
 
         def burn_body(carry, inp):
-            s, lb, n_inner = carry
+            s, lb, ema, n_inner = carry
             t, k = inp
             s, acc_out, acc_inner = step(jnp.exp(lb), subchain, s, k)
             if adapt:
-                # Robbins-Monro on the EFFECTIVE acceptance: inner fraction x
-                # outer survival. With an accurate surrogate the outer factor
-                # is ~1 and this reduces to the usual inner-rate tuning; with
-                # a biased surrogate it shrinks the step until the subchain's
-                # accumulated (Phi_f - Phi_c) drift stops killing the outer
-                # correction (the classic DA step-size pathology).
                 eta = 0.5 / (1.0 + t + jnp.asarray(adapt_t0, dtype)) ** 0.6
                 frac = acc_inner.astype(dtype) / dtype.type(subchain)
-                frac = frac * acc_out.astype(dtype)
-                lb = lb + eta * (frac - dtype.type(kernel.target))
-                lb = jnp.clip(lb, lo_clip, hi_clip)
-            return (s, lb, n_inner + acc_inner), None
+                if inner == "mala":
+                    # Inner-rate tuning + outer-collapse penalty. The pCN
+                    # rule below (drive the PRODUCT inner x outer to target)
+                    # is unreachable for MALA's 0.574 target whenever the
+                    # outer acceptance sits under 0.574 — it rails h to the
+                    # floor and the subchain stops moving (measured: inner
+                    # acc 0.96, R-hat 2.3 on the tempered fin). Instead tune
+                    # the inner rate to its own target and subtract a
+                    # penalty only when a running estimate of the outer
+                    # acceptance collapses below 0.25 — smaller moves
+                    # shrink the subchain's (Phi_f - Phi_c) drift, so the
+                    # penalty is self-correcting, and it vanishes in the
+                    # healthy regime.
+                    ema = ema + dtype.type(0.05) * (acc_out.astype(dtype) - ema)
+                    drive = (frac - dtype.type(kernel.target)) - dtype.type(
+                        2.0
+                    ) * jnp.maximum(dtype.type(0.0), dtype.type(0.25) - ema)
+                else:
+                    # Robbins-Monro on the EFFECTIVE acceptance: inner
+                    # fraction x outer survival. With an accurate surrogate
+                    # the outer factor is ~1 and this reduces to the usual
+                    # inner-rate tuning; with a biased surrogate it shrinks
+                    # the step until the subchain's accumulated
+                    # (Phi_f - Phi_c) drift stops killing the outer
+                    # correction (the classic DA step-size pathology).
+                    drive = frac * acc_out.astype(dtype) - dtype.type(kernel.target)
+                lb = jnp.clip(lb + eta * drive, lo_clip, hi_clip)
+            return (s, lb, ema, n_inner + acc_inner), None
 
         ts = jnp.arange(n_burn, dtype=dtype)
-        (state, log_beta, _), _ = jax.lax.scan(
-            burn_body, (state, log_beta0, state.n_accept * 0),
+        ema0 = state.phi_f * 0 + dtype.type(0.5)
+        (state, log_beta, _, _), _ = jax.lax.scan(
+            burn_body, (state, log_beta0, ema0, state.n_accept * 0),
             (ts, jax.random.split(k_burn, n_burn)),
         )
         state = state._replace(n_accept=state.n_accept * 0)

@@ -523,7 +523,7 @@ def run_pt_da(
         raise ValueError(f"unknown PT-DA inner kernel {inner!r} (use 'pcn' or 'mala')")
 
     def step(carry, inp):
-        theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap = carry
+        theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap = carry
         t, k_t = inp
         k_sub, k_acc, k_swap = jax.random.split(k_t, 3)
         b = jnp.exp(log_beta)[..., None]  # frozen for this outer step
@@ -597,15 +597,24 @@ def run_pt_da(
         if adapt:
             tg = t.astype(dtype) + jnp.asarray(adapt_t0, dtype)
             eta = jnp.where(t < n_burn, 0.5 / (1.0 + tg) ** 0.6, 0.0)
-            # effective acceptance = inner fraction x outer survival (see
-            # delayed_acceptance.run_da_pcn) — keeps the outer correction
-            # alive when the surrogate is biased at cold temperatures
             frac = n_in_step.astype(dtype) / dtype.type(subchain)
-            frac = frac * acc.astype(dtype)
-            log_beta = jnp.clip(
-                log_beta + eta * (frac - dtype.type(inner_target)),
-                lo_clip, hi_clip,
-            )
+            if inner == "mala":
+                # inner-rate tuning + outer-collapse penalty: the pCN
+                # product rule below cannot reach MALA's 0.574 target when
+                # the outer acceptance is under it — it rails h to the
+                # floor (see delayed_acceptance.run_da_pcn for the full
+                # rationale and the measured failure)
+                ema = ema + dtype.type(0.05) * (acc.astype(dtype) - ema)
+                drive = (frac - dtype.type(inner_target)) - dtype.type(
+                    2.0
+                ) * jnp.maximum(dtype.type(0.0), dtype.type(0.25) - ema)
+            else:
+                # effective acceptance = inner fraction x outer survival
+                # (delayed_acceptance.run_da_pcn) — keeps the outer
+                # correction alive when the surrogate is biased at cold
+                # temperatures
+                drive = frac * acc.astype(dtype) - dtype.type(inner_target)
+            log_beta = jnp.clip(log_beta + eta * drive, lo_clip, hi_clip)
 
         # --- replica exchange on the carried fine misfits (_replica_exchange)
         if K > 1:
@@ -614,20 +623,21 @@ def run_pt_da(
                 t, t_global, lambdas, phi_f, (theta, phi_f, phi_c), k_swap, n_burn, n_swap
             )
 
-        return (theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
+        return (theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
 
     k_burn, k_main = jax.random.split(key)
-    carry = (theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap)
+    ema0 = phi_f * 0 + dtype.type(0.5)  # outer-acceptance EMA (mala inner)
+    carry = (theta, phi_f, phi_c, log_beta, ema0, n_out, n_in, n_swap)
     if n_burn > 0:
         ts = jnp.arange(n_burn, dtype=dtype)
         carry, _ = jax.lax.scan(step, carry, (ts, jax.random.split(k_burn, n_burn)))
-        theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap = carry
-        carry = (theta, phi_f, phi_c, log_beta, n_out * 0, n_in * 0, n_swap * 0)
+        theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap = carry
+        carry = (theta, phi_f, phi_c, log_beta, ema, n_out * 0, n_in * 0, n_swap * 0)
 
     n_keep = n_steps - n_burn
     ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
     carry, (samples, phis) = jax.lax.scan(step, carry, (ts, jax.random.split(k_main, n_keep)))
-    theta, phi_f, phi_c, log_beta, n_out, n_in, n_swap = carry
+    theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap = carry
 
     return PTDAResult(
         samples=samples,
