@@ -203,10 +203,18 @@ def main() -> None:
 
     # --- gradient-based sampler: Laplace-preconditioned MALA ----------------
     # same unimodal 1e-2 config as laplace_mh for comparability; each step is
-    # one fused forward+reverse pass of the rom_nn likelihood (infer/mala.py)
-    inv_mala = run_inversion(
-        dataclasses.replace(pipe, config=cfg_mh), sampler="mala_lap", metrics=log
-    )
+    # one fused forward+reverse pass of the rom_nn likelihood (infer/mala.py).
+    # fail-soft: the vjp of the fused likelihood is a fresh program shape for
+    # the remote-compile helper — a helper failure here must not zero the
+    # whole artifact (same rationale as the DA section below)
+    try:
+        inv_mala = run_inversion(
+            dataclasses.replace(pipe, config=cfg_mh), sampler="mala_lap", metrics=log
+        )
+        mala_err = None
+    except Exception as e:  # pragma: no cover - env-dependent
+        inv_mala = None
+        mala_err = str(e)[:300]
 
     # --- single-temperature pCN throughput (unimodal 1e-2 regime) -----------
     # the raw chain-step rate of the fused ROM+NN likelihood without the
@@ -288,15 +296,19 @@ def main() -> None:
                 "ess_bulk_min": round(float(jnp.min(inv_mh.ess)), 1),
                 "rhat_split_max": round(float(jnp.max(inv_mh.rhat)), 4),
             },
-            "mala_lap": {
-                "regime": "unimodal (noise 1e-2; gradient-based — exact on non-Gaussian unimodal posteriors where the independence sampler mixes poorly)",
-                "sampler": "Laplace-preconditioned MALA (one fused forward+reverse rom_nn pass per step)",
-                "samples_per_sec": round(inv_mala.samples_per_sec, 2),
-                "ess_per_sec": round(inv_mala.ess_per_sec, 2),
-                "ess_bulk_min": round(float(jnp.min(inv_mala.ess)), 1),
-                "rhat_split_max": round(float(jnp.max(inv_mala.rhat)), 4),
-                "accept_rate": round(float(jnp.mean(inv_mala.result.accept_rate)), 3),
-            },
+            "mala_lap": (
+                {
+                    "regime": "unimodal (noise 1e-2; gradient-based — exact on non-Gaussian unimodal posteriors where the independence sampler mixes poorly)",
+                    "sampler": "Laplace-preconditioned MALA (one fused forward+reverse rom_nn pass per step)",
+                    "samples_per_sec": round(inv_mala.samples_per_sec, 2),
+                    "ess_per_sec": round(inv_mala.ess_per_sec, 2),
+                    "ess_bulk_min": round(float(jnp.min(inv_mala.ess)), 1),
+                    "rhat_split_max": round(float(jnp.max(inv_mala.rhat)), 4),
+                    "accept_rate": round(float(jnp.mean(inv_mala.result.accept_rate)), 3),
+                }
+                if inv_mala is not None
+                else {"error": mala_err}
+            ),
             "da_fom_exact": (
                 {
                     "sampler": "da_pcn (rom_nn subchains x8 + exact FOM correction)",
