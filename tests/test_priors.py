@@ -119,3 +119,48 @@ def test_run_inversion_with_log_uniform_prior():
     err = np.abs(theta_samps.mean(axis=(0, 1)) - theta_true_logk).max()
     assert err < 0.5, (theta_samps.mean(axis=(0, 1)), theta_true_logk)
     assert float(jnp.mean(inv.result.accept_rate)) > 0.05
+
+
+def test_mala_box_prior_matches_quadrature_oracle():
+    """MALA (and its tempered variant) in z-coordinates with a log-uniform
+    BoxPrior: the drift differentiates through the probit push-forward
+    (to_theta) and the z-space reference term, and the posterior must match
+    the same dense quadrature oracle as the pCN test above — the gradient
+    machinery adds no bias on a bounded-prior problem."""
+    from bayesianinferencedl_tpu.infer.mala import run_mala
+    from bayesianinferencedl_tpu.infer.tempering import run_pt_mala
+
+    d, m, sigma = 2, 3, 0.5
+    rng = np.random.default_rng(7)
+    H = jnp.asarray(rng.standard_normal((m, d)))
+    theta_star = jnp.asarray([0.3, -0.5], jnp.float64)
+    data = H @ theta_star + 0.1 * jnp.asarray(rng.standard_normal(m))
+
+    prior = BoxPrior.create(d, low=0.1, high=10.0, kind="log_uniform", dtype=jnp.float64)
+    misfit = gaussian_misfit(lambda z: H @ prior.to_theta(z), data, sigma)
+
+    # quadrature oracle on the theta box (same as the pCN test)
+    lo, hi = np.log(0.1), np.log(10.0)
+    g = np.linspace(lo, hi, 400)
+    T1, T2 = np.meshgrid(g, g, indexing="ij")
+    TH = np.stack([T1.ravel(), T2.ravel()], axis=1)
+    R = TH @ np.asarray(H).T - np.asarray(data)
+    logw = -0.5 * np.sum(R * R, axis=1) / sigma**2
+    w = np.exp(logw - logw.max())
+    w /= w.sum()
+    mu = w @ TH
+    Cq = (TH - mu).T @ ((TH - mu) * w[:, None])
+
+    z0 = prior.sample(jax.random.PRNGKey(2), (64,))
+    res = run_mala(misfit, prior, z0, jax.random.PRNGKey(3),
+                   n_steps=6000, n_burn=1500, step=0.3)
+    th = np.asarray(prior.to_theta(res.samples)).reshape(-1, d)
+    np.testing.assert_allclose(th.mean(0), mu, atol=0.05)
+    np.testing.assert_allclose(np.cov(th.T), Cq, atol=0.05)
+
+    res_pt = run_pt_mala(misfit, prior, z0, jax.random.PRNGKey(4),
+                         n_steps=6000, n_burn=1500, step=0.3, n_temps=3,
+                         lambda_min=0.1)
+    th_pt = np.asarray(prior.to_theta(res_pt.samples)).reshape(-1, d)
+    np.testing.assert_allclose(th_pt.mean(0), mu, atol=0.05)
+    np.testing.assert_allclose(np.cov(th_pt.T), Cq, atol=0.05)
