@@ -61,9 +61,15 @@ class Pipeline:
     dataset: ErrorDataset
     prior: GaussianPrior
     P0: Optional[jax.Array] = None  # reduced-space preconditioner Ahat(1)^{-1}
-    # 15 preconditioned-CG iterations reach ~5e-6 relative solve error —
-    # two orders below the corrected model's own accuracy — at ~20% higher
-    # chain throughput than 20 iterations
+    # Deployed reduced-solve iteration count. The required count grows with
+    # the basis size r (the preconditioned reduced system's conditioning
+    # does): measured against f64-host truth at r=40/res4 over 2048
+    # log-uniform draws, 15 iters leave 1.7e-3 relative error (2x the 1e-3
+    # observation noise — it DOMINATED the corrected model's holdout error
+    # and the NN cannot learn it), 25 leave a 6e-4 p100 tail, 30 reach
+    # p99 1.0e-5 / max 4.3e-5 ~ the Galerkin error (2.5e-5). build_pipeline
+    # sets max(15, 3r/4); this field default only covers hand-built
+    # Pipelines at the legacy r<=20 scale.
     rom_pcg_iters: int = 15
     # None = full-f32 (HIGHEST); lax.Precision.DEFAULT = bf16 turbo mode
     # (see ROMConfig.online_precision)
@@ -393,12 +399,16 @@ def build_pipeline(
     rom_prec = _online_precision(cfg.rom.online_precision)
     # route dataset ROM forwards through the factorization-free path at the
     # DEPLOYED precision AND iteration count (Pipeline.rom_pcg_iters), so the
-    # surrogate learns (and corrects) the exact forward the chains evaluate —
-    # including systematic reduced-solver error at extreme conductivity
-    # ratios, which a more-converged offline solver would leave uncorrected
-    # online (round-2 advisor finding). Also the only option for f64-on-TPU
+    # surrogate learns (and corrects) the exact forward the chains evaluate
+    # (round-2 advisor finding). Also the only option for f64-on-TPU
     # validation (TPU f64 has matmuls but no dense linalg).
-    rom_pcg_iters = 15  # the deployed Pipeline.rom_pcg_iters default
+    # Iteration count scales with the basis size (see the Pipeline field
+    # comment for the r=40 measurement): under-converged solves contribute
+    # k-ROUGH error the surrogate provably cannot learn (measured: every NN
+    # variant left the holdout corrected error at the raw solver-error
+    # level), so the deployed solver must sit at ~Galerkin accuracy and the
+    # NN corrects what remains.
+    rom_pcg_iters = max(15, (3 * cfg.rom.basis_size) // 4)
     rom_fwd = rom.fast_forward(P0, rom_pcg_iters, rom_prec)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
@@ -430,6 +440,29 @@ def build_pipeline(
     y_corr = ds.y_rom + jax.vmap(surrogate.predict)(ds.log_k)
     corr_rel_err = float(jnp.linalg.norm(y_corr - ds.y_fom) / jnp.linalg.norm(ds.y_fom))
     log.log("corrected_rel_err", value=corr_rel_err, rom_rel_err=rom_rel_err)
+
+    # HOLDOUT accuracy — the honest generalization figures (train-set
+    # residuals flatter the NN; a surrogate that only memorizes leaves the
+    # out-of-sample corrected error at the raw ROM level, which is exactly
+    # the failure the round-3 holdout audit caught). 128 fresh draws, same
+    # deployed forward path.
+    with log.timer("holdout_eval"):
+        n_hold = min(128, cfg.surrogate.n_train)
+        ds_h = generate_error_dataset(
+            fin.op, rom, jax.random.PRNGKey(cfg.surrogate.seed + 7919), n_hold,
+            tol=cfg.fem.cg_tol, maxiter=cfg.fem.cg_maxiter, fom_solver=fom_solver,
+            rom_forward=rom_fwd,
+        )
+        ds_h.error.block_until_ready()
+    rom_rel_holdout = float(jnp.linalg.norm(ds_h.error) / jnp.linalg.norm(ds_h.y_fom))
+    y_corr_h = ds_h.y_rom + jax.vmap(surrogate.predict)(ds_h.log_k)
+    corr_rel_holdout = float(
+        jnp.linalg.norm(y_corr_h - ds_h.y_fom) / jnp.linalg.norm(ds_h.y_fom)
+    )
+    log.log(
+        "holdout_rel_err", rom=rom_rel_holdout, corrected=corr_rel_holdout,
+        n_holdout=n_hold,
+    )
 
     prior = make_prior(cfg.prior, dtype)
     return Pipeline(

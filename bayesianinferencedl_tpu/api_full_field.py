@@ -266,6 +266,26 @@ def build_full_field_pipeline(
     corr_rel = float(jnp.linalg.norm(y_corr - y_fom) / jnp.linalg.norm(y_fom))
     log.log("corrected_rel_err", value=corr_rel, rom_rel_err=rom_rel)
 
+    # HOLDOUT accuracy on fresh coefficient draws (the honest generalization
+    # figures — see api.build_pipeline's holdout block for the audit that
+    # motivated this; train-set residuals flatter the NN)
+    with log.timer("holdout_eval"):
+        n_hold = min(128, n_train)
+        zs_h = jax.random.normal(
+            jax.random.fold_in(k_ds, 7919), (n_hold, n_features), dtype
+        )
+        thetas_h = field.mean + field.sigma * jnp.matmul(
+            zs_h, field.features.T, precision=jax.lax.Precision.HIGHEST
+        )
+        y_fom_h = jax.vmap(op.observe)(solver(jnp.exp(thetas_h)))
+        y_rom_h = jax.vmap(ff)(jnp.exp(thetas_h))
+        e_h = y_fom_h - y_rom_h
+        e_h.block_until_ready()
+    rom_rel_h = float(jnp.linalg.norm(e_h) / jnp.linalg.norm(y_fom_h))
+    y_corr_h = y_rom_h + jax.vmap(surrogate.predict)(zs_h)
+    corr_rel_h = float(jnp.linalg.norm(y_corr_h - y_fom_h) / jnp.linalg.norm(y_fom_h))
+    log.log("holdout_rel_err", rom=rom_rel_h, corrected=corr_rel_h, n_holdout=n_hold)
+
     prior = GaussianPrior.iid(n_features, mean=0.0, sigma=1.0, dtype=dtype)
     return FullFieldPipeline(
         op=op, field=field, rom=rom, surrogate=surrogate, prior=prior, P0=P0,

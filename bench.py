@@ -84,8 +84,12 @@ def main() -> None:
         fem=FEMConfig(biot=0.1, cg_tol=1e-7, cg_maxiter=1500),
         # online_precision="high": 3-pass bf16x3 reduced solves — measured
         # 1.9x chain throughput over full-f32 with the surrogate trained on
-        # the same path (corrected rel-err 5.7e-5 vs 1.5e-5; posterior means
-        # agree to MC error, R-hat gate unchanged). docs/DESIGN.md §4.
+        # the same path (posterior means agree to MC error, R-hat gate
+        # unchanged). docs/DESIGN.md §4. Deployed iteration count is
+        # max(15, 3r/4) = 30 here: the round-3 holdout audit measured
+        # 15-iter solver error at 1.7e-3 — 2x the observation noise and
+        # unlearnable by the NN (k-rough) — vs Galerkin 2.5e-5; 30 iters
+        # restore ~Galerkin accuracy (api.py build_pipeline).
         rom=ROMConfig(n_snapshots=256, basis_size=40, online_precision="high"),
         surrogate=SurrogateConfig(hidden=(64, 64), n_train=1024, epochs=300),
         mcmc=MCMCConfig(
@@ -347,8 +351,11 @@ def main() -> None:
                 "chain_step_tflops": round(chain_achieved_flops / 1e12, 3),
                 "chain_step_pct_f32_mxu_peak": rl.pct(chain_achieved_flops, rl.V5E_MXU_F32_FLOPS),
             },
-            "rom_rel_err": log.summary().get("rom_rel_err", {}).get("value"),
-            "corrected_rel_err": log.summary().get("corrected_rel_err", {}).get("value"),
+            # HOLDOUT figures (build_pipeline's 128 fresh draws) — the
+            # train-set residuals flatter the NN and are logged separately
+            "rom_rel_err": log.summary().get("holdout_rel_err", {}).get("rom"),
+            "corrected_rel_err": log.summary().get("holdout_rel_err", {}).get("corrected"),
+            "rel_err_eval": "holdout (128 fresh draws; train-set figures in the metrics log)",
             "n_devices": jax.device_count(),
             "backend": jax.default_backend(),
         },

@@ -111,9 +111,10 @@ def baseline_block(art, src):
              + (f" ({v['speedup_vs_r02']}x r2)" if "speedup_vs_r02" in v else "")
              for k, v in d["resolution_scaling"].items()),
          "no batching cliff at res>=8", "✅ sublane layout"),
-        ("ROM / corrected rel-err",
+        ("ROM / corrected rel-err" + (" (holdout)" if "rel_err_eval" in d else ""),
          f"{d['rom_rel_err']:.2e} / {d['corrected_rel_err']:.2e}",
-         "corrected < rom", "✅"),
+         "corrected < rom",
+         "✅" if d["corrected_rel_err"] < d["rom_rel_err"] else "❌"),
     ]
     lines = [
         f"Generated from `{src}` (see README for methodology).",
