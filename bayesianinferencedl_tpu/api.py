@@ -808,6 +808,7 @@ def run_pt_checkpointed(
     ckpt_path: str = "pt_chain_ckpt.npz",
     resume: bool = True,
     metrics: Optional[MetricsLogger] = None,
+    adapt_ladder: bool = False,
 ):
     """Parallel-tempered pCN with periodic disk checkpoints and exact resume —
     the failure-recovery contract of run_pcn_checkpointed (SURVEY.md §5) for
@@ -819,7 +820,9 @@ def run_pt_checkpointed(
     segment must be even (exact swap accounting — infer/tempering.py)."""
     import os
 
-    from bayesianinferencedl_tpu.infer.tempering import PTResult, run_pt_pcn
+    from bayesianinferencedl_tpu.infer.tempering import (
+        PTResult, geometric_ladder, run_pt_pcn,
+    )
     from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     if segment % 2:
@@ -830,15 +833,16 @@ def run_pt_checkpointed(
     dtype = theta0.dtype
     theta = jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0  # materialize
     betas = jnp.full((K, G), beta, dtype)
+    lambdas = jnp.broadcast_to(geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)) + 0.0
     acc_counts = jnp.zeros((K, G), dtype)
     swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
     step_done = 0
     acc_steps = 0
     chunks: list = []
     chunk_steps: list = []
-    exemplar = (theta, betas, key, acc_counts, swap_counts)
+    exemplar = (theta, betas, lambdas, key, acc_counts, swap_counts)
     if resume and os.path.exists(ckpt_path):
-        (theta, betas, key, acc_counts, swap_counts), meta = load_checkpoint(
+        (theta, betas, lambdas, key, acc_counts, swap_counts), meta = load_checkpoint(
             ckpt_path, exemplar
         )
         step_done = int(meta["step"])
@@ -859,8 +863,9 @@ def run_pt_checkpointed(
             n_steps=this, n_burn=burn, beta=betas, n_temps=K,
             lambda_min=lambda_min, adapt=True, batched=batched,
             adapt_t0=jnp.asarray(step_done, dtype),
+            adapt_ladder=adapt_ladder, ladder=lambdas,
         )
-        theta, betas = res.theta, res.beta
+        theta, betas, lambdas = res.theta, res.beta, res.lambdas
         step_done += this
         kept = this - burn
         if kept > 0:
@@ -875,7 +880,7 @@ def run_pt_checkpointed(
             chunk_steps.append(step_done)
         save_checkpoint(
             ckpt_path,
-            (theta, betas, key, acc_counts, swap_counts),
+            (theta, betas, lambdas, key, acc_counts, swap_counts),
             meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
         )
         log.log("pt_chain_checkpoint", step=step_done,
@@ -896,6 +901,7 @@ def run_pt_checkpointed(
         swap_rate=swap_counts / max(acc_steps / 2, 1),
         beta=betas,
         theta=theta,
+        lambdas=lambdas,
     )
 
 
@@ -917,6 +923,7 @@ def run_pt_da_checkpointed(
     ckpt_path: str = "ptda_chain_ckpt.npz",
     resume: bool = True,
     metrics: Optional[MetricsLogger] = None,
+    adapt_ladder: bool = False,
 ):
     """Tempered delayed acceptance with periodic disk checkpoints and exact
     resume — kill/resume safety for the exact-FOM-posterior multimodal runs
@@ -924,7 +931,9 @@ def run_pt_da_checkpointed(
     n_steps/n_burn count OUTER steps; segment must be even."""
     import os
 
-    from bayesianinferencedl_tpu.infer.tempering import PTDAResult, run_pt_da
+    from bayesianinferencedl_tpu.infer.tempering import (
+        PTDAResult, geometric_ladder, run_pt_da,
+    )
     from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     if segment % 2:
@@ -935,6 +944,7 @@ def run_pt_da_checkpointed(
     dtype = theta0.dtype
     theta = jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0
     betas = jnp.full((K, G), beta, dtype)
+    lambdas = jnp.broadcast_to(geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)) + 0.0
     acc_out = jnp.zeros((K, G), dtype)
     acc_in = jnp.zeros((K, G), dtype)
     swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
@@ -943,9 +953,9 @@ def run_pt_da_checkpointed(
     n_segments = 0
     chunks: list = []
     chunk_steps: list = []
-    exemplar = (theta, betas, key, acc_out, acc_in, swap_counts)
+    exemplar = (theta, betas, lambdas, key, acc_out, acc_in, swap_counts)
     if resume and os.path.exists(ckpt_path):
-        (theta, betas, key, acc_out, acc_in, swap_counts), meta = load_checkpoint(
+        (theta, betas, lambdas, key, acc_out, acc_in, swap_counts), meta = load_checkpoint(
             ckpt_path, exemplar
         )
         step_done = int(meta["step"])
@@ -967,8 +977,9 @@ def run_pt_da_checkpointed(
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=K, lambda_min=lambda_min, adapt=True, batched=batched,
             adapt_t0=jnp.asarray(step_done, dtype),
+            adapt_ladder=adapt_ladder, ladder=lambdas,
         )
-        theta, betas = res.theta, res.beta
+        theta, betas, lambdas = res.theta, res.beta, res.lambdas
         step_done += this
         n_segments += 1
         kept = this - burn
@@ -985,7 +996,7 @@ def run_pt_da_checkpointed(
             chunk_steps.append(step_done)
         save_checkpoint(
             ckpt_path,
-            (theta, betas, key, acc_out, acc_in, swap_counts),
+            (theta, betas, lambdas, key, acc_out, acc_in, swap_counts),
             meta={
                 "step": step_done, "chunk_steps": chunk_steps,
                 "accept_steps": acc_steps, "n_segments": n_segments,
@@ -1011,6 +1022,7 @@ def run_pt_da_checkpointed(
         beta=betas,
         theta=theta,
         n_fine_evals=n_steps + n_segments,
+        lambdas=lambdas,
     )
 
 
@@ -1196,6 +1208,7 @@ def run_inversion(
                     mesh, misfit_b, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                    adapt_ladder=cfg.adapt_ladder,
                 )
             else:
                 from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
@@ -1204,6 +1217,7 @@ def run_inversion(
                     misfit_b, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
                     n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                    adapt_ladder=cfg.adapt_ladder,
                 )
         elif smp == "pt_mala":
             # gradient-informed parallel tempering: MALA within-level moves
@@ -1228,6 +1242,7 @@ def run_inversion(
                     mesh, misfit_bd, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
                     n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                    adapt_ladder=cfg.adapt_ladder,
                 )
             else:
                 from bayesianinferencedl_tpu.infer.tempering import run_pt_mala
@@ -1236,6 +1251,7 @@ def run_inversion(
                     misfit_bd, pipe.prior, theta0, k,
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
                     n_temps=cfg.n_temps, lambda_min=cfg.lambda_min, batched=True,
+                    adapt_ladder=cfg.adapt_ladder,
                 )
         elif smp in ("pt_da_pcn", "da_pcn") and like == cfg.da_coarse:
             raise ValueError(
@@ -1266,7 +1282,7 @@ def run_inversion(
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
                     subchain=cfg.subchain, n_temps=cfg.n_temps,
                     lambda_min=cfg.lambda_min, segment=segment, batched=True,
-                    inner=cfg.da_inner,
+                    inner=cfg.da_inner, adapt_ladder=cfg.adapt_ladder,
                 )
             else:
                 from bayesianinferencedl_tpu.infer.tempering import run_pt_da_segmented
@@ -1276,7 +1292,7 @@ def run_inversion(
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
                     subchain=cfg.subchain, n_temps=cfg.n_temps,
                     lambda_min=cfg.lambda_min, segment=segment, batched=True,
-                    inner=cfg.da_inner,
+                    inner=cfg.da_inner, adapt_ladder=cfg.adapt_ladder,
                 )
         elif smp == "da_pcn":
             # delayed acceptance: subchains of cheap da_coarse steps (pCN

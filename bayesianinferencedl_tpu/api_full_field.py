@@ -318,6 +318,7 @@ def run_full_field_inversion(
     subchain: int = 8,
     mala_step: float = 0.1,
     da_inner: str = "pcn",
+    adapt_ladder: bool = False,
     z_true: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     mesh=None,
@@ -460,6 +461,7 @@ def run_full_field_inversion(
         kwargs = dict(
             n_steps=n_steps, n_burn=n_burn, beta=beta,
             n_temps=n_temps, lambda_min=lambda_min, batched=True,
+            adapt_ladder=adapt_ladder,
         )
     elif sampler == "pt_mala":
         # gradient-informed tempering: MALA within every level + replica
@@ -487,6 +489,7 @@ def run_full_field_inversion(
         kwargs = dict(
             n_steps=n_steps, n_burn=n_burn, step=mala_step,
             n_temps=n_temps, lambda_min=lambda_min, batched=True,
+            adapt_ladder=adapt_ladder,
         )
     elif sampler == "pt_da_pcn":
         misfit_c = gaussian_misfit(
@@ -511,7 +514,7 @@ def run_full_field_inversion(
         kwargs = dict(
             n_steps=n_steps, n_burn=n_burn,
             beta=mala_step if da_inner == "mala" else beta, subchain=subchain,
-            n_temps=n_temps, lambda_min=lambda_min,
+            n_temps=n_temps, lambda_min=lambda_min, adapt_ladder=adapt_ladder,
         )
     elif sampler == "da_pcn":
         # delayed acceptance in RFF-coefficient space: rom_nn subchains (pCN

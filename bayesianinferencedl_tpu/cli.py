@@ -212,6 +212,7 @@ def cmd_invert(args) -> None:
             beta=args.beta, noise_sigma=args.noise, likelihood=args.likelihood,
             sampler=args.sampler, seed=args.seed,
             n_temps=args.n_temps, lambda_min=args.lambda_min,
+            adapt_ladder=args.adapt_ladder,
             subchain=args.subchain, da_coarse=args.da_coarse,
             da_inner=args.da_inner,
         ),
@@ -323,7 +324,7 @@ def cmd_invert_ff(args) -> None:
         n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
         beta=args.beta, noise_sigma=args.noise,
         n_temps=args.n_temps, lambda_min=args.lambda_min, subchain=args.subchain,
-        da_inner=args.da_inner,
+        da_inner=args.da_inner, adapt_ladder=args.adapt_ladder,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
     z_post = res.samples.mean(axis=(0, 1))
@@ -410,6 +411,10 @@ def main(argv=None) -> None:
             )
             p.add_argument("--n-temps", type=int, default=4, help="pt_pcn ladder size")
             p.add_argument("--lambda-min", type=float, default=0.05, help="pt_pcn hottest level")
+            p.add_argument(
+                "--adapt-ladder", action="store_true",
+                help="tune the PT ladder during burn-in (swap-rate targeting)",
+            )
             p.add_argument("--subchain", type=int, default=8, help="da_pcn inner steps per fine correction")
             p.add_argument("--da-coarse", choices=["rom", "rom_nn"], default="rom_nn")
             p.add_argument(
@@ -442,6 +447,10 @@ def main(argv=None) -> None:
     )
     p.add_argument("--n-temps", type=int, default=5)
     p.add_argument("--lambda-min", type=float, default=0.02)
+    p.add_argument(
+        "--adapt-ladder", action="store_true",
+        help="tune the PT ladder during burn-in (swap-rate targeting)",
+    )
     p.add_argument("--subchain", type=int, default=8)
     p.add_argument(
         "--da-inner", choices=["pcn", "mala"], default="pcn",

@@ -144,6 +144,11 @@ class MCMCConfig:
              docs/SAMPLERS.md).
     n_temps / lambda_min: temperature-ladder controls for pt_pcn
              (geometric inverse temperatures lambda_min .. 1).
+    adapt_ladder: tune the ladder itself during burn-in (stochastic
+             approximation driving every adjacent pair's swap acceptance
+             toward 0.234, per chain group; the geometric ladder is then
+             only the starting point — infer/tempering.py). Frozen after
+             burn-in, so post-burn invariance is exact.
     subchain / da_coarse: delayed-acceptance controls (inner steps per fine
              correction; the surrogate likelihood screening proposals).
     """
@@ -159,6 +164,7 @@ class MCMCConfig:
     thin: int = 1
     n_temps: int = 4
     lambda_min: float = 0.05
+    adapt_ladder: bool = False
     subchain: int = 8
     da_coarse: str = "rom_nn"
     # DA subchain kernel for da_pcn AND pt_da_pcn: "pcn" (random walk) or

@@ -38,6 +38,12 @@ import jax.numpy as jnp
 from bayesianinferencedl_tpu.infer.pcn import TARGET_ACCEPT
 from bayesianinferencedl_tpu.infer.priors import GaussianPrior
 
+# Optimal adjacent-pair swap acceptance for parallel tempering under the
+# usual diffusion-limit analysis (Atchade/Roberts/Rosenthal 2011) — the
+# analog of pCN's 0.234 RWM target, and the set-point the adaptive ladder
+# steers every adjacent pair toward.
+TARGET_SWAP = 0.234
+
 
 class PTResult(NamedTuple):
     samples: jax.Array  # (n_kept, G, d) cold-level samples
@@ -46,6 +52,7 @@ class PTResult(NamedTuple):
     swap_rate: jax.Array  # (K-1,) mean swap acceptance per adjacent pair
     beta: jax.Array  # (K, G) final adapted step sizes
     theta: jax.Array  # (K, G, d) final states (resume support)
+    lambdas: jax.Array  # (K, G) final inverse-temperature ladder (resume)
 
 
 def geometric_ladder(n_temps: int, lambda_min: float = 0.05, dtype=jnp.float32) -> jax.Array:
@@ -57,6 +64,51 @@ def geometric_ladder(n_temps: int, lambda_min: float = 0.05, dtype=jnp.float32) 
         jnp.logspace(jnp.log10(lambda_min), 0.0, n_temps), dtype
     )
 
+
+
+def _lam_from_gaps(log_gap: jax.Array) -> jax.Array:
+    """Rebuild the (K, G) inverse-temperature ladder from (K-1, G) log-gaps.
+
+    Parametrization: g_j = log(lambda_{j+1}) - log(lambda_j) = exp(log_gap_j)
+    > 0 with the cold level pinned at lambda_{K-1} = 1, so ANY real log_gap
+    yields a valid strictly-increasing ladder ending at 1 — the
+    unconstrained coordinates the stochastic-approximation update lives in
+    (the Miasojedow/Moulines/Vihola adaptive-PT parametrization)."""
+    g = jnp.exp(log_gap)
+    csum = jnp.cumsum(g[::-1], axis=0)[::-1]  # csum[j] = sum_{i>=j} g_i
+    return jnp.concatenate([jnp.exp(-csum), jnp.ones_like(csum[:1])], axis=0)
+
+
+def _ladder_init(ladder, n_temps, lambda_min, G, dtype):
+    """(K, G) initial ladder + (K-1, G) log-gaps from either an explicit
+    `ladder` override ((K,) or (K, G), e.g. a resume artifact) or the
+    geometric default."""
+    if ladder is not None:
+        lam = jnp.asarray(ladder, dtype)
+        lam = jnp.broadcast_to(lam[:, None] if lam.ndim == 1 else lam, (n_temps, G))
+    else:
+        lam = jnp.broadcast_to(
+            geometric_ladder(n_temps, lambda_min, dtype)[:, None], (n_temps, G)
+        )
+    if n_temps == 1:
+        return lam, jnp.zeros((0, G), dtype)
+    return lam, jnp.log(jnp.diff(jnp.log(lam), axis=0))
+
+
+def _ladder_update(log_gap, swap_stats, t, t_global, n_burn, dtype):
+    """One stochastic-approximation step on the log-gaps: drive each ACTIVE
+    adjacent pair's swap-acceptance probability toward TARGET_SWAP during
+    burn-in (frozen afterwards, so post-burn invariance is exact). Too-cold
+    a pair (alpha < target) shrinks its gap; too-hot widens it."""
+    alpha_lower, active = swap_stats
+    eta = jnp.where(t < n_burn, 0.5 / (1.0 + t_global.astype(dtype)) ** 0.6, 0.0)
+    upd = active[:-1] * (alpha_lower[:-1] - dtype.type(TARGET_SWAP))
+    # gap caps: adjacent-level ratio lambda_{j+1}/lambda_j in [e^1e-4, e^3]
+    # (~1x .. ~20x). The upper cap matters: a level pair whose swap
+    # acceptance sits above target even as the gap grows (both lambdas ~ 0,
+    # a flat-likelihood pair) would otherwise rail its gap to infinity and
+    # park the hot level at lambda = 0 exactly.
+    return jnp.clip(log_gap + eta * upd, jnp.log(1e-4), jnp.log(3.0))
 
 
 def _replica_exchange(t, t_global, lambdas, phi_ratio, fields, k_swap, n_burn, n_swap):
@@ -76,8 +128,12 @@ def _replica_exchange(t, t_global, lambdas, phi_ratio, fields, k_swap, n_burn, n
 
     phi_ratio: (K, G) potentials entering the swap rule (the UNtempered
     misfit each level's target uses — Phi for pt_pcn, Phi_fine for pt_da).
+    lambdas: (K, 1) shared ladder or (K, G) per-chain-group ladders.
     fields: tuple of (K, G, ...) arrays to shuffle alongside. Returns
-    (shuffled fields, updated post-burn swap counts (K-1,))."""
+    (shuffled fields, updated post-burn swap counts (K-1,), and the
+    lower-member swap-acceptance PROBABILITIES alpha (K, G) masked to the
+    active-parity pairs — the low-variance signal the adaptive ladder
+    integrates)."""
     dtype = phi_ratio.dtype
     K, G = phi_ratio.shape
     j = jnp.arange(K)
@@ -86,10 +142,10 @@ def _replica_exchange(t, t_global, lambdas, phi_ratio, fields, k_swap, n_burn, n
     partner = jnp.where(
         is_lower, j + 1, jnp.where((j - 1 >= 0) & ((j - 1) % 2 == parity), j - 1, j)
     )
-    lam = lambdas[:, 0]
+    lam = jnp.broadcast_to(lambdas, (K, G))
     dlam = lam[jnp.minimum(j + 1, K - 1)] - lam[j]
     dphi = phi_ratio[jnp.minimum(j + 1, K - 1)] - phi_ratio[j]
-    log_a = dlam[:, None] * dphi
+    log_a = dlam * dphi
     u_sw = jax.random.uniform(k_swap, (K, G), dtype)
     acc_lower = (jnp.log(u_sw) < log_a) & is_lower[:, None]
     # a slot swaps iff it is the lower member of an accepted pair or the
@@ -103,12 +159,16 @@ def _replica_exchange(t, t_global, lambdas, phi_ratio, fields, k_swap, n_burn, n
     fields = tuple(shuffle(a) for a in fields)
     kept = jnp.where(t >= n_burn, 1.0, 0.0).astype(dtype)
     n_swap = n_swap + kept * acc_lower.astype(dtype).mean(axis=1)[:-1]
-    return fields, n_swap
+    alpha_lower = jnp.exp(jnp.minimum(log_a, 0.0)) * is_lower[:, None].astype(dtype)
+    return fields, n_swap, (alpha_lower, is_lower[:, None].astype(dtype))
 
 
 @partial(
     jax.jit,
-    static_argnames=("misfit_fn", "n_steps", "n_burn", "n_temps", "adapt", "batched"),
+    static_argnames=(
+        "misfit_fn", "n_steps", "n_burn", "n_temps", "adapt", "batched",
+        "adapt_ladder",
+    ),
 )
 def run_pt_pcn(
     misfit_fn: Callable,
@@ -124,6 +184,8 @@ def run_pt_pcn(
     adapt: bool = True,
     batched: bool = False,
     adapt_t0=0.0,
+    adapt_ladder: bool = False,
+    ladder=None,
 ) -> PTResult:
     """Parallel-tempered pCN over G chain groups x K temperature levels.
 
@@ -132,6 +194,16 @@ def run_pt_pcn(
     solver) — internally all K*G states are evaluated as one batch either
     way. Returns cold-level samples only; every level adapts per-chain pCN
     step sizes toward 23.4% acceptance during burn-in, exactly like run_pcn.
+
+    adapt_ladder=True additionally tunes the ladder itself during burn-in:
+    each chain group's log temperature gaps follow a stochastic
+    approximation driving every adjacent pair's swap acceptance toward
+    TARGET_SWAP (0.234), with the cold level pinned at lambda = 1. The
+    geometric ladder (lambda_min) is then only the starting point — too
+    narrow or too wide a hand-chosen ladder self-corrects instead of
+    silently under-swapping. Frozen after burn-in (exact invariance).
+    ladder: explicit (K,) or (K, G) initial ladder overriding the geometric
+    default (resume support: pass PTResult.lambdas back in).
     """
     if theta0.ndim == 2:  # (G, d) cold inits — hot levels start there too
         G, d = theta0.shape
@@ -148,7 +220,7 @@ def run_pt_pcn(
         theta = theta0
     K = n_temps
     dtype = theta0.dtype
-    lambdas = geometric_ladder(K, lambda_min, dtype)[:, None]  # (K, 1) over G
+    lam0, log_gap0 = _ladder_init(ladder, K, lambda_min, G, dtype)  # (K, G)
 
     def phi_all(thetas_kg):  # (K, G, d) -> (K, G)
         flat = thetas_kg.reshape(K * G, d)
@@ -159,13 +231,15 @@ def run_pt_pcn(
     n_accept = (phi * 0).astype(jnp.int32)
     # derive from phi so the carry stays device-varying under shard_map (vma)
     n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi.sum() * 0
+    log_gap0 = log_gap0 + phi[:1].sum() * 0
 
     mean, chol = prior.mean, prior.chol
 
     def step(carry, inp):
-        theta, phi, log_beta, n_accept, n_swap = carry
+        theta, phi, log_beta, log_gap, n_accept, n_swap = carry
         t, k_t = inp
         k_prop, k_acc, k_swap = jax.random.split(k_t, 3)
+        lambdas = _lam_from_gaps(log_gap) if adapt_ladder else lam0
 
         # --- within-level pCN move (one batched misfit for all K*G) --------
         b = jnp.exp(log_beta)[..., None]  # (K, G, 1)
@@ -191,28 +265,32 @@ def run_pt_pcn(
         # --- replica exchange between adjacent levels (_replica_exchange) --
         if K > 1:
             t_global = t + jnp.asarray(adapt_t0, dtype)
-            (theta, phi), n_swap = _replica_exchange(
+            (theta, phi), n_swap, swap_stats = _replica_exchange(
                 t, t_global, lambdas, phi, (theta, phi), k_swap, n_burn, n_swap
             )
+            if adapt_ladder:
+                log_gap = _ladder_update(log_gap, swap_stats, t, t_global, n_burn, dtype)
 
         out = (theta[-1], phi[-1])  # cold level
-        return (theta, phi, log_beta, n_accept, n_swap), out
+        return (theta, phi, log_beta, log_gap, n_accept, n_swap), out
 
     # reset acceptance counters after burn-in by running two scans
     k_burn, k_main = jax.random.split(key)
+    carry = (theta, phi, log_beta, log_gap0, n_accept, n_swap)
     if n_burn > 0:
         ts = jnp.arange(n_burn, dtype=dtype)
-        (theta, phi, log_beta, n_accept, n_swap), _ = jax.lax.scan(
-            step, (theta, phi, log_beta, n_accept, n_swap), (ts, jax.random.split(k_burn, n_burn))
+        carry, _ = jax.lax.scan(
+            step, carry, (ts, jax.random.split(k_burn, n_burn))
         )
-        n_accept = n_accept * 0
-        n_swap = n_swap * 0
+        theta, phi, log_beta, log_gap, n_accept, n_swap = carry
+        carry = (theta, phi, log_beta, log_gap, n_accept * 0, n_swap * 0)
 
     n_keep = n_steps - n_burn
     ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
-    (theta, phi, log_beta, n_accept, n_swap), (samples, phis) = jax.lax.scan(
-        step, (theta, phi, log_beta, n_accept, n_swap), (ts, jax.random.split(k_main, n_keep))
+    carry, (samples, phis) = jax.lax.scan(
+        step, carry, (ts, jax.random.split(k_main, n_keep))
     )
+    theta, phi, log_beta, log_gap, n_accept, n_swap = carry
 
     return PTResult(
         samples=samples,
@@ -222,6 +300,7 @@ def run_pt_pcn(
         swap_rate=n_swap / max(n_keep / 2, 1),
         beta=jnp.exp(log_beta),
         theta=theta,
+        lambdas=_lam_from_gaps(log_gap) if adapt_ladder else lam0,
     )
 
 
@@ -232,11 +311,15 @@ class PTMALAResult(NamedTuple):
     swap_rate: jax.Array  # (K-1,) mean swap acceptance per adjacent pair
     step: jax.Array  # (K, G) final adapted MALA step sizes h
     theta: jax.Array  # (K, G, d) final states, WORKING coords (resume)
+    lambdas: jax.Array  # (K, G) final inverse-temperature ladder (resume)
 
 
 @partial(
     jax.jit,
-    static_argnames=("misfit_fn", "n_steps", "n_burn", "n_temps", "adapt", "batched"),
+    static_argnames=(
+        "misfit_fn", "n_steps", "n_burn", "n_temps", "adapt", "batched",
+        "adapt_ladder",
+    ),
 )
 def run_pt_mala(
     misfit_fn: Callable,
@@ -252,6 +335,8 @@ def run_pt_mala(
     adapt: bool = True,
     batched: bool = False,
     adapt_t0=0.0,
+    adapt_ladder: bool = False,
+    ladder=None,
 ) -> PTMALAResult:
     """Gradient-informed parallel tempering: MALA within-level moves +
     replica exchange (SURVEY.md A.5; composes infer/mala.py with the
@@ -280,7 +365,9 @@ def run_pt_mala(
     uses the prior frame (the dimension-robust choice on a possibly
     multimodal posterior — a Laplace frame centers on ONE basin). step:
     scalar or (K, G) resume array; every level adapts per-chain log h
-    toward 57.4% acceptance during burn-in.
+    toward 57.4% acceptance during burn-in. adapt_ladder/ladder: burn-in
+    ladder tuning toward TARGET_SWAP / explicit initial ladder, exactly as
+    in run_pt_pcn.
     """
     from bayesianinferencedl_tpu.infer.mala import (
         TARGET_ACCEPT_MALA, _inv_chol, _tamed,
@@ -302,7 +389,7 @@ def run_pt_mala(
     K = n_temps
     dtype = theta0.dtype
     hi = jax.lax.Precision.HIGHEST
-    lambdas = geometric_ladder(K, lambda_min, dtype)[:, None]  # (K, 1) over G
+    lam0, log_gap0 = _ladder_init(ladder, K, lambda_min, G, dtype)  # (K, G)
     mean, chol = prior.mean, prior.chol
     Li = _inv_chol(chol)
 
@@ -326,6 +413,7 @@ def run_pt_mala(
     n_accept = (phi * 0).astype(jnp.int32)
     # derive from phi so the carry stays device-varying under shard_map (vma)
     n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi.sum() * 0
+    log_gap0 = log_gap0 + phi[:1].sum() * 0
 
     def nlp_grad(lam, ph, gph, Y):
         """Tempered negative log posterior and its y-gradient from the
@@ -334,11 +422,12 @@ def run_pt_mala(
         return nlp, lam[..., None] * gph + Y
 
     def step_fn(carry, inp):
-        y, phi, gphi, log_h, n_accept, n_swap = carry
+        y, phi, gphi, log_h, log_gap, n_accept, n_swap = carry
         t, k_t = inp
         k_prop, k_acc, k_swap = jax.random.split(k_t, 3)
         h = jnp.exp(log_h)  # (K, G)
         hcol = h[..., None]
+        lambdas = _lam_from_gaps(log_gap) if adapt_ladder else lam0
 
         nlp, grad = nlp_grad(lambdas, phi, gphi, y)
         g = _tamed(-grad, h)  # drift-clipped gradient of log pi_j
@@ -372,27 +461,29 @@ def run_pt_mala(
 
         if K > 1:
             t_global = t + jnp.asarray(adapt_t0, dtype)
-            (y, phi, gphi), n_swap = _replica_exchange(
+            (y, phi, gphi), n_swap, swap_stats = _replica_exchange(
                 t, t_global, lambdas, phi, (y, phi, gphi), k_swap, n_burn, n_swap
             )
+            if adapt_ladder:
+                log_gap = _ladder_update(log_gap, swap_stats, t, t_global, n_burn, dtype)
 
         out = (to_theta(y[-1]), phi[-1])  # cold level, working coords
-        return (y, phi, gphi, log_h, n_accept, n_swap), out
+        return (y, phi, gphi, log_h, log_gap, n_accept, n_swap), out
 
     k_burn, k_main = jax.random.split(key)
-    carry = (y, phi, gphi, log_h, n_accept, n_swap)
+    carry = (y, phi, gphi, log_h, log_gap0, n_accept, n_swap)
     if n_burn > 0:
         ts = jnp.arange(n_burn, dtype=dtype)
         carry, _ = jax.lax.scan(step_fn, carry, (ts, jax.random.split(k_burn, n_burn)))
-        y, phi, gphi, log_h, n_accept, n_swap = carry
-        carry = (y, phi, gphi, log_h, n_accept * 0, n_swap * 0)
+        y, phi, gphi, log_h, log_gap, n_accept, n_swap = carry
+        carry = (y, phi, gphi, log_h, log_gap, n_accept * 0, n_swap * 0)
 
     n_keep = n_steps - n_burn
     ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
     carry, (samples, phis) = jax.lax.scan(
         step_fn, carry, (ts, jax.random.split(k_main, n_keep))
     )
-    y, phi, gphi, log_h, n_accept, n_swap = carry
+    y, phi, gphi, log_h, log_gap, n_accept, n_swap = carry
 
     return PTMALAResult(
         samples=samples,
@@ -401,6 +492,7 @@ def run_pt_mala(
         swap_rate=n_swap / max(n_keep / 2, 1),
         step=jnp.exp(log_h),
         theta=to_theta(y),
+        lambdas=_lam_from_gaps(log_gap) if adapt_ladder else lam0,
     )
 
 
@@ -413,13 +505,14 @@ class PTDAResult(NamedTuple):
     beta: jax.Array  # (K, G) adapted inner step sizes
     theta: jax.Array  # (K, G, d) final states (resume support)
     n_fine_evals: int  # fine-model BATCH evaluations (each covers K*G states)
+    lambdas: jax.Array  # (K, G) final inverse-temperature ladder (resume)
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "misfit_fine", "misfit_coarse", "n_steps", "n_burn", "n_temps",
-        "subchain", "adapt", "batched", "inner",
+        "subchain", "adapt", "batched", "inner", "adapt_ladder",
     ),
 )
 def run_pt_da(
@@ -439,6 +532,8 @@ def run_pt_da(
     batched: bool = False,
     adapt_t0=0.0,
     inner: str = "pcn",
+    adapt_ladder: bool = False,
+    ladder=None,
 ) -> PTDAResult:
     """Tempered delayed acceptance: the EXACT fine (e.g. full-order)
     posterior on a MULTIMODAL problem, at ~1/subchain of the fine evals.
@@ -465,7 +560,10 @@ def run_pt_da(
     measured rationale). beta is then the initial MALA step size h.
 
     n_steps/n_burn count OUTER steps. beta may be a scalar or a (K, G)
-    array (resume support)."""
+    array (resume support). adapt_ladder/ladder: burn-in ladder tuning
+    toward TARGET_SWAP / explicit initial ladder, exactly as in
+    run_pt_pcn (the inner subchains and the outer correction both read the
+    step's current ladder)."""
     if theta0.ndim == 2:
         G, d = theta0.shape
         theta = jnp.broadcast_to(theta0[None], (n_temps, G, d))
@@ -481,7 +579,7 @@ def run_pt_da(
         theta = theta0
     K = n_temps
     dtype = theta.dtype
-    lambdas = geometric_ladder(K, lambda_min, dtype)[:, None]  # (K, 1)
+    lam0, log_gap0 = _ladder_init(ladder, K, lambda_min, G, dtype)  # (K, G)
 
     def phi_all(fn, thetas_kg):  # (K, G, d) -> (K, G)
         flat = thetas_kg.reshape(K * G, d)
@@ -495,6 +593,7 @@ def run_pt_da(
     n_in = (phi_f * 0).astype(jnp.int32)
     # derive from phi_f so the carry stays device-varying under shard_map (vma)
     n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi_f.sum() * 0
+    log_gap0 = log_gap0 + phi_f[:1].sum() * 0
     mean, chol = prior.mean, prior.chol
     hi = jax.lax.Precision.HIGHEST
 
@@ -523,10 +622,11 @@ def run_pt_da(
         raise ValueError(f"unknown PT-DA inner kernel {inner!r} (use 'pcn' or 'mala')")
 
     def step(carry, inp):
-        theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap = carry
+        theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap = carry
         t, k_t = inp
         k_sub, k_acc, k_swap = jax.random.split(k_t, 3)
         b = jnp.exp(log_beta)[..., None]  # frozen for this outer step
+        lambdas = _lam_from_gaps(log_gap) if adapt_ladder else lam0
 
         if inner == "mala":
             # --- S tempered drift-clipped MALA steps in whitened coords ----
@@ -619,25 +719,27 @@ def run_pt_da(
         # --- replica exchange on the carried fine misfits (_replica_exchange)
         if K > 1:
             t_global = t + jnp.asarray(adapt_t0, dtype)
-            (theta, phi_f, phi_c), n_swap = _replica_exchange(
+            (theta, phi_f, phi_c), n_swap, swap_stats = _replica_exchange(
                 t, t_global, lambdas, phi_f, (theta, phi_f, phi_c), k_swap, n_burn, n_swap
             )
+            if adapt_ladder:
+                log_gap = _ladder_update(log_gap, swap_stats, t, t_global, n_burn, dtype)
 
-        return (theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
+        return (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
 
     k_burn, k_main = jax.random.split(key)
     ema0 = phi_f * 0 + dtype.type(0.5)  # outer-acceptance EMA (mala inner)
-    carry = (theta, phi_f, phi_c, log_beta, ema0, n_out, n_in, n_swap)
+    carry = (theta, phi_f, phi_c, log_beta, log_gap0, ema0, n_out, n_in, n_swap)
     if n_burn > 0:
         ts = jnp.arange(n_burn, dtype=dtype)
         carry, _ = jax.lax.scan(step, carry, (ts, jax.random.split(k_burn, n_burn)))
-        theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap = carry
-        carry = (theta, phi_f, phi_c, log_beta, ema, n_out * 0, n_in * 0, n_swap * 0)
+        theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap = carry
+        carry = (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out * 0, n_in * 0, n_swap * 0)
 
     n_keep = n_steps - n_burn
     ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
     carry, (samples, phis) = jax.lax.scan(step, carry, (ts, jax.random.split(k_main, n_keep)))
-    theta, phi_f, phi_c, log_beta, ema, n_out, n_in, n_swap = carry
+    theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap = carry
 
     return PTDAResult(
         samples=samples,
@@ -648,6 +750,7 @@ def run_pt_da(
         beta=jnp.exp(log_beta),
         theta=theta,
         n_fine_evals=n_steps + 1,
+        lambdas=_lam_from_gaps(log_gap) if adapt_ladder else lam0,
     )
 
 
@@ -667,10 +770,13 @@ def run_pt_da_segmented(
     segment: int = 32,
     batched: bool = False,
     inner: str = "pcn",
+    adapt_ladder: bool = False,
+    ladder=None,
 ) -> PTDAResult:
     """run_pt_da in fixed-size outer segments (watchdog-safe for expensive
-    fine models; infer.segmented); per-level states and adapted betas carry
-    across segments, accept/swap accounting covers the whole post-burn run.
+    fine models; infer.segmented); per-level states, adapted betas, and (when
+    adapt_ladder) the adapted ladder carry across segments, accept/swap
+    accounting covers the whole post-burn run.
 
     segment must be EVEN: exchange parity runs on the global step clock, so
     even segments propose each adjacent pair exactly kept/2 times per
@@ -682,17 +788,23 @@ def run_pt_da_segmented(
     )
 
     def seg(carry, sub, this, burn, start):
-        thetas, betas = carry
+        thetas, betas, lam = carry
         res = run_pt_da(
             misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, adapt=True, batched=batched,
             adapt_t0=jnp.asarray(start, theta0.dtype), inner=inner,
+            adapt_ladder=adapt_ladder, ladder=lam,
         )
-        return res, (res.theta, res.beta)
+        return res, (res.theta, res.beta, res.lambdas)
 
-    res, (_, betas), samples, phis, rates, _ = drive_segments(
-        seg, (theta0, beta), key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+    # materialize the initial ladder so every segment shares one jit
+    # signature (None -> array between segments would force a recompile)
+    ladder0 = ladder if ladder is not None else geometric_ladder(
+        n_temps, lambda_min, theta0.dtype
+    )
+    res, (_, betas, lambdas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, beta, ladder0), key, n_steps=n_steps, n_burn=n_burn, segment=segment,
         rates={
             "accept": accept_rate_spec(),
             "inner": inner_accept_rate_spec(subchain),
@@ -708,4 +820,5 @@ def run_pt_da_segmented(
         beta=betas,
         theta=res.theta,
         n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+        lambdas=lambdas,
     )

@@ -12,6 +12,8 @@ from bayesianinferencedl_tpu.parallel.sharding import (  # noqa: F401
     sharded_da_pcn,
     sharded_pcn,
     sharded_pt_da,
+    sharded_pt_mala,
+    sharded_pt_pcn,
     sharded_snapshots,
     dp_train_step,
 )

@@ -352,6 +352,8 @@ def sharded_pt_da(
     batched: bool = False,
     adapt_t0=0.0,
     inner: str = "pcn",
+    adapt_ladder: bool = False,
+    ladder=None,
 ):
     """Tempered DA with the chain-GROUP axis sharded over the mesh.
 
@@ -368,14 +370,22 @@ def sharded_pt_da(
     theta_spec = P(axis) if theta0.ndim == 2 else P(None, axis)
     beta_is_arr = hasattr(beta, "ndim") and beta.ndim == 2
     beta_spec = P(None, axis) if beta_is_arr else P()
+    # ladder: None | (K,) shared | (K, G) per-group (G sharded like theta)
+    ladder_is_kg = ladder is not None and getattr(ladder, "ndim", 1) == 2
+    ladder_spec = P(None, axis) if ladder_is_kg else P()
+    ladder_in = (
+        jnp.zeros((0,), theta0.dtype) if ladder is None
+        else jnp.asarray(ladder, theta0.dtype)
+    )
 
-    def local(theta0_shard, beta_in, key_all):
+    def local(theta0_shard, beta_in, ladder_shard, key_all):
         dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
         res = run_pt_da(
             misfit_fine, misfit_coarse, prior, theta0_shard, dev_key,
             n_steps=n_steps, n_burn=n_burn, beta=beta_in, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
-            adapt_t0=adapt_t0, inner=inner,
+            adapt_t0=adapt_t0, inner=inner, adapt_ladder=adapt_ladder,
+            ladder=ladder_shard if ladder is not None else None,
         )
         return res._replace(
             swap_rate=jax.lax.pmean(res.swap_rate, axis),
@@ -391,12 +401,15 @@ def sharded_pt_da(
         beta=P(None, axis),
         theta=P(None, axis),
         n_fine_evals=P(),
+        lambdas=P(None, axis),
     )
     f = jax.shard_map(
-        local, mesh=mesh, in_specs=(theta_spec, beta_spec, P()), out_specs=out_specs,
+        local, mesh=mesh, in_specs=(theta_spec, beta_spec, ladder_spec, P()),
+        out_specs=out_specs,
         check_vma=(inner != "mala"),
     )
-    return f(theta0, beta if beta_is_arr else jnp.asarray(beta, theta0.dtype), key)
+    return f(theta0, beta if beta_is_arr else jnp.asarray(beta, theta0.dtype),
+             ladder_in, key)
 
 
 def sharded_pt_pcn(
@@ -412,10 +425,12 @@ def sharded_pt_pcn(
     n_temps: int = 4,
     lambda_min: float = 0.05,
     batched: bool = False,
+    adapt_ladder: bool = False,
 ):
     """Parallel-tempered pCN with the chain-GROUP axis sharded over the mesh
     (each device owns the full K-level ladder for its shard of groups; swaps
-    are shard-local, reported swap_rate is pmean'd)."""
+    are shard-local, reported swap_rate is pmean'd; with adapt_ladder each
+    device tunes per-group ladders for its own shard — no collectives)."""
     from bayesianinferencedl_tpu.infer.tempering import PTResult, run_pt_pcn
 
     axis = mesh.axis_names[0]
@@ -426,12 +441,14 @@ def sharded_pt_pcn(
             misfit_fn, prior, theta0_shard, dev_key,
             n_steps=n_steps, n_burn=n_burn, beta=beta,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+            adapt_ladder=adapt_ladder,
         )
         return res._replace(swap_rate=jax.lax.pmean(res.swap_rate, axis))
 
     out_specs = PTResult(
         samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
         swap_rate=P(), beta=P(None, axis), theta=P(None, axis),
+        lambdas=P(None, axis),
     )
     f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs)
     return f(theta0, key)
@@ -450,6 +467,7 @@ def sharded_pt_mala(
     n_temps: int = 4,
     lambda_min: float = 0.05,
     batched: bool = False,
+    adapt_ladder: bool = False,
 ):
     """Gradient-informed parallel tempering with the chain-GROUP axis sharded
     over the mesh (each device owns the full K-level ladder for its shard of
@@ -469,12 +487,14 @@ def sharded_pt_mala(
             misfit_fn, prior, theta0_shard, dev_key,
             n_steps=n_steps, n_burn=n_burn, step=step,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
+            adapt_ladder=adapt_ladder,
         )
         return res._replace(swap_rate=jax.lax.pmean(res.swap_rate, axis))
 
     out_specs = PTMALAResult(
         samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
         swap_rate=P(), step=P(None, axis), theta=P(None, axis),
+        lambdas=P(None, axis),
     )
     f = jax.shard_map(
         local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs,
@@ -551,27 +571,36 @@ def sharded_pt_da_segmented(
     segment: int = 32,
     batched: bool = False,
     inner: str = "pcn",
+    adapt_ladder: bool = False,
+    ladder=None,
 ):
     """sharded_pt_da in fixed-size outer segments (watchdog-safe;
-    infer.segmented); per-level states and adapted betas carry across
-    segments."""
+    infer.segmented); per-level states, adapted betas, and (when
+    adapt_ladder) per-group ladders carry across segments."""
     from bayesianinferencedl_tpu.infer.segmented import (
         accept_rate_spec, drive_segments, inner_accept_rate_spec, swap_rate_spec,
     )
-    from bayesianinferencedl_tpu.infer.tempering import PTDAResult
+    from bayesianinferencedl_tpu.infer.tempering import PTDAResult, geometric_ladder
+
+    # materialize so every segment shares one jit signature
+    ladder0 = ladder if ladder is not None else geometric_ladder(
+        n_temps, lambda_min, theta0.dtype
+    )
 
     def seg(carry, sub, this, burn, start):
-        thetas, betas = carry
+        thetas, betas, lam = carry
         res = sharded_pt_da(
             mesh, misfit_fine, misfit_coarse, prior, thetas, sub,
             n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, batched=batched,
             adapt_t0=jnp.asarray(start, theta0.dtype), inner=inner,
+            adapt_ladder=adapt_ladder, ladder=lam,
         )
-        return res, (res.theta, res.beta)
+        return res, (res.theta, res.beta, res.lambdas)
 
-    res, (_, betas), samples, phis, rates, _ = drive_segments(
-        seg, (theta0, beta), key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+    res, (_, betas, lambdas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, beta, ladder0), key, n_steps=n_steps, n_burn=n_burn,
+        segment=segment,
         rates={
             "accept": accept_rate_spec(),
             "inner": inner_accept_rate_spec(subchain),
@@ -587,4 +616,5 @@ def sharded_pt_da_segmented(
         beta=betas,
         theta=res.theta,
         n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+        lambdas=lambdas,
     )

@@ -215,3 +215,32 @@ def test_run_inversion_routes_mesh_for_pt_da_mala_inner():
     assert inv.result.theta.shape == (3, 16, 5)
     assert bool(jnp.isfinite(inv.result.samples).all())
     assert 0.0 < float(jnp.mean(inv.result.inner_accept_rate)) <= 1.0
+
+
+def test_sharded_pt_pcn_adaptive_ladder():
+    """adapt_ladder under shard_map: each device tunes per-group ladders for
+    its own shard (no collectives), the global result carries the full
+    (K, G) ladder, and the cold level stays exact."""
+    from bayesianinferencedl_tpu.parallel import sharded_pt_pcn
+
+    mesh = device_mesh()
+    prior = GaussianPrior.iid(2, sigma=1.0, dtype=jnp.float64)
+    H = jnp.asarray(np.random.default_rng(2).standard_normal((3, 2)))
+    data = jnp.asarray(np.random.default_rng(3).standard_normal(3))
+    misfit = gaussian_misfit(lambda t: H @ t, data, 0.5)
+    theta0 = prior.sample(jax.random.PRNGKey(2), (32,))
+    res = sharded_pt_pcn(
+        mesh, misfit, prior, theta0, jax.random.PRNGKey(3),
+        n_steps=2500, n_burn=500, beta=0.4, n_temps=3, lambda_min=0.5,
+        adapt_ladder=True,
+    )
+    assert res.lambdas.shape == (3, 32)
+    lam = np.asarray(res.lambdas)
+    np.testing.assert_allclose(lam[-1], 1.0)
+    assert (np.diff(lam, axis=0) > 0).all()
+    # ladders adapted away from the (0.5, ~0.7, 1) start
+    assert lam[0].mean() < 0.45
+    Cpost = np.linalg.inv(np.asarray(H.T @ H) / 0.25 + np.eye(2))
+    mu = Cpost @ np.asarray(H.T @ data) / 0.25
+    emp = np.asarray(res.samples).reshape(-1, 2).mean(0)
+    np.testing.assert_allclose(emp, mu, atol=0.08)

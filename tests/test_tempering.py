@@ -335,3 +335,101 @@ def test_pt_da_mala_inner_exact_bimodal_masses():
     assert (np.sign(s_chain[1:]) != np.sign(s_chain[:-1])).mean() > 1e-3
     out_acc = float(np.mean(np.asarray(res.accept_rate)))
     assert 0.15 < out_acc < 0.9999
+
+
+# --- adaptive temperature ladder (adapt_ladder) ------------------------------
+
+
+def test_adaptive_ladder_repairs_bad_ladder():
+    """Start from a deliberately too-narrow ladder (lambda_min=0.5: every
+    level nearly cold). On a 2-D unequal-depth bimodal target — where a pCN
+    proposal cannot tunnel directly (it must land in a (0.1)^2 basin 5 sigma
+    away in BOTH coordinates, unlike the 1-D toy where beta ~ 0.5 proposals
+    reach the other well) — the fixed bad ladder keeps the initialization
+    mode split while adapt_ladder deepens the ladder during burn-in and
+    recovers the quadrature-oracle mass."""
+    a, s, depth = 2.5, 0.15, 1.0
+
+    def misfit(t):
+        q1 = jnp.sum((t - a) ** 2, -1) / (2 * s**2)
+        q2 = jnp.sum((t + a) ** 2, -1) / (2 * s**2) + depth
+        return -jax.scipy.special.logsumexp(jnp.stack([-q1, -q2], -1), axis=-1)
+
+    # oracle mass of the +a mode: by symmetry of the two Gaussian wells,
+    # posterior mode weights are w1 : w2 = 1 : exp(-depth) exactly (equal
+    # covariances, centers mirror-imaged through the prior mean)
+    mass_right = 1.0 / (1.0 + np.exp(-depth))
+
+    prior = GaussianPrior.iid(2, mean=0.0, sigma=1.0, dtype=jnp.float64)
+    theta0 = prior.sample(jax.random.PRNGKey(2), (64,))
+
+    res_ad = run_pt_pcn(
+        misfit, prior, theta0, jax.random.PRNGKey(3),
+        n_steps=9000, n_burn=4000, beta=0.3, n_temps=6, lambda_min=0.5,
+        adapt_ladder=True, batched=True,
+    )
+    s_ad = np.asarray(res_ad.samples)[..., 0].reshape(-1)
+    est = float((s_ad > 0).mean())
+    assert abs(est - mass_right) < 0.08, (est, mass_right)
+    lam = np.asarray(res_ad.lambdas)
+    # the ladder deepened by an order of magnitude and stays sorted, cold=1
+    assert lam[0].max() < 0.1
+    np.testing.assert_allclose(lam[-1], 1.0)
+    assert (np.diff(lam, axis=0) > 0).all()
+
+    res_fx = run_pt_pcn(
+        misfit, prior, theta0, jax.random.PRNGKey(3),
+        n_steps=9000, n_burn=4000, beta=0.3, n_temps=6, lambda_min=0.5,
+        batched=True,
+    )
+    # fixed bad ladder: every level is essentially cold, so no state ever
+    # CHANGES modes after the burn-in descent — swaps only shuttle the
+    # frozen ~50/50 pool of initialization-assigned states up and down the
+    # ladder (cold-chain sign flips happen, but the kept mass stays at the
+    # descent split, far from the 0.73 oracle). This is exactly the failure
+    # the adapted run above repairs.
+    s_fx = np.asarray(res_fx.samples)[..., 0].reshape(-1)
+    est_fx = float((s_fx > 0).mean())
+    assert abs(est_fx - mass_right) > 0.12, (est_fx, mass_right)
+
+
+def test_adaptive_ladder_unimodal_unbiased():
+    """Ladder adaptation freezes after burn-in, so the cold level still
+    matches the analytic posterior exactly (no adaptation bias leaks in)."""
+    d, m, sigma, prior_sigma = 3, 4, 0.5, 1.0
+    rng = np.random.default_rng(0)
+    H = jnp.asarray(rng.standard_normal((m, d)))
+    data = jnp.asarray(rng.standard_normal(m))
+    prior = GaussianPrior.iid(d, mean=0.0, sigma=prior_sigma, dtype=jnp.float64)
+    Cpost = np.linalg.inv(np.asarray(H.T @ H) / sigma**2 + np.eye(d) / prior_sigma**2)
+    mu = Cpost @ np.asarray(H.T @ data) / sigma**2
+
+    misfit = gaussian_misfit(lambda t: H @ t, data, sigma)
+    theta0 = prior.sample(jax.random.PRNGKey(0), (64,))
+    res = run_pt_pcn(
+        misfit, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=6000, n_burn=1500, beta=0.4, n_temps=4, lambda_min=0.1,
+        adapt_ladder=True,
+    )
+    samples = np.asarray(res.samples).reshape(-1, d)
+    np.testing.assert_allclose(samples.mean(0), mu, atol=0.05)
+    np.testing.assert_allclose(np.cov(samples.T), Cpost, atol=0.06)
+
+
+def test_adaptive_ladder_resume_roundtrip():
+    """PTResult.lambdas feeds back through ladder= and the resumed run keeps
+    the adapted ladder (per-group (K, G) shapes all the way through)."""
+    misfit, _, _ = _bimodal_setup()
+    prior = GaussianPrior.iid(1, mean=0.0, sigma=1.0, dtype=jnp.float64)
+    theta0 = prior.sample(jax.random.PRNGKey(2), (16,))
+    res = run_pt_pcn(
+        misfit, prior, theta0, jax.random.PRNGKey(3),
+        n_steps=600, n_burn=400, n_temps=4, lambda_min=0.5, adapt_ladder=True,
+    )
+    assert res.lambdas.shape == (4, 16)
+    res2 = run_pt_pcn(
+        misfit, prior, res.theta, jax.random.PRNGKey(4),
+        n_steps=100, n_burn=0, n_temps=4, ladder=res.lambdas,
+    )
+    np.testing.assert_allclose(np.asarray(res2.lambdas), np.asarray(res.lambdas))
+    assert res2.samples.shape == (100, 16, 1)
