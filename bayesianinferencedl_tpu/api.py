@@ -835,16 +835,19 @@ def run_pt_checkpointed(
     betas = jnp.full((K, G), beta, dtype)
     lambdas = jnp.broadcast_to(geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)) + 0.0
     acc_counts = jnp.zeros((K, G), dtype)
+    phi_counts = jnp.zeros((K, G), dtype)
+    phi2_counts = jnp.zeros((K, G), dtype)
+    ss_counts = jnp.zeros((max(K - 1, 0), G), dtype)
     swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
     step_done = 0
     acc_steps = 0
     chunks: list = []
     chunk_steps: list = []
-    exemplar = (theta, betas, lambdas, key, acc_counts, swap_counts)
+    exemplar = (theta, betas, lambdas, key, acc_counts, phi_counts, phi2_counts,
+                ss_counts, swap_counts)
     if resume and os.path.exists(ckpt_path):
-        (theta, betas, lambdas, key, acc_counts, swap_counts), meta = load_checkpoint(
-            ckpt_path, exemplar
-        )
+        (theta, betas, lambdas, key, acc_counts, phi_counts, phi2_counts,
+         ss_counts, swap_counts), meta = load_checkpoint(ckpt_path, exemplar)
         step_done = int(meta["step"])
         acc_steps = int(meta.get("accept_steps", 0))
         chunk_steps = list(meta.get("chunk_steps", []))
@@ -870,6 +873,9 @@ def run_pt_checkpointed(
         kept = this - burn
         if kept > 0:
             acc_counts = acc_counts + res.accept_rate.astype(dtype) * kept
+            phi_counts = phi_counts + res.phi_level_mean * kept
+            phi2_counts = phi2_counts + res.phi2_level_mean * kept
+            ss_counts = ss_counts + res.ss_level_mean * kept
             swap_counts = swap_counts + res.swap_rate * max(kept / 2, 1)
             acc_steps += kept
             chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
@@ -880,7 +886,8 @@ def run_pt_checkpointed(
             chunk_steps.append(step_done)
         save_checkpoint(
             ckpt_path,
-            (theta, betas, lambdas, key, acc_counts, swap_counts),
+            (theta, betas, lambdas, key, acc_counts, phi_counts, phi2_counts,
+             ss_counts, swap_counts),
             meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
         )
         log.log("pt_chain_checkpoint", step=step_done,
@@ -902,6 +909,9 @@ def run_pt_checkpointed(
         beta=betas,
         theta=theta,
         lambdas=lambdas,
+        phi_level_mean=phi_counts / max(acc_steps, 1),
+        phi2_level_mean=phi2_counts / max(acc_steps, 1),
+        ss_level_mean=ss_counts / max(acc_steps, 1),
     )
 
 
@@ -947,17 +957,20 @@ def run_pt_da_checkpointed(
     lambdas = jnp.broadcast_to(geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)) + 0.0
     acc_out = jnp.zeros((K, G), dtype)
     acc_in = jnp.zeros((K, G), dtype)
+    phi_counts = jnp.zeros((K, G), dtype)
+    phi2_counts = jnp.zeros((K, G), dtype)
+    ss_counts = jnp.zeros((max(K - 1, 0), G), dtype)
     swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
     step_done = 0
     acc_steps = 0
     n_segments = 0
     chunks: list = []
     chunk_steps: list = []
-    exemplar = (theta, betas, lambdas, key, acc_out, acc_in, swap_counts)
+    exemplar = (theta, betas, lambdas, key, acc_out, acc_in, phi_counts,
+                phi2_counts, ss_counts, swap_counts)
     if resume and os.path.exists(ckpt_path):
-        (theta, betas, lambdas, key, acc_out, acc_in, swap_counts), meta = load_checkpoint(
-            ckpt_path, exemplar
-        )
+        (theta, betas, lambdas, key, acc_out, acc_in, phi_counts, phi2_counts,
+         ss_counts, swap_counts), meta = load_checkpoint(ckpt_path, exemplar)
         step_done = int(meta["step"])
         acc_steps = int(meta.get("accept_steps", 0))
         n_segments = int(meta.get("n_segments", 0))
@@ -986,6 +999,9 @@ def run_pt_da_checkpointed(
         if kept > 0:
             acc_out = acc_out + res.accept_rate.astype(dtype) * kept
             acc_in = acc_in + res.inner_accept_rate.astype(dtype) * (kept * subchain)
+            phi_counts = phi_counts + res.phi_level_mean * kept
+            phi2_counts = phi2_counts + res.phi2_level_mean * kept
+            ss_counts = ss_counts + res.ss_level_mean * kept
             swap_counts = swap_counts + res.swap_rate * max(kept / 2, 1)
             acc_steps += kept
             chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
@@ -996,7 +1012,8 @@ def run_pt_da_checkpointed(
             chunk_steps.append(step_done)
         save_checkpoint(
             ckpt_path,
-            (theta, betas, lambdas, key, acc_out, acc_in, swap_counts),
+            (theta, betas, lambdas, key, acc_out, acc_in, phi_counts,
+             phi2_counts, ss_counts, swap_counts),
             meta={
                 "step": step_done, "chunk_steps": chunk_steps,
                 "accept_steps": acc_steps, "n_segments": n_segments,
@@ -1023,6 +1040,9 @@ def run_pt_da_checkpointed(
         theta=theta,
         n_fine_evals=n_steps + n_segments,
         lambdas=lambdas,
+        phi_level_mean=phi_counts / max(acc_steps, 1),
+        phi2_level_mean=phi2_counts / max(acc_steps, 1),
+        ss_level_mean=ss_counts / max(acc_steps, 1),
     )
 
 
@@ -1044,6 +1064,11 @@ class InversionResult:
     fom_iter_cap: Optional[int] = None
     fom_iter_max: Optional[int] = None
     fom_hit_cap_frac: Optional[float] = None
+    # tempered samplers only: log model evidence Z = E_prior[exp(-Phi)] by
+    # stepping-stone over the PT ladder (infer/evidence.py) — ratios of
+    # these across likelihood choices are Bayes factors on the same data
+    log_evidence: Optional[float] = None
+    log_evidence_std: Optional[float] = None
 
 
 def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]:
@@ -1452,6 +1477,19 @@ def run_inversion(
                 "bias the posterior; raise cg_maxiter", stacklevel=2,
             )
 
+    # tempered runs carry the stepping-stone accumulators: one extra prior
+    # batch turns them into the log model evidence (infer/evidence.py)
+    log_z = log_z_std = None
+    if hasattr(res, "ss_level_mean"):
+        from bayesianinferencedl_tpu.infer.evidence import log_evidence_from_pt
+
+        est = log_evidence_from_pt(
+            res, misfit_b, pipe.prior, jax.random.fold_in(k_chain, 2),
+            batched=True,
+        )
+        log_z, log_z_std = est.log_z, est.log_z_std
+        log.log("log_evidence", log_z=log_z, log_z_std=log_z_std, method="ss")
+
     out = InversionResult(
         result=res,
         theta_true=theta_true,
@@ -1464,6 +1502,8 @@ def run_inversion(
         fom_iter_cap=cap,
         fom_iter_max=it_max,
         fom_hit_cap_frac=hit_frac,
+        log_evidence=log_z,
+        log_evidence_std=log_z_std,
     )
     log.log(
         "inversion",

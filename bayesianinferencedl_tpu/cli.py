@@ -244,6 +244,11 @@ def cmd_invert(args) -> None:
             "cap": inv.fom_iter_cap, "max_iters": inv.fom_iter_max,
             "hit_cap_frac": inv.fom_hit_cap_frac,
         }
+    if inv.log_evidence is not None:
+        # stepping-stone over the PT ladder; differences across --likelihood
+        # runs on the same data/seed are log Bayes factors
+        out["log_evidence"] = inv.log_evidence
+        out["log_evidence_std"] = inv.log_evidence_std
     print(json.dumps(out))
 
 

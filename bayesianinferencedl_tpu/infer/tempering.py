@@ -53,6 +53,16 @@ class PTResult(NamedTuple):
     beta: jax.Array  # (K, G) final adapted step sizes
     theta: jax.Array  # (K, G, d) final states (resume support)
     lambdas: jax.Array  # (K, G) final inverse-temperature ladder (resume)
+    phi_level_mean: jax.Array  # (K, G) post-burn mean UNtempered misfit per
+    # level — the E_lambda[Phi] curve thermodynamic integration needs
+    # (infer/evidence.py log_evidence_ti)
+    phi2_level_mean: jax.Array  # (K, G) post-burn second moment E[Phi^2] per
+    # level: Var_lambda[Phi] = -dE/d lambda is the TI quadrature's
+    # derivative correction (and aggregates linearly across segments)
+    ss_level_mean: jax.Array  # (K-1, G) post-burn stepping-stone ratios
+    # E_{lambda_j}[exp(-(lambda_{j+1}-lambda_j) Phi)] = Z_{j+1}/Z_j — the
+    # quadrature-free evidence estimator (infer/evidence.py
+    # log_evidence_ss); exact for ANY ladder spacing
 
 
 def geometric_ladder(n_temps: int, lambda_min: float = 0.05, dtype=jnp.float32) -> jax.Array:
@@ -232,11 +242,13 @@ def run_pt_pcn(
     # derive from phi so the carry stays device-varying under shard_map (vma)
     n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi.sum() * 0
     log_gap0 = log_gap0 + phi[:1].sum() * 0
+    phi_sum = phi * 0
 
     mean, chol = prior.mean, prior.chol
 
     def step(carry, inp):
-        theta, phi, log_beta, log_gap, n_accept, n_swap = carry
+        (theta, phi, log_beta, log_gap, n_accept, n_swap, phi_sum, phi2_sum,
+         ss_sum) = carry
         t, k_t = inp
         k_prop, k_acc, k_swap = jax.random.split(k_t, 3)
         lambdas = _lam_from_gaps(log_gap) if adapt_ladder else lam0
@@ -271,26 +283,37 @@ def run_pt_pcn(
             if adapt_ladder:
                 log_gap = _ladder_update(log_gap, swap_stats, t, t_global, n_burn, dtype)
 
+        phi_sum = phi_sum + phi  # post-swap: the state the level now owns
+        phi2_sum = phi2_sum + phi * phi
+        # stepping-stone ratio samples: level j's state scored against the
+        # NEXT level's temperature gap (ladder frozen post-burn)
+        ss_sum = ss_sum + jnp.exp(-(lambdas[1:] - lambdas[:-1]) * phi[:-1])
         out = (theta[-1], phi[-1])  # cold level
-        return (theta, phi, log_beta, log_gap, n_accept, n_swap), out
+        return (theta, phi, log_beta, log_gap, n_accept, n_swap, phi_sum,
+                phi2_sum, ss_sum), out
 
     # reset acceptance counters after burn-in by running two scans
     k_burn, k_main = jax.random.split(key)
-    carry = (theta, phi, log_beta, log_gap0, n_accept, n_swap)
+    ss_sum0 = phi[:-1] * 0 if K > 1 else jnp.zeros((0, G), dtype)
+    carry = (theta, phi, log_beta, log_gap0, n_accept, n_swap, phi_sum, phi_sum,
+             ss_sum0)
     if n_burn > 0:
         ts = jnp.arange(n_burn, dtype=dtype)
         carry, _ = jax.lax.scan(
             step, carry, (ts, jax.random.split(k_burn, n_burn))
         )
-        theta, phi, log_beta, log_gap, n_accept, n_swap = carry
-        carry = (theta, phi, log_beta, log_gap, n_accept * 0, n_swap * 0)
+        (theta, phi, log_beta, log_gap, n_accept, n_swap, phi_sum, phi2_sum,
+         ss_sum) = carry
+        carry = (theta, phi, log_beta, log_gap, n_accept * 0, n_swap * 0,
+                 phi_sum * 0, phi2_sum * 0, ss_sum * 0)
 
     n_keep = n_steps - n_burn
     ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
     carry, (samples, phis) = jax.lax.scan(
         step, carry, (ts, jax.random.split(k_main, n_keep))
     )
-    theta, phi, log_beta, log_gap, n_accept, n_swap = carry
+    (theta, phi, log_beta, log_gap, n_accept, n_swap, phi_sum, phi2_sum,
+     ss_sum) = carry
 
     return PTResult(
         samples=samples,
@@ -301,6 +324,9 @@ def run_pt_pcn(
         beta=jnp.exp(log_beta),
         theta=theta,
         lambdas=_lam_from_gaps(log_gap) if adapt_ladder else lam0,
+        phi_level_mean=phi_sum / max(n_keep, 1),
+        phi2_level_mean=phi2_sum / max(n_keep, 1),
+        ss_level_mean=ss_sum / max(n_keep, 1),
     )
 
 
@@ -312,6 +338,10 @@ class PTMALAResult(NamedTuple):
     step: jax.Array  # (K, G) final adapted MALA step sizes h
     theta: jax.Array  # (K, G, d) final states, WORKING coords (resume)
     lambdas: jax.Array  # (K, G) final inverse-temperature ladder (resume)
+    phi_level_mean: jax.Array  # (K, G) post-burn mean untempered misfit per
+    # level (thermodynamic integration; infer/evidence.py)
+    phi2_level_mean: jax.Array  # (K, G) post-burn E[Phi^2] per level
+    ss_level_mean: jax.Array  # (K-1, G) stepping-stone ratios (evidence)
 
 
 @partial(
@@ -414,6 +444,7 @@ def run_pt_mala(
     # derive from phi so the carry stays device-varying under shard_map (vma)
     n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi.sum() * 0
     log_gap0 = log_gap0 + phi[:1].sum() * 0
+    phi_sum0 = phi * 0
 
     def nlp_grad(lam, ph, gph, Y):
         """Tempered negative log posterior and its y-gradient from the
@@ -422,7 +453,8 @@ def run_pt_mala(
         return nlp, lam[..., None] * gph + Y
 
     def step_fn(carry, inp):
-        y, phi, gphi, log_h, log_gap, n_accept, n_swap = carry
+        (y, phi, gphi, log_h, log_gap, n_accept, n_swap, phi_sum, phi2_sum,
+         ss_sum) = carry
         t, k_t = inp
         k_prop, k_acc, k_swap = jax.random.split(k_t, 3)
         h = jnp.exp(log_h)  # (K, G)
@@ -467,23 +499,32 @@ def run_pt_mala(
             if adapt_ladder:
                 log_gap = _ladder_update(log_gap, swap_stats, t, t_global, n_burn, dtype)
 
+        phi_sum = phi_sum + phi  # post-swap
+        phi2_sum = phi2_sum + phi * phi
+        ss_sum = ss_sum + jnp.exp(-(lambdas[1:] - lambdas[:-1]) * phi[:-1])
         out = (to_theta(y[-1]), phi[-1])  # cold level, working coords
-        return (y, phi, gphi, log_h, log_gap, n_accept, n_swap), out
+        return (y, phi, gphi, log_h, log_gap, n_accept, n_swap, phi_sum,
+                phi2_sum, ss_sum), out
 
     k_burn, k_main = jax.random.split(key)
-    carry = (y, phi, gphi, log_h, log_gap0, n_accept, n_swap)
+    ss_sum0 = phi[:-1] * 0 if K > 1 else jnp.zeros((0, G), dtype)
+    carry = (y, phi, gphi, log_h, log_gap0, n_accept, n_swap, phi_sum0, phi_sum0,
+             ss_sum0)
     if n_burn > 0:
         ts = jnp.arange(n_burn, dtype=dtype)
         carry, _ = jax.lax.scan(step_fn, carry, (ts, jax.random.split(k_burn, n_burn)))
-        y, phi, gphi, log_h, log_gap, n_accept, n_swap = carry
-        carry = (y, phi, gphi, log_h, log_gap, n_accept * 0, n_swap * 0)
+        (y, phi, gphi, log_h, log_gap, n_accept, n_swap, phi_sum, phi2_sum,
+         ss_sum) = carry
+        carry = (y, phi, gphi, log_h, log_gap, n_accept * 0, n_swap * 0,
+                 phi_sum * 0, phi2_sum * 0, ss_sum * 0)
 
     n_keep = n_steps - n_burn
     ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
     carry, (samples, phis) = jax.lax.scan(
         step_fn, carry, (ts, jax.random.split(k_main, n_keep))
     )
-    y, phi, gphi, log_h, log_gap, n_accept, n_swap = carry
+    (y, phi, gphi, log_h, log_gap, n_accept, n_swap, phi_sum, phi2_sum,
+     ss_sum) = carry
 
     return PTMALAResult(
         samples=samples,
@@ -493,6 +534,9 @@ def run_pt_mala(
         step=jnp.exp(log_h),
         theta=to_theta(y),
         lambdas=_lam_from_gaps(log_gap) if adapt_ladder else lam0,
+        phi_level_mean=phi_sum / max(n_keep, 1),
+        phi2_level_mean=phi2_sum / max(n_keep, 1),
+        ss_level_mean=ss_sum / max(n_keep, 1),
     )
 
 
@@ -506,6 +550,10 @@ class PTDAResult(NamedTuple):
     theta: jax.Array  # (K, G, d) final states (resume support)
     n_fine_evals: int  # fine-model BATCH evaluations (each covers K*G states)
     lambdas: jax.Array  # (K, G) final inverse-temperature ladder (resume)
+    phi_level_mean: jax.Array  # (K, G) post-burn mean FINE misfit per level
+    # (thermodynamic integration for the fine model; infer/evidence.py)
+    phi2_level_mean: jax.Array  # (K, G) post-burn E[Phi_f^2] per level
+    ss_level_mean: jax.Array  # (K-1, G) stepping-stone ratios on Phi_f
 
 
 @partial(
@@ -594,6 +642,7 @@ def run_pt_da(
     # derive from phi_f so the carry stays device-varying under shard_map (vma)
     n_swap = jnp.zeros((max(K - 1, 0),), dtype) + phi_f.sum() * 0
     log_gap0 = log_gap0 + phi_f[:1].sum() * 0
+    phi_sum0 = phi_f * 0
     mean, chol = prior.mean, prior.chol
     hi = jax.lax.Precision.HIGHEST
 
@@ -622,7 +671,8 @@ def run_pt_da(
         raise ValueError(f"unknown PT-DA inner kernel {inner!r} (use 'pcn' or 'mala')")
 
     def step(carry, inp):
-        theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap = carry
+        (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap,
+         phi_sum, phi2_sum, ss_sum) = carry
         t, k_t = inp
         k_sub, k_acc, k_swap = jax.random.split(k_t, 3)
         b = jnp.exp(log_beta)[..., None]  # frozen for this outer step
@@ -725,21 +775,30 @@ def run_pt_da(
             if adapt_ladder:
                 log_gap = _ladder_update(log_gap, swap_stats, t, t_global, n_burn, dtype)
 
-        return (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap), (theta[-1], phi_f[-1])
+        phi_sum = phi_sum + phi_f  # post-swap fine misfits
+        phi2_sum = phi2_sum + phi_f * phi_f
+        ss_sum = ss_sum + jnp.exp(-(lambdas[1:] - lambdas[:-1]) * phi_f[:-1])
+        return (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in,
+                n_swap, phi_sum, phi2_sum, ss_sum), (theta[-1], phi_f[-1])
 
     k_burn, k_main = jax.random.split(key)
     ema0 = phi_f * 0 + dtype.type(0.5)  # outer-acceptance EMA (mala inner)
-    carry = (theta, phi_f, phi_c, log_beta, log_gap0, ema0, n_out, n_in, n_swap)
+    ss_sum0 = phi_f[:-1] * 0 if K > 1 else jnp.zeros((0, G), dtype)
+    carry = (theta, phi_f, phi_c, log_beta, log_gap0, ema0, n_out, n_in, n_swap,
+             phi_sum0, phi_sum0, ss_sum0)
     if n_burn > 0:
         ts = jnp.arange(n_burn, dtype=dtype)
         carry, _ = jax.lax.scan(step, carry, (ts, jax.random.split(k_burn, n_burn)))
-        theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap = carry
-        carry = (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out * 0, n_in * 0, n_swap * 0)
+        (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap,
+         phi_sum, phi2_sum, ss_sum) = carry
+        carry = (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out * 0, n_in * 0,
+                 n_swap * 0, phi_sum * 0, phi2_sum * 0, ss_sum * 0)
 
     n_keep = n_steps - n_burn
     ts = jnp.arange(n_burn, n_burn + n_keep, dtype=dtype)
     carry, (samples, phis) = jax.lax.scan(step, carry, (ts, jax.random.split(k_main, n_keep)))
-    theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap = carry
+    (theta, phi_f, phi_c, log_beta, log_gap, ema, n_out, n_in, n_swap,
+     phi_sum, phi2_sum, ss_sum) = carry
 
     return PTDAResult(
         samples=samples,
@@ -751,6 +810,9 @@ def run_pt_da(
         theta=theta,
         n_fine_evals=n_steps + 1,
         lambdas=_lam_from_gaps(log_gap) if adapt_ladder else lam0,
+        phi_level_mean=phi_sum / max(n_keep, 1),
+        phi2_level_mean=phi2_sum / max(n_keep, 1),
+        ss_level_mean=ss_sum / max(n_keep, 1),
     )
 
 
@@ -809,6 +871,14 @@ def run_pt_da_segmented(
             "accept": accept_rate_spec(),
             "inner": inner_accept_rate_spec(subchain),
             "swap": swap_rate_spec(),
+            # post-burn per-level mean misfit: same count/renormalize
+            # machinery as the acceptance rates
+            "phi_mean": (lambda r: r.phi_level_mean, lambda kept: kept,
+                         lambda total: max(total, 1)),
+            "phi2_mean": (lambda r: r.phi2_level_mean, lambda kept: kept,
+                          lambda total: max(total, 1)),
+            "ss_mean": (lambda r: r.ss_level_mean, lambda kept: kept,
+                        lambda total: max(total, 1)),
         },
     )
     return PTDAResult(
@@ -821,4 +891,7 @@ def run_pt_da_segmented(
         theta=res.theta,
         n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
         lambdas=lambdas,
+        phi_level_mean=rates["phi_mean"],
+        phi2_level_mean=rates["phi2_mean"],
+        ss_level_mean=rates["ss_mean"],
     )

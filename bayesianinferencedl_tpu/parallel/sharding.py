@@ -402,6 +402,9 @@ def sharded_pt_da(
         theta=P(None, axis),
         n_fine_evals=P(),
         lambdas=P(None, axis),
+        phi_level_mean=P(None, axis),
+        phi2_level_mean=P(None, axis),
+        ss_level_mean=P(None, axis),
     )
     f = jax.shard_map(
         local, mesh=mesh, in_specs=(theta_spec, beta_spec, ladder_spec, P()),
@@ -448,7 +451,8 @@ def sharded_pt_pcn(
     out_specs = PTResult(
         samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
         swap_rate=P(), beta=P(None, axis), theta=P(None, axis),
-        lambdas=P(None, axis),
+        lambdas=P(None, axis), phi_level_mean=P(None, axis),
+        phi2_level_mean=P(None, axis), ss_level_mean=P(None, axis),
     )
     f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs)
     return f(theta0, key)
@@ -494,7 +498,8 @@ def sharded_pt_mala(
     out_specs = PTMALAResult(
         samples=P(None, axis), phi_trace=P(None, axis), accept_rate=P(None, axis),
         swap_rate=P(), step=P(None, axis), theta=P(None, axis),
-        lambdas=P(None, axis),
+        lambdas=P(None, axis), phi_level_mean=P(None, axis),
+        phi2_level_mean=P(None, axis), ss_level_mean=P(None, axis),
     )
     f = jax.shard_map(
         local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs,
@@ -605,6 +610,12 @@ def sharded_pt_da_segmented(
             "accept": accept_rate_spec(),
             "inner": inner_accept_rate_spec(subchain),
             "swap": swap_rate_spec(),
+            "phi_mean": (lambda r: r.phi_level_mean, lambda kept: kept,
+                         lambda total: max(total, 1)),
+            "phi2_mean": (lambda r: r.phi2_level_mean, lambda kept: kept,
+                          lambda total: max(total, 1)),
+            "ss_mean": (lambda r: r.ss_level_mean, lambda kept: kept,
+                        lambda total: max(total, 1)),
         },
     )
     return PTDAResult(
@@ -617,4 +628,7 @@ def sharded_pt_da_segmented(
         theta=res.theta,
         n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
         lambdas=lambdas,
+        phi_level_mean=rates["phi_mean"],
+        phi2_level_mean=rates["phi2_mean"],
+        ss_level_mean=rates["ss_mean"],
     )
