@@ -1517,3 +1517,113 @@ def run_inversion(
         rhat_max=float(jnp.max(r)),
     )
     return out
+
+@dataclass(frozen=True)
+class SMCEvidenceResult:
+    """run_smc_evidence output: the SMC estimate of the log model evidence
+    with a cross-group Monte-Carlo error bar, plus the terminal posterior
+    particles (equally weighted)."""
+
+    particles: jax.Array  # (n_particles, d) pooled over groups, working coords
+    log_evidence: float
+    log_evidence_std: float
+    log_z_groups: jax.Array  # (n_groups,) or (n_islands,) per-population estimates
+    n_stages: jax.Array  # per-group adaptive-schedule lengths
+    theta_true: jax.Array
+    data: jax.Array
+    wall_seconds: float
+
+
+def run_smc_evidence(
+    pipe: Pipeline,
+    *,
+    likelihood: Optional[str] = None,
+    n_particles: int = 4096,
+    n_groups: int = 8,
+    n_mutations: int = 5,
+    ess_target: float = 0.5,
+    max_stages: int = 64,
+    theta_true: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+) -> SMCEvidenceResult:
+    """Adaptive tempered SMC on the pipeline's likelihood (infer/smc.py):
+    the schedule-free, unbiased-in-Z model-evidence instrument, independent
+    of the PT stepping-stone estimate run_inversion reports.
+
+    Data generation mirrors run_inversion's key discipline exactly (same
+    seed => identical theta_true/data), so SMC and PT evidence estimates —
+    and estimates across likelihoods (fom / rom / rom_nn) — are directly
+    comparable Bayes-factor legs on the SAME observations.
+
+    n_groups independent populations of n_particles/n_groups run vmapped
+    (one XLA program); each group's Z estimate is unbiased, so the combined
+    estimate is their mean in Z space and the group spread is the error bar
+    (the convention of infer/evidence.py). With mesh= the groups become
+    per-device islands instead (parallel/sharding.sharded_smc). Either way
+    each group's result is exactly the single-population result for its
+    key: the vmapped stage loop masks finished groups (batched while_loop
+    select semantics), and islands run their own trip counts.
+    """
+    from bayesianinferencedl_tpu.infer.smc import run_smc
+
+    log = metrics or MetricsLogger()
+    cfg = pipe.config.mcmc
+    like = likelihood or cfg.likelihood
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    k_true, k_noise, k_init, k_chain, k_map = jax.random.split(key, 5)
+    dtype = pipe.prior.mean.dtype
+    to_theta = pipe.prior.to_theta
+    if theta_true is None:
+        theta_true = pipe.prior.sample(k_true)
+    y_true = pipe.fin.forward(jnp.exp(to_theta(theta_true)))
+    data = y_true + cfg.noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+
+    fwd_b_theta = pipe.batched_forward_fn(like)
+    fwd_b = lambda xs: fwd_b_theta(to_theta(xs))
+    misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
+
+    t0 = time.perf_counter()
+    if mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import sharded_smc
+
+        res, lz = sharded_smc(
+            mesh, misfit_b, pipe.prior, k_chain,
+            n_particles=n_particles, n_mutations=n_mutations,
+            ess_target=ess_target, max_stages=max_stages, batched=True,
+        )
+        particles = res.particles
+        n_stages = res.n_stages
+    else:
+        if n_particles % n_groups:
+            raise ValueError(f"n_particles {n_particles} not divisible by n_groups {n_groups}")
+        keys = jax.random.split(k_chain, n_groups)
+        run = lambda k: run_smc(
+            misfit_b, pipe.prior, k,
+            n_particles=n_particles // n_groups, n_mutations=n_mutations,
+            ess_target=ess_target, max_stages=max_stages, batched=True,
+        )
+        res = jax.vmap(run)(keys)
+        lz = res.log_evidence  # (n_groups,)
+        particles = res.particles.reshape(n_particles, -1)
+        n_stages = res.n_stages
+    lz = jnp.asarray(lz)
+    log_z = float(jax.scipy.special.logsumexp(lz) - jnp.log(jnp.asarray(lz.shape[0], lz.dtype)))
+    float(jnp.sum(particles))  # readback barrier (CLAUDE.md timing rule)
+    wall = time.perf_counter() - t0
+    log_z_std = float(jnp.std(lz))
+    log.log(
+        "smc_evidence", likelihood=like, log_z=log_z, log_z_std=log_z_std,
+        n_stages=np.asarray(n_stages).tolist(), wall_seconds=wall, method="smc",
+    )
+    return SMCEvidenceResult(
+        particles=particles,
+        log_evidence=log_z,
+        log_evidence_std=log_z_std,
+        log_z_groups=lz,
+        n_stages=n_stages,
+        theta_true=theta_true,
+        data=data,
+        wall_seconds=wall,
+    )

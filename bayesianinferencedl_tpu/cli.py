@@ -252,6 +252,58 @@ def cmd_invert(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_evidence(args) -> None:
+    """Model evidence by adaptive tempered SMC (infer/smc.py): the
+    schedule-free, unbiased estimator — run once per --likelihood on the
+    same --seed and difference the outputs for log Bayes factors (the
+    quantitative form of SURVEY.md Appendix C's three-way comparison;
+    cross-checks the stepping-stone figure `invert --sampler pt_pcn`
+    prints)."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_smc_evidence
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics)
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        mcmc=MCMCConfig(
+            noise_sigma=args.noise, likelihood=args.likelihood, seed=args.seed,
+        ),
+        prior=_prior_config(args),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    mesh = None
+    if args.shard and jax.device_count() > 1:
+        from bayesianinferencedl_tpu.parallel import device_mesh
+
+        mesh = device_mesh()
+    ev = run_smc_evidence(
+        pipe, n_particles=args.particles, n_groups=args.groups,
+        n_mutations=args.mutations, ess_target=args.ess_target,
+        mesh=mesh, metrics=log,
+    )
+    post_mean = np.asarray(pipe.prior.to_theta(ev.particles).mean(axis=0))
+    print(json.dumps({
+        "likelihood": args.likelihood,
+        "estimator": "smc (adaptive tempered, unbiased in Z)",
+        "log_evidence": ev.log_evidence,
+        "log_evidence_std": ev.log_evidence_std,
+        "n_stages": np.asarray(ev.n_stages).tolist(),
+        "n_particles": args.particles,
+        "posterior_mean_log_k": post_mean.tolist(),
+        "theta_true": np.asarray(pipe.prior.to_theta(ev.theta_true)).tolist(),
+        "wall_seconds": ev.wall_seconds,
+    }))
+
+
 def cmd_map(args) -> None:
     """Deterministic inversion: MAP point + Laplace credible intervals
     (SURVEY.md §2a #9, the reference's regularized least-squares fit)."""
@@ -384,6 +436,7 @@ def main(argv=None) -> None:
         ("invert", cmd_invert),
         ("pipeline", cmd_pipeline),
         ("map", cmd_map),
+        ("evidence", cmd_evidence),
     ]:
         p = sub.add_parser(name)
         _add_common(p)
@@ -402,6 +455,14 @@ def main(argv=None) -> None:
         if name == "map":
             p.add_argument("--noise", type=float, default=1e-3)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+        elif name == "evidence":
+            p.add_argument("--noise", type=float, default=1e-3)
+            p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument("--particles", type=int, default=4096, help="total SMC population")
+            p.add_argument("--groups", type=int, default=8, help="independent populations (error bar)")
+            p.add_argument("--mutations", type=int, default=5, help="pCN sweeps per tempering stage")
+            p.add_argument("--ess-target", type=float, default=0.5, help="ESS/N kept per stage")
+            p.add_argument("--shard", action="store_true", help="island SMC over the device mesh")
         elif name != "surrogate":
             p.add_argument("--chains", type=int, default=1024)
             p.add_argument("--steps", type=int, default=10_000)

@@ -14,6 +14,7 @@ from bayesianinferencedl_tpu.parallel.sharding import (  # noqa: F401
     sharded_pt_da,
     sharded_pt_mala,
     sharded_pt_pcn,
+    sharded_smc,
     sharded_snapshots,
     dp_train_step,
 )

@@ -632,3 +632,83 @@ def sharded_pt_da_segmented(
         phi2_level_mean=rates["phi2_mean"],
         ss_level_mean=rates["ss_mean"],
     )
+
+
+def sharded_smc(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    key: jax.Array,
+    *,
+    n_particles: int = 4096,
+    n_mutations: int = 5,
+    ess_target: float = 0.5,
+    beta: float = 0.5,
+    max_stages: int = 64,
+    batched: bool = False,
+):
+    """Island SMC: one independent tempered-SMC population per device
+    (infer/smc.py), particles sharded over the mesh axis.
+
+    Islands never communicate during the run — each island's adaptive
+    schedule, resampling, and mutation are shard-local (resampling is the
+    only collective-shaped op in SMC, and keeping it island-local removes
+    the all-to-all a global resample would need). Each island's Z estimate
+    is unbiased, so the combined estimate is their MEAN in Z space:
+    log_evidence = logsumexp(island log Z) - log(n_islands); the island
+    spread doubles as the Monte-Carlo error bar (log_z_std), exactly like
+    the per-chain-group spread in infer/evidence.py.
+
+    n_particles is the TOTAL population (divisible by the mesh size).
+    Returns (SMCResult, log_z_islands): the result's particles/phi are the
+    concatenated island populations, log_evidence is the combined estimate,
+    and the per-island diagnostics (n_stages, lambdas, ess_frac,
+    accept_rate, beta) carry a leading (n_islands,) axis.
+    """
+    from bayesianinferencedl_tpu.infer.smc import SMCResult, run_smc
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if n_particles % n_dev:
+        raise ValueError(f"n_particles {n_particles} not divisible by mesh size {n_dev}")
+
+    def local(key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        res = run_smc(
+            misfit_fn, prior, dev_key,
+            n_particles=n_particles // n_dev, n_mutations=n_mutations,
+            ess_target=ess_target, beta=beta, max_stages=max_stages,
+            batched=batched,
+        )
+        # one-hot psum instead of all_gather: psum output is inferably
+        # REPLICATED under shard_map's vma check (all_gather stays varying,
+        # which P() out_specs reject), and the (n_islands,) island-Z vector
+        # genuinely is replicated after the reduction
+        i = jax.lax.axis_index(axis)
+        one_hot = jnp.zeros((n_dev,), res.log_evidence.dtype).at[i].set(res.log_evidence)
+        lz = jax.lax.psum(one_hot, axis)  # (n_islands,)
+        combined = jax.scipy.special.logsumexp(lz) - jnp.log(
+            jnp.asarray(lz.shape[0], lz.dtype)
+        )
+        return (
+            res._replace(
+                log_evidence=combined,
+                n_stages=res.n_stages[None],
+                lambdas=res.lambdas[None],
+                ess_frac=res.ess_frac[None],
+                accept_rate=res.accept_rate[None],
+                beta=res.beta[None],
+            ),
+            lz,
+        )
+
+    out_specs = (
+        SMCResult(
+            particles=P(axis), phi=P(axis), log_evidence=P(),
+            n_stages=P(axis), lambdas=P(axis), ess_frac=P(axis),
+            accept_rate=P(axis), beta=P(axis),
+        ),
+        P(),
+    )
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=out_specs)
+    return f(key)

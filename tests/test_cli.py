@@ -77,3 +77,22 @@ def test_cli_invert_box_prior():
 
     for m in rec["posterior_mean_log_k"]:
         assert math.log(0.2) - 1e-6 <= m <= math.log(5.0) + 1e-6
+
+
+def test_cli_evidence_json():
+    """`evidence` runs SMC end-to-end on a tiny pipeline and reports a
+    finite log Z with an error bar (the Bayes-factor leg of SURVEY.md
+    Appendix C)."""
+    out = _run([
+        "evidence", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--particles", "512", "--groups", "4", "--mutations", "3",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    import math
+
+    assert math.isfinite(rec["log_evidence"])
+    assert rec["log_evidence_std"] >= 0
+    assert len(rec["posterior_mean_log_k"]) == 5
+    assert all(n <= 64 for n in rec["n_stages"])
