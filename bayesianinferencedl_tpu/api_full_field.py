@@ -319,6 +319,9 @@ def run_full_field_inversion(
     mala_step: float = 0.1,
     da_inner: str = "pcn",
     adapt_ladder: bool = False,
+    lis_points: int = 16,
+    lis_rank: Optional[int] = None,
+    lis_tol: float = 0.1,
     z_true: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     mesh=None,
@@ -336,12 +339,15 @@ def run_full_field_inversion(
     tempering — multimodal posteriors), "pt_mala" (MALA within every
     temperature level — gradient-informed tempering for high-dimensional
     multimodal targets), "pt_da_pcn" (tempered delayed acceptance: exact
-    `likelihood` posterior on a multimodal problem), or "mala"/"mala_lap"
+    `likelihood` posterior on a multimodal problem), "mala"/"mala_lap"
     (gradient-based Langevin proposals — prior- or Laplace-preconditioned;
-    infer/mala.py).
+    infer/mala.py), or "lis_pcn" (likelihood-informed-subspace pCN —
+    offline Jacobians pick the <= n_obs informed directions, online steps
+    are gradient-free with per-direction step sizes; infer/lis.py;
+    lis_points/lis_rank/lis_tol control the subspace build).
 
     mesh: optional jax.sharding.Mesh — shards the chain (group) axis over
-    ICI for pcn/da_pcn/pt_pcn/pt_mala/pt_da_pcn/mala/mala_lap, same contract as
+    ICI for pcn/da_pcn/pt_pcn/pt_mala/pt_da_pcn/mala/mala_lap/lis_pcn, same contract as
     api.run_inversion (the Laplace independence/gpcn samplers stay
     single-device; their cost is the offline MAP).
     """
@@ -402,7 +408,56 @@ def run_full_field_inversion(
                 ess_min=float(jnp.min(ess)), accept_rate=float(jnp.mean(res.accept_rate)))
         return res, z_true, data, ess, r, wall
 
-    if sampler in ("mala", "mala_lap"):
+    if sampler == "lis_pcn":
+        # likelihood-informed-subspace pCN (infer/lis.py): a handful of
+        # Jacobians offline (MAP + Laplace draws -> the global LIS), then
+        # gradient-FREE chain steps with per-direction step sizes — the
+        # informed rank is <= n_obs however large the coefficient dimension,
+        # so the complement mixes at near-independence rates. Exact for any
+        # posterior (prior-reversible operator-weighted proposal); the
+        # Laplace-seeded initialization shares mala_lap's unimodal-regime
+        # caveat (docs/SAMPLERS.md).
+        from bayesianinferencedl_tpu.infer.lis import (
+            build_lis, run_lis_pcn, run_lis_pcn_segmented,
+        )
+        from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation
+
+        fwd = pipe.forward_fn(likelihood)
+        mis1 = gaussian_misfit(fwd, data, noise_sigma)
+        with log.timer("map_laplace"):
+            z_map, _ = find_map(mis1, pipe.prior, jnp.zeros_like(pipe.prior.mean), maxiter=300)
+            lap = laplace_approximation(fwd, data, noise_sigma, pipe.prior, z_map)
+        with log.timer("build_lis"):
+            pts = jnp.concatenate(
+                [z_map[None], lap.sample(k_map, (max(lis_points - 1, 1),))], axis=0
+            )
+            lis = build_lis(
+                fwd, pipe.prior, pts, noise_sigma, lam_tol=lis_tol, rank_max=lis_rank
+            )
+        log.log("lis_built", rank=lis.rank, lam_max=float(lis.lam[0]),
+                lam_min=float(lis.lam[-1]), n_points=int(pts.shape[0]))
+        theta0 = lap.sample(k_init, (n_chains,))
+        if likelihood == "fom":
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import (
+                    sharded_lis_pcn_segmented,
+                )
+
+                runner = lambda m, p, t0, k, **kw: sharded_lis_pcn_segmented(
+                    mesh, m, p, lis, t0, k, segment=64, **kw
+                )
+            else:
+                runner = lambda m, p, t0, k, **kw: run_lis_pcn_segmented(
+                    m, p, lis, t0, k, segment=64, **kw
+                )
+        elif mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_lis_pcn
+
+            runner = lambda m, p, t0, k, **kw: sharded_lis_pcn(mesh, m, p, lis, t0, k, **kw)
+        else:
+            runner = lambda m, p, t0, k, **kw: run_lis_pcn(m, p, lis, t0, k, **kw)
+        kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True)
+    elif sampler in ("mala", "mala_lap"):
         # gradient-based MCMC in the M-dimensional coefficient space — the
         # regime where Langevin drift pays most (measured 6.3x pCN's ESS at
         # d=64 on the linear-Gaussian family, tests/test_mala.py). Gradients

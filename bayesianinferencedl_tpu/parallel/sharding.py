@@ -211,6 +211,89 @@ def sharded_mala_segmented(
     )
 
 
+def sharded_lis_pcn(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    lis,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.5,
+    thin: int = 1,
+    batched: bool = False,
+    adapt_t0=0.0,
+) -> PCNResult:
+    """Likelihood-informed-subspace pCN (infer/lis.py) with the chain batch
+    sharded over the mesh axis. Chains are independent and the LIS basis is
+    replicated (it is built ONCE offline) — zero per-step communication,
+    same contract as sharded_pcn."""
+    from bayesianinferencedl_tpu.infer.lis import run_lis_pcn
+    from bayesianinferencedl_tpu.infer.pcn import PCNState
+
+    axis = mesh.axis_names[0]
+    beta_arr = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+
+    def local(theta0_shard, beta_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        return run_lis_pcn(
+            misfit_fn, prior, lis, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, beta=beta_shard, thin=thin,
+            batched=batched, adapt_t0=adapt_t0,
+        )
+
+    out_specs = PCNResult(
+        state=PCNState(theta=P(axis), phi=P(axis), n_accept=P(axis)),
+        samples=P(None, axis),
+        phi_trace=P(None, axis),
+        accept_rate=P(axis),
+        beta=P(axis),
+    )
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs)
+    return f(theta0, beta_arr, key)
+
+
+def sharded_lis_pcn_segmented(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    lis,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.5,
+    segment: int = 64,
+    batched: bool = False,
+) -> PCNResult:
+    """sharded_lis_pcn in fixed-size segments (watchdog-safe for the FOM
+    likelihood); chain state and adapted per-chain beta0 carry across."""
+    from bayesianinferencedl_tpu.infer.segmented import accept_rate_spec, drive_segments
+
+    betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+
+    def seg(carry, sub, this, burn, start):
+        thetas, betas = carry
+        res = sharded_lis_pcn(
+            mesh, misfit_fn, prior, lis, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, thin=1, batched=batched,
+            adapt_t0=jnp.asarray(start, theta0.dtype),
+        )
+        return res, (res.state.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, betas0), key, n_steps=n_steps, n_burn=n_burn,
+        segment=segment, rates={"accept": accept_rate_spec()},
+    )
+    return PCNResult(
+        state=res.state, samples=samples, phi_trace=phis,
+        accept_rate=rates["accept"], beta=betas,
+    )
+
+
 def sharded_snapshots(
     mesh: Mesh,
     op,

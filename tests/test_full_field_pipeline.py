@@ -228,3 +228,32 @@ def test_ff_delayed_acceptance_fom(ffpipe):
     assert float(jnp.linalg.norm(fwd(z_post) - data)) < float(
         jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data)
     )
+
+
+def test_ff_lis_pcn(ffpipe):
+    """LIS-pCN in coefficient space (infer/lis.py): the informed rank is
+    bounded by n_obs << n_features, the chain fits the data, and the
+    gradient-free per-direction steps out-mix plain pCN at the same budget
+    (the d >> m regime the sampler exists for). Unimodal 1e-2 regime —
+    the Laplace-seeded build shares mala_lap's caveat."""
+    kw = dict(
+        likelihood="rom_nn", n_chains=16, n_steps=800, n_burn=400,
+        noise_sigma=1e-2, key=jax.random.PRNGKey(8),
+    )
+    res_l, z_true, data, ess_l, r_l, _ = run_full_field_inversion(
+        ffpipe, sampler="lis_pcn", lis_points=6, **kw
+    )
+    res_p, _, _, ess_p, r_p, _ = run_full_field_inversion(
+        ffpipe, sampler="pcn", **kw
+    )
+    assert res_l.samples.shape == (400, 16, 16)
+    assert bool(jnp.isfinite(res_l.samples).all())
+    fwd = ffpipe.forward_fn("rom_nn")
+    z_post = res_l.samples.mean(axis=(0, 1))
+    assert float(jnp.linalg.norm(fwd(z_post) - data)) < float(
+        jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data)
+    )
+    assert 0.1 < float(jnp.mean(res_l.accept_rate)) < 0.9
+    assert float(jnp.min(ess_l)) > 1.5 * float(jnp.min(ess_p)), (
+        float(jnp.min(ess_l)), float(jnp.min(ess_p)),
+    )
