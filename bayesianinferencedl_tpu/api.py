@@ -326,6 +326,22 @@ def make_fom_solver(
     return lambda ks: _gen(fin.op, ks, tol=tol, maxiter=maxiter)
 
 
+def batched_fom_observe(fin: FiveParamFin) -> Callable:
+    """(n_chains, d) log-conductivities -> (n_chains, m) FOM observables for
+    a standalone FiveParamFin — the same routing as
+    Pipeline.batched_forward_fn("fom") (fused Pallas batch solver on TPU,
+    vmapped implicit-diff solve elsewhere), for fins that are not the
+    pipeline's own (e.g. the coarse-resolution MLDA rung)."""
+    if (
+        jax.default_backend() == "tpu"
+        and hasattr(fin.op, "vals_grid")
+        and fin.op.dtype == jnp.float32
+    ):
+        solver = make_fom_solver(fin, tol=fin.cg_tol, maxiter=fin.cg_maxiter)
+        return lambda thetas: jax.vmap(fin.op.observe)(solver(jnp.exp(thetas)))
+    return jax.vmap(lambda t: fin.forward(jnp.exp(t)))
+
+
 def build_pipeline(
     config: PipelineConfig = PipelineConfig(),
     *,
@@ -1353,6 +1369,60 @@ def run_inversion(
                     n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
                     subchain=cfg.subchain, segment=segment,
                     batched_fine=True, batched_coarse=True, inner=cfg.da_inner,
+                )
+        elif smp == "mlda_pcn":
+            # multilevel delayed acceptance (infer/mlda.py): a THREE-rung
+            # surrogate ladder — da_coarse surrogate subchains screened by a
+            # coarse-resolution FOM rung, screened by the exact fine FOM —
+            # the exact `like` posterior with the fine solve paid once per
+            # subchain*mlda_subchain base steps, and the mid rung absorbing
+            # the surrogate's bias before the expensive correction.
+            if like != "fom":
+                raise ValueError(
+                    "mlda_pcn targets the fine FOM posterior through a "
+                    "resolution hierarchy; set likelihood='fom' (for a "
+                    "single-screen surrogate chain use sampler='da_pcn')"
+                )
+            if cfg.mlda_resolution >= pipe.config.mesh.resolution:
+                raise ValueError(
+                    f"mlda_resolution ({cfg.mlda_resolution}) must be coarser "
+                    f"than the pipeline mesh ({pipe.config.mesh.resolution})"
+                )
+            base_theta = pipe.batched_forward_fn(
+                cfg.da_coarse, differentiable=(cfg.da_inner == "mala")
+            )
+            base_b = lambda xs: base_theta(to_theta(xs))
+            misfit_base = gaussian_misfit(base_b, data, cfg.noise_sigma)
+            fin_mid = FiveParamFin.create(
+                resolution=cfg.mlda_resolution, biot=pipe.config.fem.biot,
+                dtype=dtype, cg_tol=pipe.config.fem.cg_tol,
+                cg_maxiter=pipe.config.fem.cg_maxiter,
+            )
+            mid_theta = batched_fom_observe(fin_mid)
+            mid_b = lambda xs: mid_theta(to_theta(xs))
+            misfit_mid = gaussian_misfit(mid_b, data, cfg.noise_sigma)
+            misfits3 = (misfit_base, misfit_mid, misfit_b)
+            subchains = (cfg.subchain, cfg.mlda_subchain)
+            da_beta = cfg.mala_step if cfg.da_inner == "mala" else cfg.beta
+            if mesh is not None:
+                from bayesianinferencedl_tpu.parallel.sharding import (
+                    sharded_mlda_segmented,
+                )
+
+                run = lambda k: sharded_mlda_segmented(
+                    mesh, misfits3, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
+                    subchains=subchains, segment=32, batched=True,
+                    inner=cfg.da_inner,
+                )
+            else:
+                from bayesianinferencedl_tpu.infer.mlda import run_mlda_segmented
+
+                run = lambda k: run_mlda_segmented(
+                    misfits3, pipe.prior, theta0, k,
+                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=da_beta,
+                    subchains=subchains, segment=32, batched=True,
+                    inner=cfg.da_inner,
                 )
         elif smp == "mala":
             # prior-preconditioned MALA: gradient-informed proposals from

@@ -215,6 +215,7 @@ def cmd_invert(args) -> None:
             adapt_ladder=args.adapt_ladder,
             subchain=args.subchain, da_coarse=args.da_coarse,
             da_inner=args.da_inner,
+            mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
         ),
         prior=_prior_config(args),
     )
@@ -472,7 +473,7 @@ def main(argv=None) -> None:
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
             p.add_argument(
                 "--sampler",
-                choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mala", "mala_lap"],
+                choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mlda_pcn", "mala", "mala_lap"],
                 default="pcn",
             )
             p.add_argument("--n-temps", type=int, default=4, help="pt_pcn ladder size")
@@ -486,6 +487,14 @@ def main(argv=None) -> None:
             p.add_argument(
                 "--da-inner", choices=["pcn", "mala"], default="pcn",
                 help="da_pcn subchain kernel (mala = gradient-informed)",
+            )
+            p.add_argument(
+                "--mlda-resolution", type=int, default=2,
+                help="mlda_pcn mid-rung FOM mesh resolution",
+            )
+            p.add_argument(
+                "--mlda-subchain", type=int, default=4,
+                help="mlda_pcn mid-rung steps per fine correction",
             )
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)

@@ -151,6 +151,11 @@ class MCMCConfig:
              burn-in, so post-burn invariance is exact.
     subchain / da_coarse: delayed-acceptance controls (inner steps per fine
              correction; the surrogate likelihood screening proposals).
+    mlda_resolution / mlda_subchain: sampler="mlda_pcn" (multilevel delayed
+             acceptance, infer/mlda.py) controls: the MID rung is the FOM at
+             mesh resolution mlda_resolution (< the pipeline's resolution),
+             screened by `subchain` base (da_coarse surrogate) steps per mid
+             step and `mlda_subchain` mid steps per fine correction.
     """
 
     n_chains: int = 1024
@@ -172,6 +177,8 @@ class MCMCConfig:
     # evaluation; infer/mala.py. Initial step size is then mala_step.)
     da_inner: str = "pcn"
     mala_step: float = 0.1  # initial MALA step size h (adapted per chain)
+    mlda_resolution: int = 2  # mid-rung FOM mesh resolution (mlda_pcn)
+    mlda_subchain: int = 4  # mid-rung steps per fine correction (mlda_pcn)
 
     def to_dict(self):
         return _asdict(self)

@@ -642,6 +642,125 @@ def sharded_da_pcn_segmented(
     )
 
 
+def sharded_mlda(
+    mesh: Mesh,
+    misfits: tuple,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchains: tuple = (8, 4),
+    batched: bool = False,
+    adapt_t0=0.0,
+    inner: str = "pcn",
+):
+    """Multilevel delayed acceptance (infer/mlda.py) with the chain batch
+    sharded over the mesh. Chains are independent, so each device runs its
+    shard fully locally — every rung's batch evaluations included — with
+    only the RNG decorrelated per device. Same contract as sharded_da_pcn.
+
+    check_vma=False (same reason as sharded_mala): the fine rung is a
+    full-order misfit, which on the non-Pallas path routes solves through
+    ``lax.custom_linear_solve``, whose pvary bookkeeping rejects
+    chain-varying operands under shard_map. MLDA needs no collectives, so
+    nothing is lost."""
+    from bayesianinferencedl_tpu.infer.mlda import (
+        LevelState, MLDAResult, run_mlda,
+    )
+
+    axis = mesh.axis_names[0]
+    beta_arr = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+
+    def local(theta0_shard, beta_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        res = run_mlda(
+            misfits, prior, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, beta=beta_shard,
+            subchains=subchains, batched=batched, adapt_t0=adapt_t0,
+            inner=inner,
+        )
+        # static eval counts must be an array to carry a replicated out-spec
+        return res._replace(
+            evals_per_step=jnp.asarray(res.evals_per_step, jnp.int32)
+        )
+
+    out_specs = MLDAResult(
+        state=LevelState(
+            theta=P(axis), phi=P(axis), phi_sub=P(axis), rate_stack=P(None, axis)
+        ),
+        samples=P(None, axis),
+        phi_trace=P(None, axis),
+        accept_rate=P(axis),
+        level_rates=P(None, axis),
+        beta=P(axis),
+        evals_per_step=P(),
+    )
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(theta0, beta_arr, key)
+
+
+def sharded_mlda_segmented(
+    mesh: Mesh,
+    misfits: tuple,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta=0.25,
+    subchains: tuple = (8, 4),
+    segment: int = 32,
+    batched: bool = False,
+    inner: str = "pcn",
+):
+    """sharded_mlda in fixed-size top-level segments (watchdog-safe;
+    infer.segmented); chain state and adapted base betas carry across
+    segments."""
+    from bayesianinferencedl_tpu.infer.mlda import (
+        MLDAResult, level_rates_spec, mlda_evals_per_step,
+    )
+    from bayesianinferencedl_tpu.infer.segmented import (
+        accept_rate_spec, drive_segments,
+    )
+
+    betas0 = jnp.broadcast_to(jnp.asarray(beta, theta0.dtype), theta0.shape[:-1])
+
+    def seg(carry, sub, this, burn, start):
+        thetas, betas = carry
+        res = sharded_mlda(
+            mesh, misfits, prior, thetas, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchains=subchains,
+            batched=batched, adapt_t0=jnp.asarray(start, theta0.dtype),
+            inner=inner,
+        )
+        return res, (res.state.theta, res.beta)
+
+    res, (_, betas), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, betas0), key, n_steps=n_steps, n_burn=n_burn,
+        segment=segment,
+        rates={
+            "accept": accept_rate_spec(),
+            "levels": level_rates_spec(len(misfits)),
+        },
+    )
+    return MLDAResult(
+        state=res.state,
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=rates["accept"],
+        level_rates=rates["levels"],
+        beta=betas,
+        evals_per_step=mlda_evals_per_step(subchains),
+    )
+
+
 def sharded_pt_da_segmented(
     mesh: Mesh,
     misfit_fine: Callable,
