@@ -808,6 +808,114 @@ def run_da_checkpointed(
     )
 
 
+def run_mlda_checkpointed(
+    misfits: tuple,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    beta: float = 0.25,
+    subchains: tuple = (8, 4),
+    segment: int = 200,
+    ckpt_path: str = "mlda_chain_ckpt.npz",
+    resume: bool = True,
+    batched: bool = False,
+    inner: str = "pcn",
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Multilevel delayed acceptance with periodic disk checkpoints and
+    exact resume — the failure-recovery contract of run_da_checkpointed
+    (SURVEY.md §5) for the recursive-ladder sampler (infer/mlda.py), whose
+    runs pay a fine full-order solve per outer step.
+
+    A killed run restarted with the same arguments reloads the last
+    checkpoint and continues with the identical RNG stream, so the
+    surviving samples are bit-identical to an uninterrupted run's segments
+    (every rung's misfits are recomputed deterministically from the carried
+    theta at segment start, exactly as the segmented driver does)."""
+    import os
+
+    from bayesianinferencedl_tpu.infer.mlda import MLDAResult, run_mlda
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    log = metrics or MetricsLogger()
+    n_levels = len(misfits)
+    C = theta0.shape[0]
+    theta = theta0
+    betas = jnp.full((C,), beta, theta0.dtype)
+    acc_out = jnp.zeros((C,), jnp.float32)
+    acc_lvl = jnp.zeros((n_levels, C), jnp.float32)
+    step_done = 0
+    acc_steps = 0
+    chunks = []
+    chunk_steps: list = []
+    exemplar = (theta, betas, key, acc_out, acc_lvl)
+    if resume and os.path.exists(ckpt_path):
+        (theta, betas, key, acc_out, acc_lvl), meta = load_checkpoint(ckpt_path, exemplar)
+        step_done = int(meta["step"])
+        acc_steps = int(meta.get("accept_steps", 0))
+        chunk_steps = list(meta.get("chunk_steps", []))
+        for s in chunk_steps:
+            z = np.load(f"{ckpt_path}.samples_{s}.npz")
+            chunks.append((z["samples"], z["phis"]))
+        log.log("mlda_chain_resume", step=step_done, chunks=len(chunks))
+
+    res = None
+    while step_done < n_steps:
+        this = min(segment, n_steps - step_done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - step_done, 0), this)
+        res = run_mlda(
+            misfits, prior, theta, sub,
+            n_steps=this, n_burn=burn, beta=betas, subchains=subchains,
+            adapt=True, batched=batched,
+            adapt_t0=jnp.asarray(step_done, theta.dtype), inner=inner,
+        )
+        theta, betas = res.state.theta, res.beta
+        step_done += this
+        kept = this - burn
+        if kept > 0:
+            acc_out = acc_out + res.accept_rate * kept
+            acc_lvl = acc_lvl + res.level_rates * kept
+            acc_steps += kept
+        if res.samples.shape[0] > 0:
+            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
+            np.savez_compressed(
+                f"{ckpt_path}.samples_{step_done}.npz",
+                samples=np.asarray(res.samples),
+                phis=np.asarray(res.phi_trace),
+            )
+            chunk_steps.append(step_done)
+        save_checkpoint(
+            ckpt_path,
+            (theta, betas, key, acc_out, acc_lvl),
+            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
+        )
+        log.log("mlda_chain_checkpoint", step=step_done,
+                outer_accept=float(jnp.mean(res.accept_rate)))
+
+    d = theta.shape[-1]
+    samples = (
+        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C, d), theta.dtype)
+    )
+    phis = (
+        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0, C), theta.dtype)
+    )
+    return MLDAResult(
+        state=res.state if res is not None else None,
+        samples=samples,
+        phi_trace=phis,
+        accept_rate=acc_out / max(acc_steps, 1),
+        level_rates=acc_lvl / max(acc_steps, 1),
+        beta=betas,
+        evals_per_step=res.evals_per_step if res is not None else (),
+    )
+
+
 def run_pt_checkpointed(
     misfit_fn,
     prior: GaussianPrior,

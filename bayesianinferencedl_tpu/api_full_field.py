@@ -55,6 +55,13 @@ class FullFieldPipeline:
     # the five-param pipeline: ~1.9x chain throughput; the surrogate trains
     # on the same path). See api._online_precision.
     rom_precision: object = None
+    # construction hyperparameters, recorded so coarser-mesh rungs of the
+    # SAME random field can be rebuilt (RandomField.create is seed-
+    # deterministic: same seed/ell/n_features -> same W, b, evaluated at the
+    # new mesh's nodes) — the mlda_pcn mid rung needs exactly this
+    ell: float = 1.0
+    seed: int = 0
+    biot: float = 0.1
 
     def theta(self, z: jax.Array) -> jax.Array:
         """z -> nodal log-conductivity field."""
@@ -291,6 +298,61 @@ def build_full_field_pipeline(
         op=op, field=field, rom=rom, surrogate=surrogate, prior=prior, P0=P0,
         rom_pcg_iters=rom_pcg_iters, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
         rom_precision=rom_prec, deflation=deflation,
+        ell=float(ell), seed=int(seed), biot=float(biot),
+    )
+
+
+def coarse_fom_forward(pipe: FullFieldPipeline, resolution: int) -> Callable:
+    """zs (B, M) -> (B, n_obs): the full-field FOM forward on a COARSER mesh
+    for the same RFF coefficients — the mlda_pcn mid rung. The coarse
+    RandomField shares the fine one's (W, b) (seed-deterministic
+    RandomField.create), so z means the same continuum field on both
+    meshes; only the PDE discretization coarsens. Batched through the fused
+    Pallas stencil kernel on TPU (with its own deflation basis), the
+    vmapped implicit-diff solve elsewhere."""
+    dtype = pipe.prior.mean.dtype
+    mesh_c = build_fin_mesh(resolution)
+    host_c = assemble_fin_dia(mesh_c, pad_to=128)
+    from bayesianinferencedl_tpu.fem.dia import StencilOperator
+
+    op_c = NodalStencilOperator(
+        base=StencilOperator.from_host(host_c, biot=pipe.biot, dtype=dtype),
+        G=jnp.asarray(assemble_nodal_coeff(mesh_c, host_c), dtype),
+    )
+    field_c = RandomField.create(
+        mesh_c, host_c.n, ell=pipe.ell, sigma=pipe.field.sigma,
+        mean=pipe.field.mean, n_features=pipe.field.n_features,
+        seed=pipe.seed, dtype=dtype,
+    )
+
+    def conductivity_c(z):
+        theta = field_c.mean + field_c.sigma * jnp.dot(
+            field_c.features, z, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.exp(theta)
+
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        from bayesianinferencedl_tpu.ops.deflation import DeflationBasis
+        from bayesianinferencedl_tpu.ops.pcg_stencil import (
+            derived_maxiter, solve_fom_stencil_pallas,
+        )
+
+        defl_c = DeflationBasis.create(host_c, biot=pipe.biot, m=128)
+        mi = min(pipe.cg_maxiter, derived_maxiter(op_c.resolution))
+
+        @jax.jit
+        def fwd_b(zs):
+            ks = jax.vmap(conductivity_c)(zs)
+            u, _ = solve_fom_stencil_pallas(
+                op_c, ks, tol=pipe.cg_tol, maxiter=mi, deflation=defl_c
+            )
+            return jax.vmap(op_c.observe)(u)
+
+        return fwd_b
+    return jax.vmap(
+        lambda z: op_c.observe(
+            solve_fom(op_c, conductivity_c(z), tol=pipe.cg_tol, maxiter=pipe.cg_maxiter)
+        )
     )
 
 
@@ -318,6 +380,8 @@ def run_full_field_inversion(
     subchain: int = 8,
     mala_step: float = 0.1,
     da_inner: str = "pcn",
+    mlda_resolution: int = 2,
+    mlda_subchain: int = 4,
     adapt_ladder: bool = False,
     lis_points: int = 16,
     lis_rank: Optional[int] = None,
@@ -344,12 +408,16 @@ def run_full_field_inversion(
     infer/mala.py), or "lis_pcn" (likelihood-informed-subspace pCN —
     offline Jacobians pick the <= n_obs informed directions, online steps
     are gradient-free with per-direction step sizes; infer/lis.py;
-    lis_points/lis_rank/lis_tol control the subspace build).
+    lis_points/lis_rank/lis_tol control the subspace build), or "mlda_pcn"
+    (multilevel delayed acceptance: rom_nn subchains -> coarse-mesh FOM
+    rung (`mlda_resolution`, `mlda_subchain`) -> exact fine FOM;
+    infer/mlda.py — requires likelihood='fom').
 
     mesh: optional jax.sharding.Mesh — shards the chain (group) axis over
-    ICI for pcn/da_pcn/pt_pcn/pt_mala/pt_da_pcn/mala/mala_lap/lis_pcn, same contract as
-    api.run_inversion (the Laplace independence/gpcn samplers stay
-    single-device; their cost is the offline MAP).
+    ICI for pcn/da_pcn/mlda_pcn/pt_pcn/pt_mala/pt_da_pcn/mala/mala_lap/
+    lis_pcn, same contract as api.run_inversion (the Laplace
+    independence/gpcn samplers stay single-device; their cost is the
+    offline MAP).
     """
     from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
 
@@ -570,6 +638,49 @@ def run_full_field_inversion(
             n_steps=n_steps, n_burn=n_burn,
             beta=mala_step if da_inner == "mala" else beta, subchain=subchain,
             n_temps=n_temps, lambda_min=lambda_min, adapt_ladder=adapt_ladder,
+        )
+    elif sampler == "mlda_pcn":
+        # multilevel delayed acceptance in RFF-coefficient space
+        # (infer/mlda.py): rom_nn subchains screened by the SAME random
+        # field's FOM on a coarser mesh (coarse_fom_forward — z is mesh-
+        # independent), screened by the exact fine FOM. n_steps count TOP
+        # steps; one fine batch solve each.
+        if likelihood != "fom":
+            raise ValueError(
+                "mlda_pcn targets the fine FOM posterior through a "
+                "resolution hierarchy; set likelihood='fom' (for a "
+                "single-screen surrogate chain use sampler='da_pcn')"
+            )
+        if mlda_resolution >= pipe.op.resolution:
+            raise ValueError(
+                f"mlda_resolution ({mlda_resolution}) must be coarser than "
+                f"the pipeline mesh ({pipe.op.resolution})"
+            )
+        misfit_base = gaussian_misfit(
+            pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")),
+            data, noise_sigma,
+        )
+        misfit_mid = gaussian_misfit(
+            coarse_fom_forward(pipe, mlda_resolution), data, noise_sigma
+        )
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_mlda_segmented
+
+            runner = lambda m, p, t0, k, **kw: sharded_mlda_segmented(
+                mesh, (misfit_base, misfit_mid, m), p, t0, k, segment=32,
+                batched=True, inner=da_inner, **kw,
+            )
+        else:
+            from bayesianinferencedl_tpu.infer.mlda import run_mlda_segmented
+
+            runner = lambda m, p, t0, k, **kw: run_mlda_segmented(
+                (misfit_base, misfit_mid, m), p, t0, k, segment=32,
+                batched=True, inner=da_inner, **kw,
+            )
+        kwargs = dict(
+            n_steps=n_steps, n_burn=n_burn,
+            beta=mala_step if da_inner == "mala" else beta,
+            subchains=(subchain, mlda_subchain),
         )
     elif sampler == "da_pcn":
         # delayed acceptance in RFF-coefficient space: rom_nn subchains (pCN

@@ -383,6 +383,8 @@ def cmd_invert_ff(args) -> None:
         beta=args.beta, noise_sigma=args.noise,
         n_temps=args.n_temps, lambda_min=args.lambda_min, subchain=args.subchain,
         da_inner=args.da_inner, adapt_ladder=args.adapt_ladder,
+        mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
+        lis_points=args.lis_points, lis_rank=args.lis_rank, lis_tol=args.lis_tol,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
     z_post = res.samples.mean(axis=(0, 1))
@@ -517,7 +519,7 @@ def main(argv=None) -> None:
     p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
     p.add_argument(
         "--sampler",
-        choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mala", "mala_lap"],
+        choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mlda_pcn", "mala", "mala_lap", "lis_pcn"],
         default="pcn",
     )
     p.add_argument("--n-temps", type=int, default=5)
@@ -530,6 +532,26 @@ def main(argv=None) -> None:
     p.add_argument(
         "--da-inner", choices=["pcn", "mala"], default="pcn",
         help="da_pcn subchain kernel (mala = gradient-informed)",
+    )
+    p.add_argument(
+        "--mlda-resolution", type=int, default=2,
+        help="mlda_pcn mid-rung FOM mesh resolution",
+    )
+    p.add_argument(
+        "--mlda-subchain", type=int, default=4,
+        help="mlda_pcn mid-rung steps per fine correction",
+    )
+    p.add_argument(
+        "--lis-points", type=int, default=16,
+        help="lis_pcn: Jacobian points for the offline subspace build",
+    )
+    p.add_argument(
+        "--lis-rank", type=int, default=None,
+        help="lis_pcn: cap the informed-subspace rank (default: lis-tol cut)",
+    )
+    p.add_argument(
+        "--lis-tol", type=float, default=0.1,
+        help="lis_pcn: eigenvalue cutoff for the informed subspace",
     )
     p.add_argument("--shard", action="store_true")
     p.set_defaults(fn=cmd_invert_ff)

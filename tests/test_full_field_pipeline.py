@@ -257,3 +257,38 @@ def test_ff_lis_pcn(ffpipe):
     assert float(jnp.min(ess_l)) > 1.5 * float(jnp.min(ess_p)), (
         float(jnp.min(ess_l)), float(jnp.min(ess_p)),
     )
+
+
+def test_ff_mlda_pcn_fom():
+    """Multilevel DA in coefficient space: rom_nn base -> resolution-1 FOM
+    mid rung -> resolution-2 fine FOM. The coarse rung evaluates the SAME
+    random field (seed-deterministic RFF) on the coarser mesh, so z means
+    the same field at every level (coarse_fom_forward)."""
+    import pytest
+
+    pipe = build_full_field_pipeline(
+        resolution=2, dtype=jnp.float64, n_features=8, n_snapshots=24,
+        basis_size=6, k_basis_size=16, n_train=96, surrogate_hidden=(16,),
+        surrogate_steps=300, cg_tol=1e-10, cg_maxiter=3000, use_pallas=False,
+    )
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        pipe, likelihood="fom", sampler="mlda_pcn", n_chains=8,
+        n_steps=60, n_burn=20, noise_sigma=1e-2,
+        subchain=3, mlda_resolution=1, mlda_subchain=2,
+        key=jax.random.PRNGKey(21),
+    )
+    assert res.samples.shape == (40, 8, 8)
+    assert bool(jnp.isfinite(res.samples).all())
+    rates = np.asarray(res.level_rates)
+    assert rates.shape[0] == 3
+    assert np.all((rates >= 0.0) & (rates <= 1.0 + 1e-9))
+    # the mid rung (coarse-mesh FOM) must be a USEFUL surrogate for the fine
+    # FOM: its own acceptance should not collapse
+    assert rates[2].mean() > 0.2
+
+    with pytest.raises(ValueError, match="likelihood='fom'"):
+        run_full_field_inversion(
+            pipe, likelihood="rom_nn", sampler="mlda_pcn", n_chains=4,
+            n_steps=10, n_burn=2, key=jax.random.PRNGKey(22),
+            mlda_resolution=1,
+        )

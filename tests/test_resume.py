@@ -99,6 +99,45 @@ def test_da_resume_bit_identical(tmp_path):
     )
 
 
+def test_mlda_resume_bit_identical(tmp_path):
+    """Same fault-injection contract for the multilevel-DA sampler: a
+    killed run resumed from its checkpoint reproduces the uninterrupted
+    run's samples bit-for-bit (every rung's misfits re-derive from the
+    carried theta, so only theta/beta/key/accumulators hit the disk)."""
+    from bayesianinferencedl_tpu.api import run_mlda_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    misfit_mid = lambda t: misfit(t) * 0.97
+    misfit_base = lambda t: misfit(t) * 0.9
+    misfits = (misfit_base, misfit_mid, misfit)
+    key = jax.random.PRNGKey(7)
+
+    full = run_mlda_checkpointed(
+        misfits, prior, theta0, key,
+        n_steps=600, n_burn=150, subchains=(3, 2), segment=250,
+        ckpt_path=str(tmp_path / "mlda_full.npz"), resume=False,
+    )
+    run_mlda_checkpointed(
+        misfits, prior, theta0, key,
+        n_steps=250, n_burn=150, subchains=(3, 2), segment=250,
+        ckpt_path=str(tmp_path / "mlda_crash.npz"), resume=False,
+    )
+    resumed = run_mlda_checkpointed(
+        misfits, prior, theta0, key,
+        n_steps=600, n_burn=150, subchains=(3, 2), segment=250,
+        ckpt_path=str(tmp_path / "mlda_crash.npz"), resume=True,
+    )
+    np.testing.assert_array_equal(np.asarray(full.samples), np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.state.theta), np.asarray(resumed.state.theta))
+    np.testing.assert_array_equal(np.asarray(full.beta), np.asarray(resumed.beta))
+    np.testing.assert_allclose(
+        np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.level_rates), np.asarray(resumed.level_rates)
+    )
+
+
 def test_pt_resume_bit_identical(tmp_path):
     """Kill/resume contract for the HEADLINE parallel-tempered sampler
     (VERDICT r2 item 4): cold-level samples, final (K, G, d) ladder states,
