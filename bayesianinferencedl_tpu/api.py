@@ -22,7 +22,7 @@ import numpy as np
 from bayesianinferencedl_tpu.config import PipelineConfig
 from bayesianinferencedl_tpu.data.datasets import ErrorDataset, generate_error_dataset
 from bayesianinferencedl_tpu.fem.solve import solve_fom
-from bayesianinferencedl_tpu.infer.diagnostics import ess_bulk, split_rhat
+from bayesianinferencedl_tpu.infer.diagnostics import ess_bulk, ess_tail, split_rhat
 from bayesianinferencedl_tpu.infer.pcn import PCNResult, gaussian_misfit, run_pcn
 from bayesianinferencedl_tpu.infer.priors import BoxPrior, GaussianPrior
 from bayesianinferencedl_tpu.models.corrected import CorrectedForward
@@ -1182,6 +1182,11 @@ class InversionResult:
     wall_seconds: float
     samples_per_sec: float
     ess_per_sec: float
+    # tail ESS (5%/95% quantile-indicator ESS, min per dim): credible-
+    # interval endpoints converge at THIS rate — gate interval claims on
+    # it, not on the bulk figure (heavy tails / metastable modes mix
+    # slower there; infer/diagnostics.ess_tail)
+    ess_tail: Optional[jax.Array] = None
     # FOM-likelihood runs only: post-hoc solver-iteration audit over the kept
     # chain states — a solve at the iteration cap is UNCONVERGED and would
     # silently bias the chain (SURVEY.md §7 hard-part 1; VERDICT r2 item 7)
@@ -1632,6 +1637,7 @@ def run_inversion(
     wall = time.perf_counter() - t0
 
     ess = ess_bulk(res.samples)
+    ess_t = ess_tail(res.samples)
     r = split_rhat(res.samples)
     n_kept = res.samples.shape[0] * res.samples.shape[1]
 
@@ -1677,6 +1683,7 @@ def run_inversion(
         wall_seconds=wall,
         samples_per_sec=n_kept / wall,
         ess_per_sec=float(jnp.min(ess)) / wall,
+        ess_tail=ess_t,
         fom_iter_cap=cap,
         fom_iter_max=it_max,
         fom_hit_cap_frac=hit_frac,
@@ -1690,6 +1697,7 @@ def run_inversion(
         wall_seconds=wall,
         samples_per_sec=out.samples_per_sec,
         ess_min=float(jnp.min(ess)),
+        ess_tail_min=float(jnp.min(ess_t)),
         ess_per_sec=out.ess_per_sec,
         accept_rate=float(jnp.mean(res.accept_rate)),
         rhat_max=float(jnp.max(r)),

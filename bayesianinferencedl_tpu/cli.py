@@ -234,6 +234,7 @@ def cmd_invert(args) -> None:
         "prior": args.prior,
         "samples_per_sec": inv.samples_per_sec,
         "ess_min": float(jnp.min(inv.ess)),
+        "ess_tail_min": float(jnp.min(inv.ess_tail)),
         "ess_per_sec": inv.ess_per_sec,
         "accept_rate": float(jnp.mean(inv.result.accept_rate)),
         "rhat_split_max": float(jnp.max(inv.rhat)),

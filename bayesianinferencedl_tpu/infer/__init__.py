@@ -11,7 +11,7 @@ from bayesianinferencedl_tpu.infer.priors import GaussianPrior  # noqa: F401
 from bayesianinferencedl_tpu.infer.pcn import PCNState, pcn_init, pcn_step, run_pcn  # noqa: F401
 from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation  # noqa: F401
 from bayesianinferencedl_tpu.infer.diagnostics import (  # noqa: F401
-    effective_sample_size, ess_bulk, rhat, split_rhat,
+    effective_sample_size, ess_bulk, ess_tail, rhat, split_rhat,
 )
 from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn  # noqa: F401
 from bayesianinferencedl_tpu.infer.mlda import run_mlda, run_mlda_segmented  # noqa: F401

@@ -222,3 +222,32 @@ def ess_bulk(chains: jax.Array) -> jax.Array:
     # cap at the optimistic iid-plus limit like Stan does (antithetic chains)
     ess = jnp.minimum(ess, jnp.asarray(n2 * c2 * jnp.log10(jnp.asarray(n2 * c2, jnp.float32))))
     return ess[0] if squeeze else ess
+
+
+def ess_tail(chains: jax.Array) -> jax.Array:
+    """Tail ESS (Vehtari et al. 2021): the smaller of the ESS of the 5% and
+    95% pooled-quantile exceedance indicators, on split chains with the
+    combined between-chain autocorrelation estimator.
+
+    chains: (n, c, d) or (n, c) -> (d,) (or scalar). Bulk ESS certifies the
+    center of the posterior; credible-interval endpoints converge at the
+    TAIL rate, which is slower whenever tails mix worse than the bulk
+    (heavy tails, metastable modes) — report both, gate intervals on this
+    one. Indicators are bounded, so no rank normalization is needed
+    (Stan's ess_quantile construction)."""
+    squeeze = chains.ndim == 2
+    s = _split_chains(chains)  # (n2, 2c, d)
+    n2, c2, _ = s.shape
+
+    def per_dim(sd):  # (n2, c2)
+        def ess_of_indicator(q):
+            ind = (sd <= q).astype(jnp.float32)
+            return (n2 * c2) / _combined_tau(ind)
+
+        e05 = ess_of_indicator(jnp.quantile(sd, 0.05))
+        e95 = ess_of_indicator(jnp.quantile(sd, 0.95))
+        return jnp.minimum(e05, e95)
+
+    ess = jax.lax.map(per_dim, jnp.moveaxis(s, 2, 0))
+    ess = jnp.minimum(ess, jnp.asarray(n2 * c2 * jnp.log10(jnp.asarray(n2 * c2, jnp.float32))))
+    return ess[0] if squeeze else ess

@@ -104,3 +104,55 @@ def test_heavy_tail_robustness():
     assert np.all(np.isfinite(r)) and np.all(r < 1.02)
     ess = np.asarray(ess_bulk(x))
     assert np.all(np.isfinite(ess)) and np.all(ess > 0.3 * 8000)
+
+
+def test_ess_tail_iid_near_total():
+    from bayesianinferencedl_tpu.infer.diagnostics import ess_tail
+
+    x = jnp.asarray(_rng().standard_normal((1000, 8, 2)))
+    et = np.asarray(ess_tail(x))
+    assert et.shape == (2,)
+    # indicator series of iid draws are iid: tail ESS ~ total draws
+    assert np.all(et > 0.4 * 8000) and np.all(et < 2.0 * 8000)
+    # (n, c) squeeze contract
+    assert np.asarray(ess_tail(x[..., 0])).shape == ()
+
+
+def test_ess_tail_catches_slow_tails_bulk_misses():
+    """Center mixes white, but tail excursions arrive in rare PERSISTENT
+    bursts (Markov regime: enter w.p. 5e-4, exit w.p. 0.02 -> ~2% occupancy,
+    mean burst length 50). The burst mass sits above the 95% pooled
+    quantile, so the exceedance indicator is persistently pinned during a
+    burst while the bulk ranks barely move — tail ESS must collapse well
+    below bulk ESS (the regime interval estimates care about; Vehtari et
+    al. 2021 §4.3)."""
+    from bayesianinferencedl_tpu.infer.diagnostics import ess_tail
+
+    rng = _rng()
+    n, c = 2000, 8
+    x = rng.standard_normal((n, c))
+    u = rng.random((n, c))
+    state = np.zeros((n, c), bool)
+    s = np.zeros(c, bool)
+    for t in range(n):
+        s = np.where(s, u[t] > 0.02, u[t] < 5e-4)
+        state[t] = s
+    x = np.where(state, 6.0 + rng.standard_normal((n, c)), x)
+    xj = jnp.asarray(x[..., None])
+    eb = float(ess_bulk(xj)[0])  # ~1400: the center is nearly white
+    et = float(ess_tail(xj)[0])  # ~440: the tail is burst-limited
+    assert et < 0.4 * eb, (eb, et)
+    assert et < 600
+
+
+def test_ess_tail_stuck_chains_collapse():
+    from bayesianinferencedl_tpu.infer.diagnostics import ess_tail
+
+    rng = _rng()
+    modes = np.repeat([[-3.0], [3.0]], 4, axis=0).T
+    y = jnp.asarray(
+        modes[None].repeat(1000, 0).reshape(1000, 8, 1)
+        + 0.1 * rng.standard_normal((1000, 8, 1))
+    )
+    # chains never exchange tail mass: < 5% of the nominal 8000
+    assert float(ess_tail(y)[0]) < 400
