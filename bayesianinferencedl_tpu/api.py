@@ -1238,21 +1238,68 @@ def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]
     return cap, int(iters.max()), float((iters >= cap).mean())
 
 
+def _gradient_sampler_runner(kind, cfg, like, mesh, misfit_b, prior, theta0, *, ref=None):
+    """Runner factory for the gradient samplers (kind: 'mala' | 'hmc'),
+    shared by the prior-preconditioned and Laplace-preconditioned entries
+    of run_inversion: routes to the plain / segmented-(fom) / sharded
+    variant with the config's step controls. HMC uses a smaller segment —
+    each trajectory is cfg.hmc_leap batched solves plus adjoints."""
+    if kind == "mala":
+        from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
+        from bayesianinferencedl_tpu.parallel.sharding import (
+            sharded_mala, sharded_mala_segmented,
+        )
+
+        plain, seg_fn, sh, sh_seg = (
+            run_mala, run_mala_segmented, sharded_mala, sharded_mala_segmented,
+        )
+        kw = dict(step=cfg.mala_step)
+        segment = 32
+    elif kind == "hmc":
+        from bayesianinferencedl_tpu.infer.hmc import run_hmc, run_hmc_segmented
+        from bayesianinferencedl_tpu.parallel.sharding import (
+            sharded_hmc, sharded_hmc_segmented,
+        )
+
+        plain, seg_fn, sh, sh_seg = (
+            run_hmc, run_hmc_segmented, sharded_hmc, sharded_hmc_segmented,
+        )
+        kw = dict(step=cfg.mala_step, n_leap=cfg.hmc_leap, jitter=cfg.hmc_jitter)
+        segment = 16
+    else:
+        raise ValueError(f"unknown gradient sampler kind {kind!r}")
+    base = dict(n_steps=cfg.n_steps, n_burn=cfg.n_burn, batched=True, ref=ref, **kw)
+    if like == "fom":
+        if mesh is not None:
+            return lambda k: sh_seg(
+                mesh, misfit_b, prior, theta0, k, segment=segment, **base
+            )
+        return lambda k: seg_fn(misfit_b, prior, theta0, k, segment=segment, **base)
+    if mesh is not None:
+        return lambda k: sh(mesh, misfit_b, prior, theta0, k, thin=cfg.thin, **base)
+    return lambda k: plain(misfit_b, prior, theta0, k, thin=cfg.thin, **base)
+
+
 def run_inversion(
     pipe: Pipeline,
     *,
     likelihood: Optional[str] = None,
     sampler: Optional[str] = None,
     theta_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     mesh=None,
     metrics: Optional[MetricsLogger] = None,
 ) -> InversionResult:
-    """Synthetic-data Bayesian inversion (BASELINE config 5).
+    """Bayesian inversion (BASELINE config 5).
 
-    Draws theta_true from the prior (or uses the given one), simulates noisy
-    observations with the FOM, then runs the configured sampler (pCN /
-    Laplace-proposal MH / generalized pCN) with the requested likelihood.
+    data=None (the benchmark/experiment mode): draws theta_true from the
+    prior (or uses the given one) and simulates noisy observations with the
+    FOM. data=<(n_obs,) array> (the production mode): inverts EXTERNAL
+    observations — measured subfin temperatures — as-is; cfg.noise_sigma is
+    then the assumed observation-noise level of the instrument, and
+    theta_true (if supplied) is used only for reporting. Then runs the
+    configured sampler with the requested likelihood.
     """
     log = metrics or MetricsLogger()
     cfg = pipe.config.mcmc
@@ -1267,16 +1314,29 @@ def run_inversion(
     # as the probit push-forward — SURVEY.md A.5). All samplers run in the
     # working coordinates; the forward model composes through to_theta.
     to_theta = pipe.prior.to_theta
-    if theta_true is None:
-        theta_true = pipe.prior.sample(k_true)
-    y_true = pipe.fin.forward(jnp.exp(to_theta(theta_true)))
-    data = y_true + cfg.noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+    if data is not None:
+        n_obs = pipe.fin.op.n_obs
+        data = jnp.asarray(data, dtype)
+        if data.shape != (n_obs,):
+            raise ValueError(
+                f"external data must have shape ({n_obs},) — one value per "
+                f"subfin-average observable — got {data.shape}"
+            )
+        if theta_true is None:
+            # reporting-only placeholder (prior mean); posterior accuracy
+            # vs truth is meaningless for measured data
+            theta_true = pipe.prior.mean
+    else:
+        if theta_true is None:
+            theta_true = pipe.prior.sample(k_true)
+        y_true = pipe.fin.forward(jnp.exp(to_theta(theta_true)))
+        data = y_true + cfg.noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
 
     fwd_theta = pipe.forward_fn(like)
     fwd = lambda x: fwd_theta(to_theta(x))
     misfit = gaussian_misfit(fwd, data, cfg.noise_sigma)
 
-    if smp in ("laplace_mh", "gpcn", "mala_lap"):
+    if smp in ("laplace_mh", "gpcn", "mala_lap", "hmc_lap"):
         # offline: MAP (multistart BFGS) + Gauss-Newton Laplace approximation
         from bayesianinferencedl_tpu.infer.map import find_map_multistart, laplace_approximation
         from bayesianinferencedl_tpu.infer.samplers import run_gpcn, run_laplace_mh
@@ -1298,47 +1358,20 @@ def run_inversion(
                 misfit, pipe.prior, lap, theta0, k,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, beta=cfg.beta,
             )
-        else:  # mala_lap: Laplace-preconditioned MALA — posterior-covariance
-            # steps that stay EXACT on non-Gaussian posteriors where the
-            # laplace_mh independence sampler mixes poorly (infer/mala.py)
-            from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
-
+        else:
+            # mala_lap / hmc_lap: Laplace-preconditioned gradient samplers —
+            # posterior-covariance steps that stay EXACT on non-Gaussian
+            # posteriors where the laplace_mh independence sampler mixes
+            # poorly (infer/mala.py, infer/hmc.py — HMC pays n_leap fused
+            # passes per trajectory for multi-step moves)
             fwd_bl_theta = pipe.batched_forward_fn(like, differentiable=True)
             fwd_bl = lambda xs: fwd_bl_theta(to_theta(xs))
             misfit_bl = gaussian_misfit(fwd_bl, data, cfg.noise_sigma)
             lap_ref = (lap.mean, lap.chol)
-            if like == "fom":
-                # each step = batched solve + adjoint solve: segment it
-                if mesh is not None:
-                    from bayesianinferencedl_tpu.parallel.sharding import (
-                        sharded_mala_segmented,
-                    )
-
-                    run = lambda k: sharded_mala_segmented(
-                        mesh, misfit_bl, pipe.prior, theta0, k,
-                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
-                        step=cfg.mala_step, segment=32, batched=True, ref=lap_ref,
-                    )
-                else:
-                    run = lambda k: run_mala_segmented(
-                        misfit_bl, pipe.prior, theta0, k,
-                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
-                        step=cfg.mala_step, segment=32, batched=True, ref=lap_ref,
-                    )
-            elif mesh is not None:
-                from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
-
-                run = lambda k: sharded_mala(
-                    mesh, misfit_bl, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
-                    thin=cfg.thin, batched=True, ref=lap_ref,
-                )
-            else:
-                run = lambda k: run_mala(
-                    misfit_bl, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
-                    thin=cfg.thin, batched=True, ref=lap_ref,
-                )
+            run = _gradient_sampler_runner(
+                smp.replace("_lap", ""), cfg, like, mesh, misfit_bl,
+                pipe.prior, theta0, ref=lap_ref,
+            )
     else:
         theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
         fwd_b_theta = pipe.batched_forward_fn(like)
@@ -1537,47 +1570,20 @@ def run_inversion(
                     subchains=subchains, segment=32, batched=True,
                     inner=cfg.da_inner,
                 )
-        elif smp == "mala":
-            # prior-preconditioned MALA: gradient-informed proposals from
-            # ONE fused forward+reverse pass per step — rom/rom_nn gradients
-            # are matmul+MLP autodiff; fom gradients are exact adjoint solves
-            # through lax.custom_linear_solve (infer/mala.py)
-            from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
-
+        elif smp in ("mala", "hmc"):
+            # prior-preconditioned gradient samplers: rom/rom_nn gradients
+            # are matmul+MLP autodiff; fom gradients are exact adjoint
+            # solves through lax.custom_linear_solve. mala = one fused
+            # forward+reverse pass per step (infer/mala.py); hmc = n_leap
+            # passes per jittered leapfrog trajectory — better ESS per
+            # gradient once trajectories can cross the posterior's width
+            # (infer/hmc.py, docs/SAMPLERS.md).
             fwd_bd_theta = pipe.batched_forward_fn(like, differentiable=True)
             fwd_bd = lambda xs: fwd_bd_theta(to_theta(xs))
             misfit_b = gaussian_misfit(fwd_bd, data, cfg.noise_sigma)
-            if like == "fom":
-                if mesh is not None:
-                    from bayesianinferencedl_tpu.parallel.sharding import (
-                        sharded_mala_segmented,
-                    )
-
-                    run = lambda k: sharded_mala_segmented(
-                        mesh, misfit_b, pipe.prior, theta0, k,
-                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
-                        step=cfg.mala_step, segment=32, batched=True,
-                    )
-                else:
-                    run = lambda k: run_mala_segmented(
-                        misfit_b, pipe.prior, theta0, k,
-                        n_steps=cfg.n_steps, n_burn=cfg.n_burn,
-                        step=cfg.mala_step, segment=32, batched=True,
-                    )
-            elif mesh is not None:
-                from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
-
-                run = lambda k: sharded_mala(
-                    mesh, misfit_b, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
-                    thin=cfg.thin, batched=True,
-                )
-            else:
-                run = lambda k: run_mala(
-                    misfit_b, pipe.prior, theta0, k,
-                    n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
-                    thin=cfg.thin, batched=True,
-                )
+            run = _gradient_sampler_runner(
+                smp, cfg, like, mesh, misfit_b, pipe.prior, theta0
+            )
         elif like == "fom":
             # full-order solves per step: segment the run so no single device
             # program outlives the runtime's execution watchdog. (Warm-

@@ -379,6 +379,8 @@ def run_full_field_inversion(
     lambda_min: float = 0.02,
     subchain: int = 8,
     mala_step: float = 0.1,
+    hmc_leap: int = 8,
+    hmc_jitter: float = 0.2,
     da_inner: str = "pcn",
     mlda_resolution: int = 2,
     mlda_subchain: int = 4,
@@ -387,6 +389,7 @@ def run_full_field_inversion(
     lis_rank: Optional[int] = None,
     lis_tol: float = 0.1,
     z_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     mesh=None,
     metrics: Optional[MetricsLogger] = None,
@@ -405,7 +408,9 @@ def run_full_field_inversion(
     multimodal targets), "pt_da_pcn" (tempered delayed acceptance: exact
     `likelihood` posterior on a multimodal problem), "mala"/"mala_lap"
     (gradient-based Langevin proposals — prior- or Laplace-preconditioned;
-    infer/mala.py), or "lis_pcn" (likelihood-informed-subspace pCN —
+    infer/mala.py), "hmc"/"hmc_lap" (jittered-trajectory Hamiltonian Monte
+    Carlo — hmc_leap fused gradient passes per trajectory; infer/hmc.py),
+    or "lis_pcn" (likelihood-informed-subspace pCN —
     offline Jacobians pick the <= n_obs informed directions, online steps
     are gradient-free with per-direction step sizes; infer/lis.py;
     lis_points/lis_rank/lis_tol control the subspace build), or "mlda_pcn"
@@ -426,12 +431,25 @@ def run_full_field_inversion(
     k_true, k_noise, k_init, k_chain, k_map = jax.random.split(key, 5)
     dtype = pipe.prior.mean.dtype
 
-    if z_true is None:
-        z_true = pipe.prior.sample(k_true)
-    y_true = pipe.op.observe(
-        solve_fom(pipe.op, pipe.conductivity(z_true), tol=pipe.cg_tol, maxiter=pipe.cg_maxiter)
-    )
-    data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+    if data is not None:
+        # production mode: EXTERNAL observations inverted as-is (same
+        # contract as api.run_inversion(data=...)); noise_sigma is the
+        # assumed instrument noise, z_true only used for reporting
+        data = jnp.asarray(data, dtype)
+        n_obs = pipe.op.n_obs
+        if data.shape != (n_obs,):
+            raise ValueError(
+                f"external data must have shape ({n_obs},), got {data.shape}"
+            )
+        if z_true is None:
+            z_true = jnp.zeros_like(pipe.prior.mean)
+    else:
+        if z_true is None:
+            z_true = pipe.prior.sample(k_true)
+        y_true = pipe.op.observe(
+            solve_fom(pipe.op, pipe.conductivity(z_true), tol=pipe.cg_tol, maxiter=pipe.cg_maxiter)
+        )
+        data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
 
     fwd_b = pipe.batched_forward_fn(likelihood)
     misfit = gaussian_misfit(fwd_b, data, noise_sigma)
@@ -525,19 +543,43 @@ def run_full_field_inversion(
         else:
             runner = lambda m, p, t0, k, **kw: run_lis_pcn(m, p, lis, t0, k, **kw)
         kwargs = dict(n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True)
-    elif sampler in ("mala", "mala_lap"):
+    elif sampler in ("mala", "mala_lap", "hmc", "hmc_lap"):
         # gradient-based MCMC in the M-dimensional coefficient space — the
-        # regime where Langevin drift pays most (measured 6.3x pCN's ESS at
-        # d=64 on the linear-Gaussian family, tests/test_mala.py). Gradients
-        # flow through the differentiable batched forward (all solves via
-        # lax.custom_linear_solve; infer/mala.py).
-        from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
+        # regime where gradient moves pay most (measured 6.3x pCN's ESS at
+        # d=64 on the linear-Gaussian family, tests/test_mala.py; HMC's
+        # multi-step trajectories a further ~9x per gradient at d=16,
+        # tests/test_hmc.py). Gradients flow through the differentiable
+        # batched forward (all solves via lax.custom_linear_solve;
+        # infer/mala.py, infer/hmc.py).
+        kind = sampler.replace("_lap", "")
+        if kind == "mala":
+            from bayesianinferencedl_tpu.infer.mala import run_mala as _plain
+            from bayesianinferencedl_tpu.infer.mala import (
+                run_mala_segmented as _seg,
+            )
+            from bayesianinferencedl_tpu.parallel.sharding import (
+                sharded_mala as _sh, sharded_mala_segmented as _sh_seg,
+            )
+
+            grad_kw = {}
+            segment = 32
+        else:
+            from bayesianinferencedl_tpu.infer.hmc import run_hmc as _plain
+            from bayesianinferencedl_tpu.infer.hmc import (
+                run_hmc_segmented as _seg,
+            )
+            from bayesianinferencedl_tpu.parallel.sharding import (
+                sharded_hmc as _sh, sharded_hmc_segmented as _sh_seg,
+            )
+
+            grad_kw = {"n_leap": hmc_leap, "jitter": hmc_jitter}
+            segment = 16
 
         misfit = gaussian_misfit(
             pipe.batched_forward_fn(likelihood, differentiable=True), data, noise_sigma
         )
         ref = None
-        if sampler == "mala_lap":
+        if sampler.endswith("_lap"):
             from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation
 
             fwd = pipe.forward_fn(likelihood)
@@ -551,22 +593,20 @@ def run_full_field_inversion(
             ref = (lap.mean, lap.chol)
         if likelihood == "fom":
             if mesh is not None:
-                from bayesianinferencedl_tpu.parallel.sharding import sharded_mala_segmented
-
-                runner = lambda m, p, t0, k, **kw: sharded_mala_segmented(
-                    mesh, m, p, t0, k, segment=32, ref=ref, **kw
+                runner = lambda m, p, t0, k, **kw: _sh_seg(
+                    mesh, m, p, t0, k, segment=segment, ref=ref, **kw
                 )
             else:
-                runner = lambda m, p, t0, k, **kw: run_mala_segmented(
-                    m, p, t0, k, segment=32, ref=ref, **kw
+                runner = lambda m, p, t0, k, **kw: _seg(
+                    m, p, t0, k, segment=segment, ref=ref, **kw
                 )
         elif mesh is not None:
-            from bayesianinferencedl_tpu.parallel.sharding import sharded_mala
-
-            runner = lambda m, p, t0, k, **kw: sharded_mala(mesh, m, p, t0, k, ref=ref, **kw)
+            runner = lambda m, p, t0, k, **kw: _sh(mesh, m, p, t0, k, ref=ref, **kw)
         else:
-            runner = lambda m, p, t0, k, **kw: run_mala(m, p, t0, k, ref=ref, **kw)
-        kwargs = dict(n_steps=n_steps, n_burn=n_burn, step=mala_step, batched=True)
+            runner = lambda m, p, t0, k, **kw: _plain(m, p, t0, k, ref=ref, **kw)
+        kwargs = dict(
+            n_steps=n_steps, n_burn=n_burn, step=mala_step, batched=True, **grad_kw
+        )
     elif sampler == "pt_pcn":
         if likelihood == "fom":
             raise NotImplementedError(

@@ -89,6 +89,11 @@ def cmd_fom(args) -> None:
     u.block_until_ready()
     log.log("solve", seconds=time.perf_counter() - t0, n_dof=fin.op.n_dof)
     y = fin.qoi(u)
+    if getattr(args, "save_obs", None):
+        # observation file for `invert --data` (production mode: measured
+        # subfin temperatures; here the noiseless forward stands in)
+        np.savez(args.save_obs, data=np.asarray(y), k_true=np.asarray(k))
+        log.log("saved_obs", path=args.save_obs)
     print(json.dumps({"qoi": np.asarray(y).tolist(), "n_dof": fin.op.n_dof}))
 
 
@@ -216,6 +221,7 @@ def cmd_invert(args) -> None:
             subchain=args.subchain, da_coarse=args.da_coarse,
             da_inner=args.da_inner,
             mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
+            hmc_leap=args.hmc_leap,
         ),
         prior=_prior_config(args),
     )
@@ -225,7 +231,12 @@ def cmd_invert(args) -> None:
         from bayesianinferencedl_tpu.parallel import device_mesh
 
         mesh = device_mesh()
-    inv = run_inversion(pipe, metrics=log, mesh=mesh)
+    obs = None
+    if getattr(args, "data", None):
+        z = np.load(args.data)
+        obs = jnp.asarray(z["data"])
+        log.log("external_data", path=args.data, n_obs=int(obs.shape[0]))
+    inv = run_inversion(pipe, data=obs, metrics=log, mesh=mesh)
     # samples live in working coordinates (z for box priors); report log k
     post_mean = np.asarray(pipe.prior.to_theta(inv.result.samples).mean(axis=(0, 1)))
     out = {
@@ -239,7 +250,11 @@ def cmd_invert(args) -> None:
         "accept_rate": float(jnp.mean(inv.result.accept_rate)),
         "rhat_split_max": float(jnp.max(inv.rhat)),
         "posterior_mean_log_k": post_mean.tolist(),
-        "theta_true": np.asarray(pipe.prior.to_theta(inv.theta_true)).tolist(),
+        # external data: truth is unknown — don't report the placeholder
+        "theta_true": (
+            None if obs is not None
+            else np.asarray(pipe.prior.to_theta(inv.theta_true)).tolist()
+        ),
     }
     if inv.fom_iter_cap is not None:
         out["fom_iter_audit"] = {
@@ -378,13 +393,18 @@ def cmd_invert_ff(args) -> None:
         from bayesianinferencedl_tpu.parallel import device_mesh
 
         mesh = device_mesh()
+    obs = None
+    if getattr(args, "data", None):
+        obs = jnp.asarray(np.load(args.data)["data"])
+        log.log("external_data", path=args.data, n_obs=int(obs.shape[0]))
     res, z_true, data, ess, r, wall = run_full_field_inversion(
-        pipe, likelihood=args.likelihood, sampler=args.sampler,
+        pipe, likelihood=args.likelihood, sampler=args.sampler, data=obs,
         n_chains=args.chains, n_steps=args.steps, n_burn=args.burn,
         beta=args.beta, noise_sigma=args.noise,
         n_temps=args.n_temps, lambda_min=args.lambda_min, subchain=args.subchain,
         da_inner=args.da_inner, adapt_ladder=args.adapt_ladder,
         mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
+        hmc_leap=args.hmc_leap,
         lis_points=args.lis_points, lis_rank=args.lis_rank, lis_tol=args.lis_tol,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
@@ -419,6 +439,10 @@ def main(argv=None) -> None:
     p = sub.add_parser("fom", help="config 1: single FOM solve")
     _add_common(p)
     p.add_argument("--k", type=float, nargs=5, default=[1.0, 1.0, 1.0, 1.0, 1.0])
+    p.add_argument(
+        "--save-obs", type=str, default=None,
+        help="write the QoI vector as an observation npz for `invert --data`",
+    )
     p.set_defaults(fn=cmd_fom)
 
     p = sub.add_parser("snapshots", help="config 2: batched FOM solves")
@@ -476,7 +500,7 @@ def main(argv=None) -> None:
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
             p.add_argument(
                 "--sampler",
-                choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mlda_pcn", "mala", "mala_lap"],
+                choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mlda_pcn", "mala", "mala_lap", "hmc", "hmc_lap"],
                 default="pcn",
             )
             p.add_argument("--n-temps", type=int, default=4, help="pt_pcn ladder size")
@@ -499,6 +523,16 @@ def main(argv=None) -> None:
                 "--mlda-subchain", type=int, default=4,
                 help="mlda_pcn mid-rung steps per fine correction",
             )
+            p.add_argument(
+                "--hmc-leap", type=int, default=8,
+                help="hmc leapfrog steps per trajectory",
+            )
+            p.add_argument(
+                "--data", type=str, default=None,
+                help="observation npz (key 'data'): invert EXTERNAL "
+                "measurements instead of synthesizing; --noise is then the "
+                "assumed instrument noise",
+            )
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)
 
@@ -520,7 +554,7 @@ def main(argv=None) -> None:
     p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
     p.add_argument(
         "--sampler",
-        choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mlda_pcn", "mala", "mala_lap", "lis_pcn"],
+        choices=["pcn", "laplace_mh", "gpcn", "pt_pcn", "pt_mala", "da_pcn", "pt_da_pcn", "mlda_pcn", "mala", "mala_lap", "hmc", "hmc_lap", "lis_pcn"],
         default="pcn",
     )
     p.add_argument("--n-temps", type=int, default=5)
@@ -543,6 +577,10 @@ def main(argv=None) -> None:
         help="mlda_pcn mid-rung steps per fine correction",
     )
     p.add_argument(
+        "--hmc-leap", type=int, default=8,
+        help="hmc leapfrog steps per trajectory",
+    )
+    p.add_argument(
         "--lis-points", type=int, default=16,
         help="lis_pcn: Jacobian points for the offline subspace build",
     )
@@ -553,6 +591,11 @@ def main(argv=None) -> None:
     p.add_argument(
         "--lis-tol", type=float, default=0.1,
         help="lis_pcn: eigenvalue cutoff for the informed subspace",
+    )
+    p.add_argument(
+        "--data", type=str, default=None,
+        help="observation npz (key 'data'): invert EXTERNAL measurements "
+        "instead of synthesizing",
     )
     p.add_argument("--shard", action="store_true")
     p.set_defaults(fn=cmd_invert_ff)

@@ -141,7 +141,12 @@ class MCMCConfig:
              over pt_pcn only when cold-level autocorrelation is
              within-basin dominated, i.e. high-dimensional targets; on the
              5-param fin it measured +7% ESS at 2.3x cost, see
-             docs/SAMPLERS.md).
+             docs/SAMPLERS.md), or "hmc"/"hmc_lap" (jittered-trajectory
+             Hamiltonian Monte Carlo, prior- or Laplace-preconditioned —
+             hmc_leap fused gradient passes per trajectory buy multi-step
+             moves; measured ~9x MALA's ESS per gradient evaluation at
+             d=16, infer/hmc.py), or "mlda_pcn" (multilevel delayed
+             acceptance through a mesh-resolution hierarchy; infer/mlda.py).
     n_temps / lambda_min: temperature-ladder controls for pt_pcn
              (geometric inverse temperatures lambda_min .. 1).
     adapt_ladder: tune the ladder itself during burn-in (stochastic
@@ -176,9 +181,14 @@ class MCMCConfig:
     # "mala" (gradient-informed — better subchain decorrelation per fine
     # evaluation; infer/mala.py. Initial step size is then mala_step.)
     da_inner: str = "pcn"
-    mala_step: float = 0.1  # initial MALA step size h (adapted per chain)
+    mala_step: float = 0.1  # initial MALA/HMC step size h (adapted per chain)
     mlda_resolution: int = 2  # mid-rung FOM mesh resolution (mlda_pcn)
     mlda_subchain: int = 4  # mid-rung steps per fine correction (mlda_pcn)
+    # hmc / hmc_lap (infer/hmc.py): leapfrog steps per trajectory (each costs
+    # one fused forward+reverse likelihood pass) and the +-20%-default
+    # trajectory-length jitter breaking periodic-orbit resonances
+    hmc_leap: int = 8
+    hmc_jitter: float = 0.2
 
     def to_dict(self):
         return _asdict(self)

@@ -16,5 +16,6 @@ from bayesianinferencedl_tpu.infer.diagnostics import (  # noqa: F401
 from bayesianinferencedl_tpu.infer.delayed_acceptance import run_da_pcn  # noqa: F401
 from bayesianinferencedl_tpu.infer.mlda import run_mlda, run_mlda_segmented  # noqa: F401
 from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented  # noqa: F401
+from bayesianinferencedl_tpu.infer.hmc import run_hmc, run_hmc_segmented  # noqa: F401
 from bayesianinferencedl_tpu.infer.lis import LIS, build_lis, run_lis_pcn  # noqa: F401
 from bayesianinferencedl_tpu.infer.smc import SMCResult, run_smc  # noqa: F401

