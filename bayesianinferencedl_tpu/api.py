@@ -619,9 +619,74 @@ def run_mala_checkpointed(
     RNG key, accept counts); a killed run restarted with the same arguments
     continues with the identical RNG stream, so the surviving samples are
     bit-identical to an uninterrupted run's corresponding segments."""
+    from bayesianinferencedl_tpu.infer.mala import run_mala
+
+    return _gradient_checkpointed(
+        run_mala, {}, "mala", misfit_fn, prior, theta0, key,
+        n_steps=n_steps, n_burn=n_burn, step=step, segment=segment,
+        batched=batched, ref=ref, ckpt_path=ckpt_path, resume=resume,
+        metrics=metrics,
+    )
+
+
+def run_hmc_checkpointed(
+    misfit_fn,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step: float = 0.1,
+    n_leap: int = 8,
+    jitter: float = 0.2,
+    segment: int = 500,
+    batched: bool = False,
+    ref=None,
+    ckpt_path: str = "hmc_chain_ckpt.npz",
+    resume: bool = True,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Jittered-trajectory HMC with periodic chain-state checkpoints and
+    exact resume — run_mala_checkpointed's failure-recovery contract for
+    the trajectory sampler (infer/hmc.py; n_steps count trajectories)."""
+    from bayesianinferencedl_tpu.infer.hmc import run_hmc
+
+    return _gradient_checkpointed(
+        run_hmc, {"n_leap": n_leap, "jitter": jitter}, "hmc",
+        misfit_fn, prior, theta0, key,
+        n_steps=n_steps, n_burn=n_burn, step=step, segment=segment,
+        batched=batched, ref=ref, ckpt_path=ckpt_path, resume=resume,
+        metrics=metrics,
+    )
+
+
+def _gradient_checkpointed(
+    run_fn,
+    run_kw: dict,
+    tag: str,
+    misfit_fn,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int,
+    step: float,
+    segment: int,
+    batched: bool,
+    ref,
+    ckpt_path: str,
+    resume: bool,
+    metrics: Optional[MetricsLogger],
+):
+    """Shared disk-checkpoint driver for the whitened-frame gradient
+    samplers (mala/hmc — both return MALAResult and re-whiten from carried
+    working-coordinate thetas, so only (theta, h, key, accept counts) hit
+    the disk)."""
     import os
 
-    from bayesianinferencedl_tpu.infer.mala import MALAResult, run_mala
+    from bayesianinferencedl_tpu.infer.mala import MALAResult
     from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     log = metrics or MetricsLogger()
@@ -644,17 +709,18 @@ def run_mala_checkpointed(
         for s in chunk_steps:
             z = np.load(f"{ckpt_path}.samples_{s}.npz")
             chunks.append((z["samples"], z["phis"]))
-        log.log("mala_chain_resume", step=step_done, chunks=len(chunks))
+        log.log(f"{tag}_chain_resume", step=step_done, chunks=len(chunks))
 
     res = None
     while step_done < n_steps:
         this = min(segment, n_steps - step_done)
         key, sub = jax.random.split(key)
         burn = min(max(n_burn - step_done, 0), this)
-        res = run_mala(
+        res = run_fn(
             misfit_fn, prior, theta, sub,
             n_steps=this, n_burn=burn, step=hs, thin=1, adapt=True,
             batched=batched, adapt_t0=jnp.asarray(step_done, dtype), ref=ref,
+            **run_kw,
         )
         theta = ref_mean + jnp.dot(res.state.y, ref_chol.T, precision=hi)
         hs = res.step
@@ -676,7 +742,7 @@ def run_mala_checkpointed(
             (theta, hs, key, acc_counts),
             meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
         )
-        log.log("mala_chain_checkpoint", step=step_done,
+        log.log(f"{tag}_chain_checkpoint", step=step_done,
                 accept=float(jnp.mean(res.accept_rate)))
 
     C, d = theta.shape

@@ -266,3 +266,34 @@ def test_checkpointed_burn_only_returns_empty_arrays(tmp_path):
         ckpt_path=str(tmp_path / "bd.npz"), resume=False,
     )
     assert res_da.samples.shape == (0, 16, 3)
+
+
+def test_hmc_resume_bit_identical(tmp_path):
+    """Same fault-injection contract for the trajectory sampler: a killed
+    HMC run resumed from its checkpoint reproduces the uninterrupted run's
+    samples bit-for-bit (shared _gradient_checkpointed driver)."""
+    from bayesianinferencedl_tpu.api import run_hmc_checkpointed
+
+    misfit, prior, theta0 = _setup()
+    key = jax.random.PRNGKey(11)
+
+    full = run_hmc_checkpointed(
+        misfit, prior, theta0, key,
+        n_steps=600, n_burn=150, n_leap=4, segment=250,
+        ckpt_path=str(tmp_path / "hmc_full.npz"), resume=False,
+    )
+    run_hmc_checkpointed(
+        misfit, prior, theta0, key,
+        n_steps=250, n_burn=150, n_leap=4, segment=250,
+        ckpt_path=str(tmp_path / "hmc_crash.npz"), resume=False,
+    )
+    resumed = run_hmc_checkpointed(
+        misfit, prior, theta0, key,
+        n_steps=600, n_burn=150, n_leap=4, segment=250,
+        ckpt_path=str(tmp_path / "hmc_crash.npz"), resume=True,
+    )
+    np.testing.assert_array_equal(np.asarray(full.samples), np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.step), np.asarray(resumed.step))
+    np.testing.assert_allclose(
+        np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
+    )
