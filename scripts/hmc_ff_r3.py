@@ -42,6 +42,11 @@ def main():
     cases = (
         ("pcn", dict(n_steps=4000, n_burn=1000), 0),
         ("lis_pcn", dict(n_steps=4000, n_burn=1000, lis_points=16), 0),
+        # prior frame: the poorly-preconditioned regime, where multi-step
+        # trajectories should pay...
+        ("mala", dict(n_steps=4000, n_burn=1000, mala_step=0.1), 1),
+        ("hmc", dict(n_steps=1000, n_burn=250, mala_step=0.1, hmc_leap=L), L),
+        # ...and the Laplace frame: near-iid single steps, where they can't
         ("mala_lap", dict(n_steps=4000, n_burn=1000, mala_step=0.1), 1),
         ("hmc_lap", dict(n_steps=1000, n_burn=250, mala_step=0.1,
                          hmc_leap=L), L),
@@ -75,10 +80,16 @@ def main():
             "diag": "rank-normalized split R-hat + combined-chain bulk ESS",
         },
         "rows": rows,
-        "hmc_vs_mala_ess_rate": round(
-            rows["hmc_lap"]["ess_min_per_sec"]
-            / max(rows["mala_lap"]["ess_min_per_sec"], 1e-9), 2
-        ),
+        "hmc_vs_mala_per_grad": {
+            "prior_frame": round(
+                rows["hmc"]["ess_min_per_1k_grad_passes"]
+                / max(rows["mala"]["ess_min_per_1k_grad_passes"], 1e-9), 2
+            ),
+            "laplace_frame": round(
+                rows["hmc_lap"]["ess_min_per_1k_grad_passes"]
+                / max(rows["mala_lap"]["ess_min_per_1k_grad_passes"], 1e-9), 2
+            ),
+        },
     }
     path = os.path.join(REPO, "artifacts", "hmc_ff_r3.json")
     with open(path, "w") as f:
