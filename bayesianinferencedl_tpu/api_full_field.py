@@ -356,6 +356,103 @@ def coarse_fom_forward(pipe: FullFieldPipeline, resolution: int) -> Callable:
     )
 
 
+def run_full_field_evidence(
+    pipe: FullFieldPipeline,
+    *,
+    likelihood: str = "rom_nn",
+    noise_sigma: float = 1e-3,
+    n_particles: int = 4096,
+    n_groups: int = 8,
+    n_mutations: int = 5,
+    ess_target: float = 0.5,
+    max_stages: int = 64,
+    z_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Model evidence for the full-field pipeline by adaptive tempered SMC —
+    api.run_smc_evidence's contract on RFF-coefficient space (same key
+    discipline as run_full_field_inversion: same seed => identical
+    z_true/data, so evidence estimates across `likelihood` choices are
+    Bayes-factor legs on the SAME observations; data= inverts EXTERNAL
+    observations instead). Returns api.SMCEvidenceResult."""
+    from bayesianinferencedl_tpu.api import SMCEvidenceResult
+    from bayesianinferencedl_tpu.infer.smc import run_smc
+
+    log = metrics or MetricsLogger()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_true, k_noise, k_init, k_chain, k_map = jax.random.split(key, 5)
+    dtype = pipe.prior.mean.dtype
+    if data is not None:
+        data = jnp.asarray(data, dtype)
+        if data.shape != (pipe.op.n_obs,):
+            raise ValueError(
+                f"external data must have shape ({pipe.op.n_obs},), got {data.shape}"
+            )
+        if z_true is None:
+            z_true = jnp.zeros_like(pipe.prior.mean)
+    else:
+        if z_true is None:
+            z_true = pipe.prior.sample(k_true)
+        y_true = pipe.op.observe(
+            solve_fom(pipe.op, pipe.conductivity(z_true), tol=pipe.cg_tol, maxiter=pipe.cg_maxiter)
+        )
+        data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+
+    misfit_b = gaussian_misfit(pipe.batched_forward_fn(likelihood), data, noise_sigma)
+
+    t0 = time.perf_counter()
+    if mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import sharded_smc
+
+        res, lz = sharded_smc(
+            mesh, misfit_b, pipe.prior, k_chain,
+            n_particles=n_particles, n_mutations=n_mutations,
+            ess_target=ess_target, max_stages=max_stages, batched=True,
+        )
+        particles = res.particles
+        n_stages = res.n_stages
+    else:
+        if n_particles % n_groups:
+            raise ValueError(
+                f"n_particles {n_particles} not divisible by n_groups {n_groups}"
+            )
+        keys = jax.random.split(k_chain, n_groups)
+        run = lambda k: run_smc(
+            misfit_b, pipe.prior, k,
+            n_particles=n_particles // n_groups, n_mutations=n_mutations,
+            ess_target=ess_target, max_stages=max_stages, batched=True,
+        )
+        res = jax.vmap(run)(keys)
+        lz = res.log_evidence
+        particles = res.particles.reshape(n_particles, -1)
+        n_stages = res.n_stages
+    lz = jnp.asarray(lz)
+    log_z = float(
+        jax.scipy.special.logsumexp(lz) - jnp.log(jnp.asarray(lz.shape[0], lz.dtype))
+    )
+    float(jnp.sum(particles))  # readback barrier (CLAUDE.md timing rule)
+    wall = time.perf_counter() - t0
+    log_z_std = float(jnp.std(lz))
+    log.log(
+        "ff_smc_evidence", likelihood=likelihood, log_z=log_z,
+        log_z_std=log_z_std, n_stages=np.asarray(n_stages).tolist(),
+        wall_seconds=wall, method="smc",
+    )
+    return SMCEvidenceResult(
+        particles=particles,
+        log_evidence=log_z,
+        log_evidence_std=log_z_std,
+        log_z_groups=lz,
+        n_stages=n_stages,
+        theta_true=z_true,
+        data=data,
+        wall_seconds=wall,
+    )
+
+
 def _sync(res):
     """Completion barrier: scalar readback (CLAUDE.md timing rule), falling
     back to block_until_ready for an empty kept axis."""

@@ -321,6 +321,49 @@ def cmd_evidence(args) -> None:
     }))
 
 
+def cmd_evidence_ff(args) -> None:
+    """Model evidence for the full-field (nodal k) model by adaptive
+    tempered SMC — the Bayes-factor instrument on RFF-coefficient space
+    (run once per --likelihood on the same --seed and difference)."""
+    from bayesianinferencedl_tpu.api_full_field import (
+        build_full_field_pipeline, run_full_field_evidence,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    pipe = build_full_field_pipeline(
+        resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
+        ell=args.ell, sigma=args.sigma, n_features=args.n_features,
+        n_snapshots=args.n_snapshots, basis_size=args.r, k_basis_size=args.k_basis,
+        n_train=args.n_train, surrogate_steps=args.epochs * 10, seed=args.seed,
+        metrics=log,
+    )
+    mesh = None
+    if args.shard and jax.device_count() > 1:
+        from bayesianinferencedl_tpu.parallel import device_mesh
+
+        mesh = device_mesh()
+    obs = None
+    if getattr(args, "data", None):
+        obs = jnp.asarray(np.load(args.data)["data"])
+    ev = run_full_field_evidence(
+        pipe, likelihood=args.likelihood, noise_sigma=args.noise,
+        n_particles=args.particles, n_groups=args.groups,
+        n_mutations=args.mutations, ess_target=args.ess_target,
+        data=obs, key=jax.random.PRNGKey(args.seed), mesh=mesh, metrics=log,
+    )
+    print(json.dumps({
+        "likelihood": args.likelihood,
+        "n_features": args.n_features,
+        "estimator": "smc (adaptive tempered, unbiased in Z)",
+        "log_evidence": ev.log_evidence,
+        "log_evidence_std": ev.log_evidence_std,
+        "n_stages": np.asarray(ev.n_stages).tolist(),
+        "n_particles": args.particles,
+        "wall_seconds": ev.wall_seconds,
+    }))
+
+
 def cmd_map(args) -> None:
     """Deterministic inversion: MAP point + Laplace credible intervals
     (SURVEY.md §2a #9, the reference's regularized least-squares fit)."""
@@ -599,6 +642,29 @@ def main(argv=None) -> None:
     )
     p.add_argument("--shard", action="store_true")
     p.set_defaults(fn=cmd_invert_ff)
+
+    p = sub.add_parser("evidence-ff", help="full-field model evidence (adaptive tempered SMC)")
+    _add_common(p)
+    p.add_argument("--n-snapshots", type=int, default=256)
+    p.add_argument("--r", type=int, default=40)
+    p.add_argument("--k-basis", type=int, default=40)
+    p.add_argument("--n-features", type=int, default=64)
+    p.add_argument("--ell", type=float, default=1.0)
+    p.add_argument("--sigma", type=float, default=0.5)
+    p.add_argument("--n-train", type=int, default=1024)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--noise", type=float, default=1e-3)
+    p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+    p.add_argument("--particles", type=int, default=4096, help="total SMC population")
+    p.add_argument("--groups", type=int, default=8, help="independent populations (error bar)")
+    p.add_argument("--mutations", type=int, default=5, help="pCN sweeps per tempering stage")
+    p.add_argument("--ess-target", type=float, default=0.5, help="ESS/N kept per stage")
+    p.add_argument(
+        "--data", type=str, default=None,
+        help="observation npz (key 'data'): external measurements",
+    )
+    p.add_argument("--shard", action="store_true", help="island SMC over the device mesh")
+    p.set_defaults(fn=cmd_evidence_ff)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -144,3 +144,60 @@ def test_sharded_island_smc():
     assert np.asarray(lz_islands).std() < 0.5
     th = np.asarray(res.particles)
     np.testing.assert_allclose(th.mean(0), mu, atol=0.05)
+
+
+def test_ff_smc_evidence_and_bayes_factor():
+    """Full-field SMC evidence (api_full_field.run_full_field_evidence):
+    same-seed runs across likelihoods are Bayes-factor legs on identical
+    data; the corrected model should never lose badly to the raw ROM (its
+    forward is strictly closer to the data-generating FOM)."""
+    import jax.numpy as jnp
+
+    from bayesianinferencedl_tpu.api_full_field import (
+        build_full_field_pipeline, run_full_field_evidence,
+    )
+
+    pipe = build_full_field_pipeline(
+        resolution=1, dtype=jnp.float64, n_features=8, n_snapshots=24,
+        basis_size=4, k_basis_size=16, n_train=96, surrogate_hidden=(16,),
+        surrogate_steps=400, cg_tol=1e-10, cg_maxiter=2000, use_pallas=False,
+    )
+    kw = dict(noise_sigma=1e-2, n_particles=512, n_groups=4, n_mutations=3,
+              key=jax.random.PRNGKey(5))
+    ev_nn = run_full_field_evidence(pipe, likelihood="rom_nn", **kw)
+    ev_rom = run_full_field_evidence(pipe, likelihood="rom", **kw)
+    assert np.isfinite(ev_nn.log_evidence) and np.isfinite(ev_rom.log_evidence)
+    np.testing.assert_array_equal(np.asarray(ev_nn.data), np.asarray(ev_rom.data))
+    # log Bayes factor rom_nn vs rom on shared data: allow noise, but the
+    # corrected model must not be decisively WORSE
+    assert ev_nn.log_evidence > ev_rom.log_evidence - 3 * (
+        ev_nn.log_evidence_std + ev_rom.log_evidence_std + 0.5
+    )
+    # external-data route shares the estimator
+    ev_ext = run_full_field_evidence(
+        pipe, likelihood="rom_nn", data=ev_nn.data, **kw
+    )
+    assert np.isfinite(ev_ext.log_evidence)
+    # same data, same key -> identical estimate
+    np.testing.assert_allclose(ev_ext.log_evidence, ev_nn.log_evidence)
+
+
+def test_ff_smc_evidence_island_sharded():
+    import jax.numpy as jnp
+
+    from bayesianinferencedl_tpu.api_full_field import (
+        build_full_field_pipeline, run_full_field_evidence,
+    )
+    from bayesianinferencedl_tpu.parallel import device_mesh
+
+    pipe = build_full_field_pipeline(
+        resolution=1, dtype=jnp.float64, n_features=8, n_snapshots=24,
+        basis_size=4, k_basis_size=16, n_train=96, surrogate_hidden=(16,),
+        surrogate_steps=400, cg_tol=1e-10, cg_maxiter=2000, use_pallas=False,
+    )
+    ev = run_full_field_evidence(
+        pipe, likelihood="rom_nn", noise_sigma=1e-2, n_particles=512,
+        n_mutations=3, key=jax.random.PRNGKey(6), mesh=device_mesh(),
+    )
+    assert np.isfinite(ev.log_evidence)
+    assert ev.log_z_groups.shape[0] == 8  # one island per device
