@@ -1304,12 +1304,30 @@ def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]
     return cap, int(iters.max()), float((iters >= cap).mean())
 
 
-def _gradient_sampler_runner(kind, cfg, like, mesh, misfit_b, prior, theta0, *, ref=None):
+def _gradient_sampler_runner(
+    kind,
+    like,
+    mesh,
+    misfit_b,
+    prior,
+    theta0,
+    *,
+    n_steps,
+    n_burn,
+    step,
+    thin=1,
+    n_leap=8,
+    jitter=0.2,
+    ref=None,
+):
     """Runner factory for the gradient samplers (kind: 'mala' | 'hmc'),
-    shared by the prior-preconditioned and Laplace-preconditioned entries
-    of run_inversion: routes to the plain / segmented-(fom) / sharded
-    variant with the config's step controls. HMC uses a smaller segment —
-    each trajectory is cfg.hmc_leap batched solves plus adjoints."""
+    shared by the prior- and Laplace-preconditioned entries of
+    run_inversion AND run_full_field_inversion: routes to the plain /
+    segmented-(fom) / sharded variant. The fom segment is sized so one XLA
+    program holds ~64 batched solves (the MALA-proven budget under the
+    ~60 s execution watchdog, CLAUDE.md rule 2): MALA pays 2 solves per
+    step (forward + adjoint), HMC 2*n_leap per trajectory, so the HMC
+    segment shrinks proportionally with n_leap."""
     if kind == "mala":
         from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
         from bayesianinferencedl_tpu.parallel.sharding import (
@@ -1319,7 +1337,7 @@ def _gradient_sampler_runner(kind, cfg, like, mesh, misfit_b, prior, theta0, *, 
         plain, seg_fn, sh, sh_seg = (
             run_mala, run_mala_segmented, sharded_mala, sharded_mala_segmented,
         )
-        kw = dict(step=cfg.mala_step)
+        kw = dict(step=step)
         segment = 32
     elif kind == "hmc":
         from bayesianinferencedl_tpu.infer.hmc import run_hmc, run_hmc_segmented
@@ -1330,11 +1348,11 @@ def _gradient_sampler_runner(kind, cfg, like, mesh, misfit_b, prior, theta0, *, 
         plain, seg_fn, sh, sh_seg = (
             run_hmc, run_hmc_segmented, sharded_hmc, sharded_hmc_segmented,
         )
-        kw = dict(step=cfg.mala_step, n_leap=cfg.hmc_leap, jitter=cfg.hmc_jitter)
-        segment = 16
+        kw = dict(step=step, n_leap=n_leap, jitter=jitter)
+        segment = max(1, 32 // n_leap)
     else:
         raise ValueError(f"unknown gradient sampler kind {kind!r}")
-    base = dict(n_steps=cfg.n_steps, n_burn=cfg.n_burn, batched=True, ref=ref, **kw)
+    base = dict(n_steps=n_steps, n_burn=n_burn, batched=True, ref=ref, **kw)
     if like == "fom":
         if mesh is not None:
             return lambda k: sh_seg(
@@ -1342,8 +1360,8 @@ def _gradient_sampler_runner(kind, cfg, like, mesh, misfit_b, prior, theta0, *, 
             )
         return lambda k: seg_fn(misfit_b, prior, theta0, k, segment=segment, **base)
     if mesh is not None:
-        return lambda k: sh(mesh, misfit_b, prior, theta0, k, thin=cfg.thin, **base)
-    return lambda k: plain(misfit_b, prior, theta0, k, thin=cfg.thin, **base)
+        return lambda k: sh(mesh, misfit_b, prior, theta0, k, thin=thin, **base)
+    return lambda k: plain(misfit_b, prior, theta0, k, thin=thin, **base)
 
 
 def run_inversion(
@@ -1435,8 +1453,11 @@ def run_inversion(
             misfit_bl = gaussian_misfit(fwd_bl, data, cfg.noise_sigma)
             lap_ref = (lap.mean, lap.chol)
             run = _gradient_sampler_runner(
-                smp.replace("_lap", ""), cfg, like, mesh, misfit_bl,
-                pipe.prior, theta0, ref=lap_ref,
+                smp.replace("_lap", ""), like, mesh, misfit_bl,
+                pipe.prior, theta0,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                thin=cfg.thin, n_leap=cfg.hmc_leap, jitter=cfg.hmc_jitter,
+                ref=lap_ref,
             )
     else:
         theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
@@ -1648,7 +1669,9 @@ def run_inversion(
             fwd_bd = lambda xs: fwd_bd_theta(to_theta(xs))
             misfit_b = gaussian_misfit(fwd_bd, data, cfg.noise_sigma)
             run = _gradient_sampler_runner(
-                smp, cfg, like, mesh, misfit_b, pipe.prior, theta0
+                smp, like, mesh, misfit_b, pipe.prior, theta0,
+                n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
+                thin=cfg.thin, n_leap=cfg.hmc_leap, jitter=cfg.hmc_jitter,
             )
         elif like == "fom":
             # full-order solves per step: segment the run so no single device
@@ -1841,13 +1864,42 @@ def run_smc_evidence(
     fwd_b_theta = pipe.batched_forward_fn(like)
     fwd_b = lambda xs: fwd_b_theta(to_theta(xs))
     misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
+    return _smc_evidence_core(
+        misfit_b, pipe.prior, k_chain,
+        n_particles=n_particles, n_groups=n_groups, n_mutations=n_mutations,
+        ess_target=ess_target, max_stages=max_stages, mesh=mesh, log=log,
+        likelihood=like, event="smc_evidence", theta_true=theta_true, data=data,
+    )
+
+
+def _smc_evidence_core(
+    misfit_b,
+    prior: GaussianPrior,
+    k_chain: jax.Array,
+    *,
+    n_particles: int,
+    n_groups: int,
+    n_mutations: int,
+    ess_target: float,
+    max_stages: int,
+    mesh,
+    log: MetricsLogger,
+    likelihood: str,
+    event: str,
+    theta_true,
+    data,
+) -> SMCEvidenceResult:
+    """Shared SMC-evidence engine (run_smc_evidence and the full-field
+    variant): group/island dispatch, unbiased-in-Z combination, readback-
+    barrier timing, logging, result assembly."""
+    from bayesianinferencedl_tpu.infer.smc import run_smc
 
     t0 = time.perf_counter()
     if mesh is not None:
         from bayesianinferencedl_tpu.parallel.sharding import sharded_smc
 
         res, lz = sharded_smc(
-            mesh, misfit_b, pipe.prior, k_chain,
+            mesh, misfit_b, prior, k_chain,
             n_particles=n_particles, n_mutations=n_mutations,
             ess_target=ess_target, max_stages=max_stages, batched=True,
         )
@@ -1858,7 +1910,7 @@ def run_smc_evidence(
             raise ValueError(f"n_particles {n_particles} not divisible by n_groups {n_groups}")
         keys = jax.random.split(k_chain, n_groups)
         run = lambda k: run_smc(
-            misfit_b, pipe.prior, k,
+            misfit_b, prior, k,
             n_particles=n_particles // n_groups, n_mutations=n_mutations,
             ess_target=ess_target, max_stages=max_stages, batched=True,
         )
@@ -1872,7 +1924,7 @@ def run_smc_evidence(
     wall = time.perf_counter() - t0
     log_z_std = float(jnp.std(lz))
     log.log(
-        "smc_evidence", likelihood=like, log_z=log_z, log_z_std=log_z_std,
+        event, likelihood=likelihood, log_z=log_z, log_z_std=log_z_std,
         n_stages=np.asarray(n_stages).tolist(), wall_seconds=wall, method="smc",
     )
     return SMCEvidenceResult(

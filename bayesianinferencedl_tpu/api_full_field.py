@@ -378,9 +378,6 @@ def run_full_field_evidence(
     z_true/data, so evidence estimates across `likelihood` choices are
     Bayes-factor legs on the SAME observations; data= inverts EXTERNAL
     observations instead). Returns api.SMCEvidenceResult."""
-    from bayesianinferencedl_tpu.api import SMCEvidenceResult
-    from bayesianinferencedl_tpu.infer.smc import run_smc
-
     log = metrics or MetricsLogger()
     key = key if key is not None else jax.random.PRNGKey(0)
     k_true, k_noise, k_init, k_chain, k_map = jax.random.split(key, 5)
@@ -402,54 +399,14 @@ def run_full_field_evidence(
         data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
 
     misfit_b = gaussian_misfit(pipe.batched_forward_fn(likelihood), data, noise_sigma)
+    from bayesianinferencedl_tpu.api import _smc_evidence_core
 
-    t0 = time.perf_counter()
-    if mesh is not None:
-        from bayesianinferencedl_tpu.parallel.sharding import sharded_smc
-
-        res, lz = sharded_smc(
-            mesh, misfit_b, pipe.prior, k_chain,
-            n_particles=n_particles, n_mutations=n_mutations,
-            ess_target=ess_target, max_stages=max_stages, batched=True,
-        )
-        particles = res.particles
-        n_stages = res.n_stages
-    else:
-        if n_particles % n_groups:
-            raise ValueError(
-                f"n_particles {n_particles} not divisible by n_groups {n_groups}"
-            )
-        keys = jax.random.split(k_chain, n_groups)
-        run = lambda k: run_smc(
-            misfit_b, pipe.prior, k,
-            n_particles=n_particles // n_groups, n_mutations=n_mutations,
-            ess_target=ess_target, max_stages=max_stages, batched=True,
-        )
-        res = jax.vmap(run)(keys)
-        lz = res.log_evidence
-        particles = res.particles.reshape(n_particles, -1)
-        n_stages = res.n_stages
-    lz = jnp.asarray(lz)
-    log_z = float(
-        jax.scipy.special.logsumexp(lz) - jnp.log(jnp.asarray(lz.shape[0], lz.dtype))
-    )
-    float(jnp.sum(particles))  # readback barrier (CLAUDE.md timing rule)
-    wall = time.perf_counter() - t0
-    log_z_std = float(jnp.std(lz))
-    log.log(
-        "ff_smc_evidence", likelihood=likelihood, log_z=log_z,
-        log_z_std=log_z_std, n_stages=np.asarray(n_stages).tolist(),
-        wall_seconds=wall, method="smc",
-    )
-    return SMCEvidenceResult(
-        particles=particles,
-        log_evidence=log_z,
-        log_evidence_std=log_z_std,
-        log_z_groups=lz,
-        n_stages=n_stages,
-        theta_true=z_true,
+    return _smc_evidence_core(
+        misfit_b, pipe.prior, k_chain,
+        n_particles=n_particles, n_groups=n_groups, n_mutations=n_mutations,
+        ess_target=ess_target, max_stages=max_stages, mesh=mesh, log=log,
+        likelihood=likelihood, event="ff_smc_evidence", theta_true=z_true,
         data=data,
-        wall_seconds=wall,
     )
 
 
@@ -648,29 +605,7 @@ def run_full_field_inversion(
         # tests/test_hmc.py). Gradients flow through the differentiable
         # batched forward (all solves via lax.custom_linear_solve;
         # infer/mala.py, infer/hmc.py).
-        kind = sampler.replace("_lap", "")
-        if kind == "mala":
-            from bayesianinferencedl_tpu.infer.mala import run_mala as _plain
-            from bayesianinferencedl_tpu.infer.mala import (
-                run_mala_segmented as _seg,
-            )
-            from bayesianinferencedl_tpu.parallel.sharding import (
-                sharded_mala as _sh, sharded_mala_segmented as _sh_seg,
-            )
-
-            grad_kw = {}
-            segment = 32
-        else:
-            from bayesianinferencedl_tpu.infer.hmc import run_hmc as _plain
-            from bayesianinferencedl_tpu.infer.hmc import (
-                run_hmc_segmented as _seg,
-            )
-            from bayesianinferencedl_tpu.parallel.sharding import (
-                sharded_hmc as _sh, sharded_hmc_segmented as _sh_seg,
-            )
-
-            grad_kw = {"n_leap": hmc_leap, "jitter": hmc_jitter}
-            segment = 16
+        from bayesianinferencedl_tpu.api import _gradient_sampler_runner
 
         misfit = gaussian_misfit(
             pipe.batched_forward_fn(likelihood, differentiable=True), data, noise_sigma
@@ -688,22 +623,14 @@ def run_full_field_inversion(
                 lap = laplace_approximation(fwd, data, noise_sigma, pipe.prior, z_map)
             theta0 = lap.sample(k_init, (n_chains,))
             ref = (lap.mean, lap.chol)
-        if likelihood == "fom":
-            if mesh is not None:
-                runner = lambda m, p, t0, k, **kw: _sh_seg(
-                    mesh, m, p, t0, k, segment=segment, ref=ref, **kw
-                )
-            else:
-                runner = lambda m, p, t0, k, **kw: _seg(
-                    m, p, t0, k, segment=segment, ref=ref, **kw
-                )
-        elif mesh is not None:
-            runner = lambda m, p, t0, k, **kw: _sh(mesh, m, p, t0, k, ref=ref, **kw)
-        else:
-            runner = lambda m, p, t0, k, **kw: _plain(m, p, t0, k, ref=ref, **kw)
-        kwargs = dict(
-            n_steps=n_steps, n_burn=n_burn, step=mala_step, batched=True, **grad_kw
+        run1 = _gradient_sampler_runner(
+            sampler.replace("_lap", ""), likelihood, mesh, misfit,
+            pipe.prior, theta0,
+            n_steps=n_steps, n_burn=n_burn, step=mala_step,
+            n_leap=hmc_leap, jitter=hmc_jitter, ref=ref,
         )
+        runner = lambda m, p, t0, k, **kw: run1(k)
+        kwargs = {}
     elif sampler == "pt_pcn":
         if likelihood == "fom":
             raise NotImplementedError(

@@ -35,7 +35,7 @@ Design, sharing infer/mala.py's frame machinery (_make_nlp):
 
 Cost: one HMC step = n_leap fused vjp passes (vs 1 for MALA, 0 for pCN).
 Figure of merit is ESS per gradient evaluation — measured guidance in
-docs/SAMPLERS.md (artifacts/hmc_r3.json).
+docs/SAMPLERS.md (artifacts/hmc_ff_r3.json).
 """
 
 from __future__ import annotations
@@ -227,13 +227,18 @@ def run_hmc_segmented(
     step: float = 0.1,
     n_leap: int = 8,
     jitter: float = 0.2,
-    segment: int = 32,
+    segment: Optional[int] = None,
     batched: bool = False,
     ref: Optional[tuple] = None,
 ) -> MALAResult:
     """HMC in fixed-size host-dispatched segments (watchdog-safe for FOM
     likelihoods — each trajectory is n_leap batched solves PLUS adjoints).
-    Chain state and adapted per-chain step sizes carry across segments."""
+    Chain state and adapted per-chain step sizes carry across segments.
+
+    segment=None sizes the program to ~64 batched solves (the MALA-proven
+    watchdog budget): max(1, 32 // n_leap) trajectories per program."""
+    if segment is None:
+        segment = max(1, 32 // n_leap)
     from bayesianinferencedl_tpu.infer.segmented import accept_rate_spec, drive_segments
 
     steps0 = jnp.broadcast_to(jnp.asarray(step, theta0.dtype), theta0.shape[:-1])

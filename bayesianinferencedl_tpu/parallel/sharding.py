@@ -275,13 +275,17 @@ def sharded_hmc_segmented(
     step=0.1,
     n_leap: int = 8,
     jitter: float = 0.2,
-    segment: int = 16,
+    segment=None,
     batched: bool = False,
     ref=None,
 ):
     """sharded_hmc in fixed-size segments (watchdog-safe for FOM
     likelihoods — each trajectory is n_leap batched solves plus adjoints);
-    chain state and adapted per-chain step sizes carry across segments."""
+    chain state and adapted per-chain step sizes carry across segments.
+    segment=None sizes the program to ~64 batched solves per shard:
+    max(1, 32 // n_leap) trajectories."""
+    if segment is None:
+        segment = max(1, 32 // n_leap)
     from bayesianinferencedl_tpu.infer.mala import MALAResult
     from bayesianinferencedl_tpu.infer.segmented import accept_rate_spec, drive_segments
 
@@ -801,7 +805,12 @@ def sharded_mlda(
         local, mesh=mesh, in_specs=(P(axis), P(axis), P()), out_specs=out_specs,
         check_vma=False,
     )
-    return f(theta0, beta_arr, key)
+    res = f(theta0, beta_arr, key)
+    # restore run_mlda's static-tuple contract (the array form only existed
+    # to carry a replicated out-spec through shard_map)
+    from bayesianinferencedl_tpu.infer.mlda import mlda_evals_per_step
+
+    return res._replace(evals_per_step=mlda_evals_per_step(subchains))
 
 
 def sharded_mlda_segmented(

@@ -37,11 +37,10 @@ from bayesianinferencedl_tpu.config import (  # noqa: E402
 N_STEPS, N_BURN, CHAINS = 600, 200, 256
 
 
-def run_case(pipe, sampler, **mcmc_overrides):
+def run_case(pipe, sampler):
     inv = run_inversion(pipe, sampler=sampler, likelihood="fom",
                         key=jax.random.PRNGKey(7))
     res = inv.result
-    kept = N_STEPS - N_BURN
     fine_evals = N_STEPS  # one fine batch per outer step, both samplers
     row = {
         "ess_bulk_min": round(float(jnp.min(inv.ess)), 1),
