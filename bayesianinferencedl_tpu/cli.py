@@ -221,7 +221,7 @@ def cmd_invert(args) -> None:
             subchain=args.subchain, da_coarse=args.da_coarse,
             da_inner=args.da_inner,
             mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
-            hmc_leap=args.hmc_leap,
+            hmc_leap=args.hmc_leap, mala_step=args.mala_step,
         ),
         prior=_prior_config(args),
     )
@@ -447,7 +447,7 @@ def cmd_invert_ff(args) -> None:
         n_temps=args.n_temps, lambda_min=args.lambda_min, subchain=args.subchain,
         da_inner=args.da_inner, adapt_ladder=args.adapt_ladder,
         mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
-        hmc_leap=args.hmc_leap,
+        hmc_leap=args.hmc_leap, mala_step=args.mala_step,
         lis_points=args.lis_points, lis_rank=args.lis_rank, lis_tol=args.lis_tol,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
@@ -571,6 +571,10 @@ def main(argv=None) -> None:
                 help="hmc leapfrog steps per trajectory",
             )
             p.add_argument(
+                "--mala-step", type=float, default=0.1,
+                help="initial MALA/HMC step size (adapted per chain in burn-in)",
+            )
+            p.add_argument(
                 "--data", type=str, default=None,
                 help="observation npz (key 'data'): invert EXTERNAL "
                 "measurements instead of synthesizing; --noise is then the "
@@ -622,6 +626,10 @@ def main(argv=None) -> None:
     p.add_argument(
         "--hmc-leap", type=int, default=8,
         help="hmc leapfrog steps per trajectory",
+    )
+    p.add_argument(
+        "--mala-step", type=float, default=0.1,
+        help="initial MALA/HMC step size (adapted per chain in burn-in)",
     )
     p.add_argument(
         "--lis-points", type=int, default=16,
