@@ -1264,6 +1264,10 @@ class InversionResult:
     # these across likelihood choices are Bayes factors on the same data
     log_evidence: Optional[float] = None
     log_evidence_std: Optional[float] = None
+    # chi-square posterior predictive check (utils/ppc.py): model criticism
+    # — {"p_value", "t_obs_mean", "t_rep_mean", ...}; extremes flag a
+    # misspecified forward model or noise level
+    ppc: Optional[dict] = None
 
 
 def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]:
@@ -1756,6 +1760,24 @@ def run_inversion(
                 "bias the posterior; raise cg_maxiter", stacklevel=2,
             )
 
+    # posterior predictive check (utils/ppc.py): one extra batched forward
+    # over <=1024 thinned kept draws — does the fitted model explain the
+    # data? p near 0 = misfit worse than the model can explain; near 1 =
+    # noise overstated. Reported, not gated (synthetic-data runs should sit
+    # interior by construction; the external-data mode is where this earns
+    # its keep).
+    ppc = None
+    if res.samples.shape[0] > 0:
+        from bayesianinferencedl_tpu.utils.ppc import ppc_chi2_pvalue
+
+        fwd_ppc_theta = pipe.batched_forward_fn(like)
+        fwd_ppc = lambda xs: fwd_ppc_theta(to_theta(xs))
+        ppc = ppc_chi2_pvalue(
+            fwd_ppc, res.samples, data, cfg.noise_sigma,
+            jax.random.fold_in(k_chain, 3),
+        )
+        log.log("ppc", **ppc)
+
     # tempered runs carry the stepping-stone accumulators: one extra prior
     # batch turns them into the log model evidence (infer/evidence.py)
     log_z = log_z_std = None
@@ -1784,6 +1806,7 @@ def run_inversion(
         fom_hit_cap_frac=hit_frac,
         log_evidence=log_z,
         log_evidence_std=log_z_std,
+        ppc=ppc,
     )
     log.log(
         "inversion",

@@ -266,6 +266,11 @@ def cmd_invert(args) -> None:
         # runs on the same data/seed are log Bayes factors
         out["log_evidence"] = inv.log_evidence
         out["log_evidence_std"] = inv.log_evidence_std
+    if inv.ppc is not None:
+        # posterior predictive check: p near 0 = model can't explain the
+        # data (under-modeled physics / noise understated); near 1 = noise
+        # overstated. Interior is healthy.
+        out["ppc_p_value"] = inv.ppc["p_value"]
     print(json.dumps(out))
 
 
