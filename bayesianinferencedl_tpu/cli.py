@@ -460,6 +460,16 @@ def cmd_invert_ff(args) -> None:
     fwd = pipe.forward_fn(args.likelihood)
     fit_post = float(jnp.linalg.norm(fwd(z_post) - data))
     fit_prior = float(jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data))
+    from bayesianinferencedl_tpu.utils.ppc import ppc_chi2_pvalue
+
+    ppc = (
+        ppc_chi2_pvalue(
+            pipe.batched_forward_fn(args.likelihood), res.samples, data,
+            args.noise, jax.random.PRNGKey(args.seed + 101),
+        )
+        if res.samples.shape[0]
+        else None
+    )
     # note: with m << n_features observations the field itself is identified
     # only in a few data directions (posterior ~ prior elsewhere); data-space
     # fit is the meaningful recovery metric
@@ -473,6 +483,7 @@ def cmd_invert_ff(args) -> None:
         "rhat_split_max": float(jnp.max(r)),
         "data_misfit_posterior_mean": fit_post,
         "data_misfit_prior_mean": fit_prior,
+        "ppc_p_value": ppc["p_value"] if ppc else None,
     }))
 
 
