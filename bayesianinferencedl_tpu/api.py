@@ -23,7 +23,12 @@ from bayesianinferencedl_tpu.config import PipelineConfig
 from bayesianinferencedl_tpu.data.datasets import ErrorDataset, generate_error_dataset
 from bayesianinferencedl_tpu.fem.solve import solve_fom
 from bayesianinferencedl_tpu.infer.diagnostics import ess_bulk, ess_tail, split_rhat
-from bayesianinferencedl_tpu.infer.pcn import PCNResult, gaussian_misfit, run_pcn
+from bayesianinferencedl_tpu.infer.pcn import (
+    PCNResult,
+    gaussian_misfit,
+    marginal_misfit,
+    run_pcn,
+)
 from bayesianinferencedl_tpu.infer.priors import BoxPrior, GaussianPrior
 from bayesianinferencedl_tpu.models.corrected import CorrectedForward
 from bayesianinferencedl_tpu.models.five_param import FiveParamFin
@@ -1268,6 +1273,11 @@ class InversionResult:
     # — {"p_value", "t_obs_mean", "t_rep_mean", ...}; extremes flag a
     # misspecified forward model or noise level
     ppc: Optional[dict] = None
+    # cfg.infer_noise runs only: the marginal posterior over the observation
+    # noise sigma, recovered from the conjugate InvGamma(m/2, S/2)
+    # conditional over kept draws (utils/ppc.py noise_posterior) —
+    # {"sigma_mean", "sigma_sd", "sigma_q05", "sigma_q50", "sigma_q95"}
+    noise_sigma_post: Optional[dict] = None
 
 
 def audit_fom_iters(pipe: Pipeline, thetas: jax.Array) -> tuple[int, int, float]:
@@ -1422,7 +1432,22 @@ def run_inversion(
 
     fwd_theta = pipe.forward_fn(like)
     fwd = lambda x: fwd_theta(to_theta(x))
-    misfit = gaussian_misfit(fwd, data, cfg.noise_sigma)
+    # likelihood-potential factory for EVERY misfit this function builds
+    # (fine, coarse, differentiable, mid-rung): conditioned on noise_sigma,
+    # or with sigma integrated out under the Jeffreys prior
+    # (cfg.infer_noise — infer/pcn.py marginal_misfit)
+    if cfg.infer_noise:
+        # proper conjugate noise prior sigma^2 ~ InvGamma(2, noise_sigma^2):
+        # E[sigma^2] = noise_sigma^2 with infinite prior variance — the
+        # configured noise becomes a scale GUESS, not an assumption. (The
+        # Jeffreys limit is improper here: m = n_obs matches the parameter
+        # count, so interpolants exist — see marginal_misfit.)
+        mk_misfit = lambda f: marginal_misfit(
+            f, data, a0=2.0, b0=float(cfg.noise_sigma) ** 2
+        )
+    else:
+        mk_misfit = lambda f: gaussian_misfit(f, data, cfg.noise_sigma)
+    misfit = mk_misfit(fwd)
 
     if smp in ("laplace_mh", "gpcn", "mala_lap", "hmc_lap"):
         # offline: MAP (multistart BFGS) + Gauss-Newton Laplace approximation
@@ -1431,8 +1456,21 @@ def run_inversion(
 
         with log.timer("map_laplace"):
             theta_map, nlp = find_map_multistart(misfit, pipe.prior, k_map, n_starts=8)
+            sig_lap = cfg.noise_sigma
+            if cfg.infer_noise:
+                # the MAP was found under the marginal potential; its GN
+                # curvature ((a0 + m/2)/(b0 + S/2)) J^T J equals the Gaussian
+                # one at the plug-in scale sigma_hat^2 = (b0 + S/2)/(a0 + m/2)
+                # — the conditional posterior mode of sigma^2 at the MAP —
+                # so the Laplace proposal/preconditioner is built there
+                r_map = fwd(theta_map) - data
+                m_obs = r_map.shape[-1]
+                s_map = float(jnp.sum(r_map * r_map))
+                sig_lap = float(
+                    np.sqrt((cfg.noise_sigma**2 + 0.5 * s_map) / (2.0 + 0.5 * m_obs))
+                )
             lap = laplace_approximation(
-                fwd, data, cfg.noise_sigma, pipe.prior, theta_map
+                fwd, data, sig_lap, pipe.prior, theta_map
             )
         log.log("map", nlp=float(nlp), theta_map=np.asarray(theta_map).tolist())
         theta0 = lap.sample(k_init, (cfg.n_chains,))
@@ -1454,7 +1492,7 @@ def run_inversion(
             # passes per trajectory for multi-step moves)
             fwd_bl_theta = pipe.batched_forward_fn(like, differentiable=True)
             fwd_bl = lambda xs: fwd_bl_theta(to_theta(xs))
-            misfit_bl = gaussian_misfit(fwd_bl, data, cfg.noise_sigma)
+            misfit_bl = mk_misfit(fwd_bl)
             lap_ref = (lap.mean, lap.chol)
             run = _gradient_sampler_runner(
                 smp.replace("_lap", ""), like, mesh, misfit_bl,
@@ -1467,7 +1505,7 @@ def run_inversion(
         theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
         fwd_b_theta = pipe.batched_forward_fn(like)
         fwd_b = lambda xs: fwd_b_theta(to_theta(xs))  # to_theta is elementwise
-        misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
+        misfit_b = mk_misfit(fwd_b)
         if smp == "pt_pcn":
             # parallel tempering: the exact sampler when the posterior is
             # multimodal (measured on the fin at 1e-3 noise — see
@@ -1512,7 +1550,7 @@ def run_inversion(
                 )
             fwd_bd_theta = pipe.batched_forward_fn(like, differentiable=True)
             fwd_bd = lambda xs: fwd_bd_theta(to_theta(xs))
-            misfit_bd = gaussian_misfit(fwd_bd, data, cfg.noise_sigma)
+            misfit_bd = mk_misfit(fwd_bd)
             if mesh is not None:
                 from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_mala
 
@@ -1549,7 +1587,7 @@ def run_inversion(
                 cfg.da_coarse, differentiable=(cfg.da_inner == "mala")
             )
             coarse_b = lambda xs: coarse_theta(to_theta(xs))
-            misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
+            misfit_c = mk_misfit(coarse_b)
             da_beta = cfg.mala_step if cfg.da_inner == "mala" else cfg.beta
             segment = 32 if like == "fom" else 512
             if mesh is not None:
@@ -1584,7 +1622,7 @@ def run_inversion(
                 cfg.da_coarse, differentiable=(cfg.da_inner == "mala")
             )
             coarse_b = lambda xs: coarse_theta(to_theta(xs))
-            misfit_c = gaussian_misfit(coarse_b, data, cfg.noise_sigma)
+            misfit_c = mk_misfit(coarse_b)
             # inner step size: pCN beta lives in (0,1); MALA's h starts at
             # mala_step (both adapt per chain during burn-in)
             da_beta = cfg.mala_step if cfg.da_inner == "mala" else cfg.beta
@@ -1629,7 +1667,7 @@ def run_inversion(
                 cfg.da_coarse, differentiable=(cfg.da_inner == "mala")
             )
             base_b = lambda xs: base_theta(to_theta(xs))
-            misfit_base = gaussian_misfit(base_b, data, cfg.noise_sigma)
+            misfit_base = mk_misfit(base_b)
             fin_mid = FiveParamFin.create(
                 resolution=cfg.mlda_resolution, biot=pipe.config.fem.biot,
                 dtype=dtype, cg_tol=pipe.config.fem.cg_tol,
@@ -1637,7 +1675,7 @@ def run_inversion(
             )
             mid_theta = batched_fom_observe(fin_mid)
             mid_b = lambda xs: mid_theta(to_theta(xs))
-            misfit_mid = gaussian_misfit(mid_b, data, cfg.noise_sigma)
+            misfit_mid = mk_misfit(mid_b)
             misfits3 = (misfit_base, misfit_mid, misfit_b)
             subchains = (cfg.subchain, cfg.mlda_subchain)
             da_beta = cfg.mala_step if cfg.da_inner == "mala" else cfg.beta
@@ -1671,7 +1709,7 @@ def run_inversion(
             # (infer/hmc.py, docs/SAMPLERS.md).
             fwd_bd_theta = pipe.batched_forward_fn(like, differentiable=True)
             fwd_bd = lambda xs: fwd_bd_theta(to_theta(xs))
-            misfit_b = gaussian_misfit(fwd_bd, data, cfg.noise_sigma)
+            misfit_b = mk_misfit(fwd_bd)
             run = _gradient_sampler_runner(
                 smp, like, mesh, misfit_b, pipe.prior, theta0,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
@@ -1767,15 +1805,34 @@ def run_inversion(
     # interior by construction; the external-data mode is where this earns
     # its keep).
     ppc = None
+    sigma_post = None
     if res.samples.shape[0] > 0:
-        from bayesianinferencedl_tpu.utils.ppc import ppc_chi2_pvalue
-
         fwd_ppc_theta = pipe.batched_forward_fn(like)
         fwd_ppc = lambda xs: fwd_ppc_theta(to_theta(xs))
-        ppc = ppc_chi2_pvalue(
-            fwd_ppc, res.samples, data, cfg.noise_sigma,
-            jax.random.fold_in(k_chain, 3),
-        )
+        if cfg.infer_noise:
+            # unknown-noise runs: the chi-square PPC is powerless (the
+            # inferred sigma absorbs any misfit magnitude) — use the
+            # scale-free residual-shape statistic, and recover the sigma
+            # marginal from the conjugate conditional (utils/ppc.py)
+            from bayesianinferencedl_tpu.utils.ppc import (
+                noise_posterior, ppc_shape_pvalue,
+            )
+
+            ppc = ppc_shape_pvalue(
+                fwd_ppc, res.samples, data, jax.random.fold_in(k_chain, 3)
+            )
+            _, sigma_post = noise_posterior(
+                fwd_ppc, res.samples, data, jax.random.fold_in(k_chain, 4),
+                a0=2.0, b0=float(cfg.noise_sigma) ** 2,
+            )
+            log.log("noise_post", **sigma_post)
+        else:
+            from bayesianinferencedl_tpu.utils.ppc import ppc_chi2_pvalue
+
+            ppc = ppc_chi2_pvalue(
+                fwd_ppc, res.samples, data, cfg.noise_sigma,
+                jax.random.fold_in(k_chain, 3),
+            )
         log.log("ppc", **ppc)
 
     # tempered runs carry the stepping-stone accumulators: one extra prior
@@ -1807,6 +1864,7 @@ def run_inversion(
         log_evidence=log_z,
         log_evidence_std=log_z_std,
         ppc=ppc,
+        noise_sigma_post=sigma_post,
     )
     log.log(
         "inversion",
@@ -1886,7 +1944,15 @@ def run_smc_evidence(
 
     fwd_b_theta = pipe.batched_forward_fn(like)
     fwd_b = lambda xs: fwd_b_theta(to_theta(xs))
-    misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
+    # same potential contract as run_inversion: cfg.infer_noise switches to
+    # the Jeffreys sigma-marginal likelihood (Bayes factors across
+    # likelihoods stay comparable — same marginal on the same data)
+    if cfg.infer_noise:
+        misfit_b = marginal_misfit(
+            fwd_b, data, a0=2.0, b0=float(cfg.noise_sigma) ** 2
+        )
+    else:
+        misfit_b = gaussian_misfit(fwd_b, data, cfg.noise_sigma)
     return _smc_evidence_core(
         misfit_b, pipe.prior, k_chain,
         n_particles=n_particles, n_groups=n_groups, n_mutations=n_mutations,

@@ -222,6 +222,7 @@ def cmd_invert(args) -> None:
             da_inner=args.da_inner,
             mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
             hmc_leap=args.hmc_leap, mala_step=args.mala_step,
+            infer_noise=args.infer_noise,
         ),
         prior=_prior_config(args),
     )
@@ -269,8 +270,12 @@ def cmd_invert(args) -> None:
     if inv.ppc is not None:
         # posterior predictive check: p near 0 = model can't explain the
         # data (under-modeled physics / noise understated); near 1 = noise
-        # overstated. Interior is healthy.
+        # overstated. Interior is healthy. (--infer-noise swaps in the
+        # scale-free residual-shape statistic — utils/ppc.py.)
         out["ppc_p_value"] = inv.ppc["p_value"]
+    if inv.noise_sigma_post is not None:
+        # --infer-noise: the marginal sigma posterior (mean, sd, quantiles)
+        out["noise_sigma_post"] = inv.noise_sigma_post
     print(json.dumps(out))
 
 
@@ -595,6 +600,14 @@ def main(argv=None) -> None:
                 help="observation npz (key 'data'): invert EXTERNAL "
                 "measurements instead of synthesizing; --noise is then the "
                 "assumed instrument noise",
+            )
+            p.add_argument(
+                "--infer-noise", action="store_true",
+                help="treat the observation noise as UNKNOWN: integrate "
+                "sigma out under a conjugate InvGamma(2, noise^2) prior "
+                "(the production choice for --data measurements whose "
+                "instrument noise isn't calibrated); --noise softens into "
+                "the prior scale guess and the sigma posterior is reported",
             )
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)

@@ -168,6 +168,18 @@ class MCMCConfig:
     n_burn: int = 1_000
     beta: float = 0.25
     noise_sigma: float = 1e-3
+    # infer_noise: treat the observation noise sigma as UNKNOWN — integrate
+    # it out analytically under the conjugate prior
+    # sigma^2 ~ InvGamma(2, noise_sigma^2) (infer/pcn.py marginal_misfit)
+    # instead of conditioning on noise_sigma, which then softens from a hard
+    # assumption into a prior scale guess (E[sigma^2] = noise_sigma^2,
+    # infinite prior variance). Every sampler runs unchanged on the marginal
+    # potential; the sigma posterior (conjugate InvGamma given theta) is
+    # recovered per kept draw and reported in
+    # InversionResult.noise_sigma_post. With m = n_obs observations and a
+    # parameter count near m, the residual carries few noise dof, so the
+    # sigma posterior stays prior-influenced — that is the honest width.
+    infer_noise: bool = False
     likelihood: str = "rom_nn"  # "fom" | "rom" | "rom_nn"
     sampler: str = "pcn"  # pcn | laplace_mh | gpcn | pt_pcn | pt_mala | da_pcn | pt_da_pcn | mala | mala_lap
     seed: int = 0

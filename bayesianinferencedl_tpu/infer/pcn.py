@@ -299,3 +299,57 @@ def gaussian_misfit(forward: Callable, data: jax.Array, noise_sigma: float) -> C
         return 0.5 * jnp.sum(r * r, axis=-1) / noise_sigma**2
 
     return phi
+
+
+def marginal_misfit(
+    forward: Callable, data: jax.Array, *, a0: float, b0: float
+) -> Callable:
+    """Noise-marginalized likelihood potential: observation noise sigma is
+    UNKNOWN and integrated out analytically under the conjugate prior
+    sigma^2 ~ InvGamma(a0, b0) (SURVEY.md A.5 likelihood, extended to the
+    measured-data regime where sigma is not an input — the reference fixes
+    sigma because its scripts only invert synthetic data). With
+    S(theta) = ||d - G(theta)||^2,
+
+        p(d | theta) = (2 pi)^(-m/2) * b0^a0 / Gamma(a0)
+                       * Gamma(a0 + m/2) / (b0 + S/2)^(a0 + m/2)
+
+    so  Phi(theta) = (a0 + m/2) log(b0 + S/2) + const,  with the constant
+    kept exact so tempered/stepping-stone estimates remain the true
+    prior-predictive mass (log Bayes factors across forward models on the
+    same data and same noise prior are well defined).
+
+    The prior must be PROPER (b0 > 0): the Jeffreys limit a0, b0 -> 0 gives
+    an IMPROPER theta posterior whenever the forward model can interpolate
+    the data (S -> 0 makes S^(-m/2) non-integrable — on the fin, m = n_obs
+    equals the parameter count, so an interpolant generically exists).
+    b0 > 0 bounds Phi below by (a0 + m/2) log b0. api.run_inversion uses
+    a0 = 2, b0 = noise_sigma^2 — E[sigma^2] equals the configured scale
+    with infinite prior variance, i.e. noise_sigma softens from a hard
+    assumption into a scale guess.
+
+    Works with every sampler in the package unchanged: MH-family kernels
+    use Phi differences, gradient samplers get
+    d(Phi)/d(theta) = (a0 + m/2) r^T J / (b0 + S/2) via autodiff. The
+    conditional noise posterior stays conjugate,
+    sigma^2 | theta, d ~ InvGamma(a0 + m/2, b0 + S/2) (utils/ppc.py
+    noise_posterior recovers the marginal). Reduces over the last axis
+    only, like gaussian_misfit."""
+    import math
+
+    m = data.shape[-1]
+    if not (a0 > 0.0 and b0 > 0.0):
+        raise ValueError(f"need a proper noise prior: a0 > 0, b0 > 0 (got {a0}, {b0})")
+    const = (
+        0.5 * m * math.log(2.0 * math.pi)
+        - a0 * math.log(b0)
+        + math.lgamma(a0)
+        - math.lgamma(a0 + 0.5 * m)
+    )
+
+    def phi(theta):
+        r = forward(theta) - data
+        s = jnp.sum(r * r, axis=-1)
+        return (a0 + 0.5 * m) * jnp.log(b0 + 0.5 * s) + const
+
+    return phi
