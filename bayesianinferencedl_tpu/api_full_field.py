@@ -366,6 +366,7 @@ def run_full_field_evidence(
     n_mutations: int = 5,
     ess_target: float = 0.5,
     max_stages: int = 64,
+    infer_noise: bool = False,
     z_true: Optional[jax.Array] = None,
     data: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
@@ -398,7 +399,18 @@ def run_full_field_evidence(
         )
         data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
 
-    misfit_b = gaussian_misfit(pipe.batched_forward_fn(likelihood), data, noise_sigma)
+    if infer_noise:
+        # sigma-marginal potential (same contract as run_full_field_inversion)
+        from bayesianinferencedl_tpu.infer.pcn import marginal_misfit
+
+        misfit_b = marginal_misfit(
+            pipe.batched_forward_fn(likelihood), data,
+            a0=2.0, b0=float(noise_sigma) ** 2,
+        )
+    else:
+        misfit_b = gaussian_misfit(
+            pipe.batched_forward_fn(likelihood), data, noise_sigma
+        )
     from bayesianinferencedl_tpu.api import _smc_evidence_core
 
     return _smc_evidence_core(
@@ -442,6 +454,7 @@ def run_full_field_inversion(
     lis_points: int = 16,
     lis_rank: Optional[int] = None,
     lis_tol: float = 0.1,
+    infer_noise: bool = False,
     z_true: Optional[jax.Array] = None,
     data: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
@@ -477,6 +490,13 @@ def run_full_field_inversion(
     lis_pcn, same contract as api.run_inversion (the Laplace
     independence/gpcn samplers stay single-device; their cost is the
     offline MAP).
+
+    infer_noise: treat sigma as UNKNOWN — every misfit switches to the
+    sigma-marginalized potential under the conjugate
+    InvGamma(2, noise_sigma^2) prior (infer/pcn.py marginal_misfit; the
+    Laplace/LIS machinery builds at the plug-in conditional-mode scale).
+    Recover the sigma posterior afterwards with utils/ppc.noise_posterior
+    over `res.samples` — same contract as api.run_inversion.
     """
     from bayesianinferencedl_tpu.infer.pcn import run_pcn_segmented
 
@@ -505,8 +525,37 @@ def run_full_field_inversion(
         )
         data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
 
+    # likelihood-potential factory for every misfit below (fine, coarse,
+    # mid-rung, differentiable): conditioned on noise_sigma, or with sigma
+    # integrated out under the conjugate InvGamma(2, noise_sigma^2) prior
+    # (infer_noise — same contract as api.run_inversion; essential here,
+    # where m = n_obs << n_features means interpolants always exist and the
+    # improper Jeffreys limit would make the posterior improper)
+    if infer_noise:
+        from bayesianinferencedl_tpu.infer.pcn import marginal_misfit
+
+        mk_misfit = lambda f: marginal_misfit(
+            f, data, a0=2.0, b0=float(noise_sigma) ** 2
+        )
+    else:
+        mk_misfit = lambda f: gaussian_misfit(f, data, noise_sigma)
+
+    def _lap_sigma(fwd1, z_map):
+        """Plug-in scale for the Laplace/LIS machinery under infer_noise:
+        the conditional sigma^2 mode at the MAP (api.run_inversion's rule)."""
+        if not infer_noise:
+            return noise_sigma
+        r_map = fwd1(z_map) - data
+        m_obs = r_map.shape[-1]
+        return float(
+            np.sqrt(
+                (float(noise_sigma) ** 2 + 0.5 * float(jnp.sum(r_map * r_map)))
+                / (2.0 + 0.5 * m_obs)
+            )
+        )
+
     fwd_b = pipe.batched_forward_fn(likelihood)
-    misfit = gaussian_misfit(fwd_b, data, noise_sigma)
+    misfit = mk_misfit(fwd_b)
     theta0 = pipe.prior.sample(k_init, (n_chains,))
 
     if sampler in ("da_pcn", "pt_da_pcn") and likelihood == "rom_nn":
@@ -523,10 +572,12 @@ def run_full_field_inversion(
         from bayesianinferencedl_tpu.infer.samplers import run_gpcn, run_laplace_mh
 
         fwd = pipe.forward_fn(likelihood)
-        mis1 = gaussian_misfit(fwd, data, noise_sigma)
+        mis1 = mk_misfit(fwd)
         with log.timer("map_laplace"):
             z_map, _ = find_map(mis1, pipe.prior, jnp.zeros_like(pipe.prior.mean), maxiter=300)
-            lap = laplace_approximation(fwd, data, noise_sigma, pipe.prior, z_map)
+            lap = laplace_approximation(
+                fwd, data, _lap_sigma(fwd, z_map), pipe.prior, z_map
+            )
         theta0 = lap.sample(k_init, (n_chains,))
         smp_fn = run_laplace_mh if sampler == "laplace_mh" else run_gpcn
         kwargs = dict(n_steps=n_steps, n_burn=n_burn)
@@ -563,16 +614,17 @@ def run_full_field_inversion(
         from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation
 
         fwd = pipe.forward_fn(likelihood)
-        mis1 = gaussian_misfit(fwd, data, noise_sigma)
+        mis1 = mk_misfit(fwd)
         with log.timer("map_laplace"):
             z_map, _ = find_map(mis1, pipe.prior, jnp.zeros_like(pipe.prior.mean), maxiter=300)
-            lap = laplace_approximation(fwd, data, noise_sigma, pipe.prior, z_map)
+            sig_lis = _lap_sigma(fwd, z_map)
+            lap = laplace_approximation(fwd, data, sig_lis, pipe.prior, z_map)
         with log.timer("build_lis"):
             pts = jnp.concatenate(
                 [z_map[None], lap.sample(k_map, (max(lis_points - 1, 1),))], axis=0
             )
             lis = build_lis(
-                fwd, pipe.prior, pts, noise_sigma, lam_tol=lis_tol, rank_max=lis_rank
+                fwd, pipe.prior, pts, sig_lis, lam_tol=lis_tol, rank_max=lis_rank
             )
         log.log("lis_built", rank=lis.rank, lam_max=float(lis.lam[0]),
                 lam_min=float(lis.lam[-1]), n_points=int(pts.shape[0]))
@@ -607,20 +659,20 @@ def run_full_field_inversion(
         # infer/mala.py, infer/hmc.py).
         from bayesianinferencedl_tpu.api import _gradient_sampler_runner
 
-        misfit = gaussian_misfit(
-            pipe.batched_forward_fn(likelihood, differentiable=True), data, noise_sigma
-        )
+        misfit = mk_misfit(pipe.batched_forward_fn(likelihood, differentiable=True))
         ref = None
         if sampler.endswith("_lap"):
             from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation
 
             fwd = pipe.forward_fn(likelihood)
-            mis1 = gaussian_misfit(fwd, data, noise_sigma)
+            mis1 = mk_misfit(fwd)
             with log.timer("map_laplace"):
                 z_map, _ = find_map(
                     mis1, pipe.prior, jnp.zeros_like(pipe.prior.mean), maxiter=300
                 )
-                lap = laplace_approximation(fwd, data, noise_sigma, pipe.prior, z_map)
+                lap = laplace_approximation(
+                    fwd, data, _lap_sigma(fwd, z_map), pipe.prior, z_map
+                )
             theta0 = lap.sample(k_init, (n_chains,))
             ref = (lap.mean, lap.chol)
         run1 = _gradient_sampler_runner(
@@ -662,9 +714,7 @@ def run_full_field_inversion(
                 "AND its adjoint into every step; use sampler='pt_da_pcn' "
                 "with da_inner='mala' subchains instead"
             )
-        misfit = gaussian_misfit(
-            pipe.batched_forward_fn(likelihood, differentiable=True), data, noise_sigma
-        )
+        misfit = mk_misfit(pipe.batched_forward_fn(likelihood, differentiable=True))
         if mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_mala
 
@@ -679,10 +729,7 @@ def run_full_field_inversion(
             adapt_ladder=adapt_ladder,
         )
     elif sampler == "pt_da_pcn":
-        misfit_c = gaussian_misfit(
-            pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")),
-            data, noise_sigma,
-        )
+        misfit_c = mk_misfit(pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")))
         segment = 32 if likelihood == "fom" else 512
         if mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_pt_da_segmented
@@ -720,13 +767,8 @@ def run_full_field_inversion(
                 f"mlda_resolution ({mlda_resolution}) must be coarser than "
                 f"the pipeline mesh ({pipe.op.resolution})"
             )
-        misfit_base = gaussian_misfit(
-            pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")),
-            data, noise_sigma,
-        )
-        misfit_mid = gaussian_misfit(
-            coarse_fom_forward(pipe, mlda_resolution), data, noise_sigma
-        )
+        misfit_base = mk_misfit(pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")))
+        misfit_mid = mk_misfit(coarse_fom_forward(pipe, mlda_resolution))
         if mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_mlda_segmented
 
@@ -752,10 +794,7 @@ def run_full_field_inversion(
         # where Langevin subchains decorrelate ~6x faster per fine eval),
         # exact `likelihood` correction once per outer step (exactness
         # argument in infer/delayed_acceptance.py; n_steps count OUTER steps)
-        misfit_c = gaussian_misfit(
-            pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")),
-            data, noise_sigma,
-        )
+        misfit_c = mk_misfit(pipe.batched_forward_fn("rom_nn", differentiable=(da_inner == "mala")))
         segment = 64 if likelihood == "fom" else 512
         if mesh is not None:
             from bayesianinferencedl_tpu.parallel.sharding import sharded_da_pcn_segmented

@@ -459,22 +459,37 @@ def cmd_invert_ff(args) -> None:
         mlda_resolution=args.mlda_resolution, mlda_subchain=args.mlda_subchain,
         hmc_leap=args.hmc_leap, mala_step=args.mala_step,
         lis_points=args.lis_points, lis_rank=args.lis_rank, lis_tol=args.lis_tol,
+        infer_noise=args.infer_noise,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
     z_post = res.samples.mean(axis=(0, 1))
     fwd = pipe.forward_fn(args.likelihood)
     fit_post = float(jnp.linalg.norm(fwd(z_post) - data))
     fit_prior = float(jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data))
-    from bayesianinferencedl_tpu.utils.ppc import ppc_chi2_pvalue
+    ppc = sigma_post = None
+    if res.samples.shape[0]:
+        fwd_b = pipe.batched_forward_fn(args.likelihood)
+        if args.infer_noise:
+            # unknown noise: scale-free shape PPC + conjugate sigma recovery
+            # (same contract as `invert --infer-noise` — utils/ppc.py)
+            from bayesianinferencedl_tpu.utils.ppc import (
+                noise_posterior, ppc_shape_pvalue,
+            )
 
-    ppc = (
-        ppc_chi2_pvalue(
-            pipe.batched_forward_fn(args.likelihood), res.samples, data,
-            args.noise, jax.random.PRNGKey(args.seed + 101),
-        )
-        if res.samples.shape[0]
-        else None
-    )
+            ppc = ppc_shape_pvalue(
+                fwd_b, res.samples, data, jax.random.PRNGKey(args.seed + 101)
+            )
+            _, sigma_post = noise_posterior(
+                fwd_b, res.samples, data, jax.random.PRNGKey(args.seed + 102),
+                a0=2.0, b0=float(args.noise) ** 2,
+            )
+        else:
+            from bayesianinferencedl_tpu.utils.ppc import ppc_chi2_pvalue
+
+            ppc = ppc_chi2_pvalue(
+                fwd_b, res.samples, data,
+                args.noise, jax.random.PRNGKey(args.seed + 101),
+            )
     # note: with m << n_features observations the field itself is identified
     # only in a few data directions (posterior ~ prior elsewhere); data-space
     # fit is the meaningful recovery metric
@@ -489,6 +504,7 @@ def cmd_invert_ff(args) -> None:
         "data_misfit_posterior_mean": fit_post,
         "data_misfit_prior_mean": fit_prior,
         "ppc_p_value": ppc["p_value"] if ppc else None,
+        **({"noise_sigma_post": sigma_post} if sigma_post is not None else {}),
     }))
 
 
@@ -676,6 +692,12 @@ def main(argv=None) -> None:
         "--data", type=str, default=None,
         help="observation npz (key 'data'): invert EXTERNAL measurements "
         "instead of synthesizing",
+    )
+    p.add_argument(
+        "--infer-noise", action="store_true",
+        help="treat the observation noise as UNKNOWN: integrate sigma out "
+        "under a conjugate InvGamma(2, noise^2) prior; --noise softens into "
+        "the prior scale guess and the sigma posterior is reported",
     )
     p.add_argument("--shard", action="store_true")
     p.set_defaults(fn=cmd_invert_ff)

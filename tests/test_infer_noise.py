@@ -199,6 +199,38 @@ def test_run_inversion_infer_noise_e2e(pipe):
     assert 0.0 <= inv.ppc["p_value"] <= 1.0
 
 
+def test_full_field_infer_noise():
+    """The sigma-marginal potential extends to the full-field pipeline
+    (api_full_field.run_full_field_inversion infer_noise=True) — the
+    m << n_features regime where interpolants always exist, so the proper
+    noise prior carries the whole posterior."""
+    from bayesianinferencedl_tpu.api_full_field import (
+        build_full_field_pipeline,
+        run_full_field_inversion,
+    )
+
+    pipe = build_full_field_pipeline(
+        resolution=1, dtype=jnp.float64, n_features=16, n_snapshots=32,
+        basis_size=6, k_basis_size=24, n_train=128, surrogate_hidden=(32, 32),
+        surrogate_steps=800, cg_tol=1e-11, cg_maxiter=3000, use_pallas=False,
+    )
+    res, z_true, data, ess, r, wall = run_full_field_inversion(
+        pipe, likelihood="rom_nn", n_chains=16, n_steps=800, n_burn=400,
+        noise_sigma=1e-2, infer_noise=True, key=jax.random.PRNGKey(4),
+    )
+    assert np.isfinite(np.asarray(res.samples)).all()
+    z_post = res.samples.mean(axis=(0, 1))
+    fwd = pipe.forward_fn("rom_nn")
+    fit_post = float(jnp.linalg.norm(fwd(z_post) - data))
+    fit_prior = float(jnp.linalg.norm(fwd(jnp.zeros_like(z_post)) - data))
+    assert fit_post < fit_prior
+    sigma, stats = noise_posterior(
+        pipe.batched_forward_fn("rom_nn"), res.samples, data,
+        jax.random.PRNGKey(7), a0=2.0, b0=1e-4,
+    )
+    assert stats["sigma_q05"] > 0 and np.isfinite(stats["sigma_mean"])
+
+
 def test_infer_noise_pt_evidence_and_mala(pipe):
     """The marginal potential rides the tempered and gradient samplers
     unchanged: pt_pcn yields a finite stepping-stone evidence, MALA
