@@ -409,9 +409,23 @@ def cmd_map(args) -> None:
     )
     fwd_theta = pipe.forward_fn(args.likelihood)
     fwd = lambda x: fwd_theta(to_theta(x))
-    misfit = gaussian_misfit(fwd, data, args.noise)
+    sig_lap = args.noise
+    if args.infer_noise:
+        # MAP under the sigma-marginal potential; Laplace at the plug-in
+        # conditional-mode scale (same rule as api.run_inversion)
+        from bayesianinferencedl_tpu.infer.pcn import marginal_misfit
+
+        misfit = marginal_misfit(fwd, data, a0=2.0, b0=float(args.noise) ** 2)
+    else:
+        misfit = gaussian_misfit(fwd, data, args.noise)
     x_map, nlp = find_map_multistart(misfit, pipe.prior, k_map, n_starts=8)
-    lap = laplace_approximation(fwd, data, args.noise, pipe.prior, x_map)
+    if args.infer_noise:
+        r_map = fwd(x_map) - data
+        sig_lap = float(np.sqrt(
+            (float(args.noise) ** 2 + 0.5 * float(jnp.sum(r_map * r_map)))
+            / (2.0 + 0.5 * r_map.shape[-1])
+        ))
+    lap = laplace_approximation(fwd, data, sig_lap, pipe.prior, x_map)
     sd = np.sqrt(np.diag(np.asarray(lap.cov)))
     theta_map = to_theta(x_map)
     print(json.dumps({
@@ -421,6 +435,7 @@ def cmd_map(args) -> None:
         "k_map": np.exp(np.asarray(theta_map)).tolist(),
         "nlp": float(nlp),
         "prior": args.prior,
+        **({"noise_sigma_plugin": sig_lap} if args.infer_noise else {}),
     }))
 
 
@@ -563,6 +578,12 @@ def main(argv=None) -> None:
         if name == "map":
             p.add_argument("--noise", type=float, default=1e-3)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument(
+                "--infer-noise", action="store_true",
+                help="MAP under the sigma-marginalized potential "
+                "(InvGamma(2, noise^2) prior); Laplace intervals at the "
+                "plug-in conditional-mode noise scale",
+            )
         elif name == "evidence":
             p.add_argument("--noise", type=float, default=1e-3)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")

@@ -96,3 +96,29 @@ def test_cli_evidence_json():
     assert rec["log_evidence_std"] >= 0
     assert len(rec["posterior_mean_log_k"]) == 5
     assert all(n <= 64 for n in rec["n_stages"])
+
+
+def test_cli_infer_noise():
+    """`invert --infer-noise` (unknown sigma, marginalized) reports the
+    sigma posterior and the scale-free shape PPC; `map --infer-noise`
+    reports the plug-in scale its Laplace intervals use."""
+    out = _run([
+        "invert", "--resolution", "1", "--n-snapshots", "24", "--r", "8",
+        "--n-train", "64", "--epochs", "20", "--chains", "8",
+        "--steps", "160", "--burn", "40", "--noise", "1e-2", "--infer-noise",
+    ], timeout=900)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    sp = rec["noise_sigma_post"]
+    assert 0 < sp["sigma_q05"] < sp["sigma_q50"] < sp["sigma_q95"]
+    assert 0.0 <= rec["ppc_p_value"] <= 1.0
+
+    out = _run([
+        "map", "--resolution", "1", "--n-snapshots", "24", "--r", "8",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--infer-noise",
+    ], timeout=900)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["noise_sigma_plugin"] > 0
+    assert len(rec["theta_map"]) == 5
