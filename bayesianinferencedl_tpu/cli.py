@@ -439,6 +439,42 @@ def cmd_map(args) -> None:
     }))
 
 
+def cmd_design(args) -> None:
+    """Optimal sensor placement (infer/oed.py): greedy D-optimal /
+    expected-information-gain selection of pointwise temperature sensors
+    from the exterior-boundary candidates — where to put thermocouples
+    BEFORE running the inversion. Beyond the reference's fixed five
+    subfin-average observables."""
+    from bayesianinferencedl_tpu.api import make_prior
+    from bayesianinferencedl_tpu.infer.oed import design_sensors
+    from bayesianinferencedl_tpu.models.five_param import FiveParamFin
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics)
+    dtype = _dtype(args)
+    fin = FiveParamFin.create(
+        resolution=args.resolution, biot=args.biot, dtype=dtype,
+        cg_tol=1e-11 if args.dtype == "float64" else 1e-7,
+    )
+    prior = make_prior(_prior_config(args), dtype=dtype)
+    with log.timer("design"):
+        design = design_sensors(
+            fin, prior, n_sensors=args.sensors, noise_sigma=args.noise,
+            n_draws=args.draws, key=jax.random.PRNGKey(args.seed),
+            tol=1e-11 if args.dtype == "float64" else 1e-7,
+        )
+    log.log("design", n_candidates=int(design.candidates.shape[0]))
+    print(json.dumps({
+        "n_sensors": args.sensors,
+        "node_ids": design.node_ids.tolist(),
+        "xy": [[round(float(a), 6) for a in row] for row in design.xy],
+        "eig_trace_nats": [round(float(v), 4) for v in design.eig_trace],
+        "gains_nats": [round(float(v), 4) for v in design.gains],
+        "n_candidates": int(design.candidates.shape[0]),
+        "prior": args.prior,
+    }))
+
+
 def cmd_invert_ff(args) -> None:
     """Full-field (nodal conductivity) Bayesian inversion in RFF coefficient
     space (SURVEY.md §2a #4)."""
@@ -648,6 +684,18 @@ def main(argv=None) -> None:
             )
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser(
+        "design",
+        help="optimal sensor placement: greedy max-information pointwise "
+        "sensors (infer/oed.py)",
+    )
+    _add_common(p)
+    _add_prior(p)
+    p.add_argument("--sensors", type=int, default=5, help="sensors to place")
+    p.add_argument("--noise", type=float, default=1e-2, help="assumed sensor noise")
+    p.add_argument("--draws", type=int, default=16, help="prior draws for the EIG expectation")
+    p.set_defaults(fn=cmd_design)
 
     p = sub.add_parser("invert-ff", help="full-field (nodal k) inversion")
     _add_common(p)

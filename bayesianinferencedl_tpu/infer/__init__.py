@@ -8,7 +8,9 @@ Python<->C++ boundary crossing the reference pays (SURVEY.md §3.5).
 """
 
 from bayesianinferencedl_tpu.infer.priors import GaussianPrior  # noqa: F401
-from bayesianinferencedl_tpu.infer.pcn import PCNState, pcn_init, pcn_step, run_pcn  # noqa: F401
+from bayesianinferencedl_tpu.infer.pcn import (  # noqa: F401
+    PCNState, gaussian_misfit, marginal_misfit, pcn_init, pcn_step, run_pcn,
+)
 from bayesianinferencedl_tpu.infer.map import find_map, laplace_approximation  # noqa: F401
 from bayesianinferencedl_tpu.infer.diagnostics import (  # noqa: F401
     effective_sample_size, ess_bulk, ess_tail, rhat, split_rhat,

@@ -122,3 +122,20 @@ def test_cli_infer_noise():
     rec = json.loads(out.stdout.strip().split("\n")[-1])
     assert rec["noise_sigma_plugin"] > 0
     assert len(rec["theta_map"]) == 5
+
+
+def test_cli_design():
+    """`design` picks pointwise sensors with a monotone EIG trace and
+    shrinking greedy gains (infer/oed.py)."""
+    out = _run([
+        "design", "--resolution", "1", "--dtype", "float64",
+        "--sensors", "4", "--draws", "6",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert len(rec["node_ids"]) == 4 and len(rec["xy"]) == 4
+    tr = rec["eig_trace_nats"]
+    assert all(b > a for a, b in zip(tr, tr[1:]))
+    g = rec["gains_nats"]
+    assert all(b <= a + 1e-9 for a, b in zip(g, g[1:]))
+    assert rec["n_candidates"] > 20
