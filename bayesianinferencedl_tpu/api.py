@@ -353,22 +353,31 @@ def build_pipeline(
     dtype=jnp.float32,
     metrics: Optional[MetricsLogger] = None,
     use_pallas: Optional[bool] = None,
+    fin: Optional[FiveParamFin] = None,
 ) -> Pipeline:
     """use_pallas: route the batched FOM sweeps (snapshots + error dataset)
-    through the fused Pallas PCG kernel. Default: on when running on TPU."""
+    through the fused Pallas PCG kernel. Default: on when running on TPU.
+
+    fin: use this prebuilt operator instead of creating one from the config
+    — the seam for CUSTOM observation operators, e.g. pointwise sensors
+    from an optimal design (infer/oed.py with_sensor_qoi); the ROM lifted
+    QoI, NN output dimension, and every misfit follow op.n_obs/op.observe
+    automatically. The config's mesh/fem sections should match how the fin
+    was built (they are recorded in artifacts)."""
     log = metrics or MetricsLogger()
     cfg = config
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
     with log.timer("build_fom"):
-        fin = FiveParamFin.create(
-            resolution=cfg.mesh.resolution,
-            biot=cfg.fem.biot,
-            dtype=dtype,
-            cg_tol=cfg.fem.cg_tol,
-            cg_maxiter=cfg.fem.cg_maxiter,
-        )
+        if fin is None:
+            fin = FiveParamFin.create(
+                resolution=cfg.mesh.resolution,
+                biot=cfg.fem.biot,
+                dtype=dtype,
+                cg_tol=cfg.fem.cg_tol,
+                cg_maxiter=cfg.fem.cg_maxiter,
+            )
     log.log("fom_built", n_dof=fin.op.n_dof, n_padded=fin.op.n, pallas=use_pallas)
 
     fom_solver = None

@@ -226,7 +226,28 @@ def cmd_invert(args) -> None:
         ),
         prior=_prior_config(args),
     )
-    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    fin = None
+    if getattr(args, "sensors", None):
+        # invert the POINTWISE observables of a saved optimal design
+        # (design --out) instead of the five subfin averages
+        from bayesianinferencedl_tpu.infer.oed import with_sensor_qoi
+        from bayesianinferencedl_tpu.models.five_param import FiveParamFin
+
+        dz = np.load(args.sensors)
+        if int(dz["resolution"]) != args.resolution:
+            raise SystemExit(
+                f"--sensors design was made at resolution {int(dz['resolution'])}, "
+                f"but --resolution is {args.resolution}"
+            )
+        fin = with_sensor_qoi(
+            FiveParamFin.create(
+                resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
+                cg_tol=cfg.fem.cg_tol, cg_maxiter=cfg.fem.cg_maxiter,
+            ),
+            dz["node_ids"],
+        )
+        log.log("sensor_design", path=args.sensors, n_obs=int(dz["node_ids"].shape[0]))
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log, fin=fin)
     mesh = None
     if args.shard and jax.device_count() > 1:
         from bayesianinferencedl_tpu.parallel import device_mesh
@@ -464,6 +485,13 @@ def cmd_design(args) -> None:
             tol=1e-11 if args.dtype == "float64" else 1e-7,
         )
     log.log("design", n_candidates=int(design.candidates.shape[0]))
+    if args.out:
+        np.savez(
+            args.out, node_ids=design.node_ids, xy=design.xy,
+            eig_trace=design.eig_trace, gains=design.gains,
+            noise_sigma=args.noise, resolution=args.resolution,
+        )
+        log.log("saved_design", path=args.out)
     print(json.dumps({
         "n_sensors": args.sensors,
         "node_ids": design.node_ids.tolist(),
@@ -682,6 +710,11 @@ def main(argv=None) -> None:
                 "instrument noise isn't calibrated); --noise softens into "
                 "the prior scale guess and the sigma posterior is reported",
             )
+            p.add_argument(
+                "--sensors", type=str, default=None,
+                help="design npz from `design --out`: invert its POINTWISE "
+                "sensor observables instead of the five subfin averages",
+            )
             p.add_argument("--shard", action="store_true")
         p.set_defaults(fn=fn)
 
@@ -695,6 +728,10 @@ def main(argv=None) -> None:
     p.add_argument("--sensors", type=int, default=5, help="sensors to place")
     p.add_argument("--noise", type=float, default=1e-2, help="assumed sensor noise")
     p.add_argument("--draws", type=int, default=16, help="prior draws for the EIG expectation")
+    p.add_argument(
+        "--out", type=str, default=None,
+        help="save the design as npz (node_ids/xy/eig) for `invert --sensors`",
+    )
     p.set_defaults(fn=cmd_design)
 
     p = sub.add_parser("invert-ff", help="full-field (nodal k) inversion")

@@ -191,6 +191,28 @@ def design_sensors(
     )
 
 
+def with_sensor_qoi(fin, node_ids: np.ndarray):
+    """A FiveParamFin whose observation operator is the given POINTWISE
+    sensors instead of the five subfin averages: qoi rows become one-hot
+    selectors at the sensors' solution indices. Everything downstream
+    (snapshots, ROM lifted QoI, NN output dim, misfits, samplers) follows
+    op.n_obs/op.observe, so `api.build_pipeline(cfg, fin=with_sensor_qoi(
+    fin, design.node_ids))` inverts the designed observables end to end."""
+    import dataclasses as _dc
+
+    idx = solution_indices(fin)[np.asarray(node_ids)]
+    B = np.zeros((len(idx), fin.op.n), dtype=np.asarray(fin.op.qoi).dtype)
+    B[np.arange(len(idx)), idx] = 1.0
+    # both the device operator AND the host assembly carry qoi rows — the
+    # f64 offline ROM projection reads host.qoi (rom/galerkin.py
+    # project_host), so replace both or the reduced observables keep the
+    # old dimension
+    host = _dc.replace(fin.host, qoi=np.asarray(B, np.float64))
+    return _dc.replace(
+        fin, host=host, op=_dc.replace(fin.op, qoi=jnp.asarray(B))
+    )
+
+
 def eig_of_subset(
     J: jax.Array,
     subset: np.ndarray,

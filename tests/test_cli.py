@@ -139,3 +139,31 @@ def test_cli_design():
     g = rec["gains_nats"]
     assert all(b <= a + 1e-9 for a, b in zip(g, g[1:]))
     assert rec["n_candidates"] > 20
+
+
+def test_cli_design_invert_roundtrip(tmp_path):
+    """`design --out` then `invert --sensors`: the designed pointwise
+    observables flow through the whole pipeline from the CLI."""
+    dz = str(tmp_path / "design.npz")
+    out = _run([
+        "design", "--resolution", "1", "--dtype", "float64",
+        "--sensors", "6", "--draws", "6", "--out", dz,
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    out = _run([
+        "invert", "--resolution", "1", "--n-snapshots", "24", "--r", "8",
+        "--n-train", "64", "--epochs", "20", "--chains", "8",
+        "--steps", "160", "--burn", "40", "--noise", "1e-2",
+        "--sensors", dz,
+    ], timeout=900)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert len(rec["posterior_mean_log_k"]) == 5
+    # resolution mismatch is refused with a clear message
+    out = _run([
+        "invert", "--resolution", "2", "--n-snapshots", "24", "--r", "8",
+        "--n-train", "64", "--epochs", "20", "--chains", "8",
+        "--steps", "120", "--burn", "40", "--sensors", dz,
+    ])
+    assert out.returncode != 0
+    assert "resolution" in (out.stderr + out.stdout)

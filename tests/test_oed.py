@@ -127,3 +127,46 @@ def test_designed_sensors_tighten_the_actual_posterior():
     v_design = posterior_var(design.node_ids, jax.random.PRNGKey(2))
     v_cluster = posterior_var(clustered, jax.random.PRNGKey(3))
     assert v_design < v_cluster, (v_design, v_cluster)
+
+
+def test_designed_sensors_through_full_pipeline():
+    """with_sensor_qoi + build_pipeline(fin=...): the whole offline stack
+    (snapshots, ROM lifted QoI, NN correction) and the inversion follow a
+    CUSTOM pointwise observation operator end to end."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig,
+        SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.infer.oed import with_sensor_qoi
+
+    fin = FiveParamFin.create(resolution=1, dtype=jnp.float64, cg_tol=1e-11)
+    prior = GaussianPrior.iid(5, sigma=0.6, dtype=jnp.float64)
+    design = design_sensors(
+        fin, prior, n_sensors=7, noise_sigma=1e-2, n_draws=8,
+        key=jax.random.PRNGKey(0),
+    )
+    fin_s = with_sensor_qoi(fin, design.node_ids)
+    assert fin_s.op.n_obs == 7
+
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=1),
+        fem=FEMConfig(cg_tol=1e-11, cg_maxiter=2000),
+        rom=ROMConfig(n_snapshots=48, basis_size=20),
+        surrogate=SurrogateConfig(hidden=(32, 32), n_train=192, epochs=80, batch_size=64),
+        mcmc=MCMCConfig(n_chains=32, n_steps=1200, n_burn=400, beta=0.3, noise_sigma=1e-2),
+    )
+    pipe = build_pipeline(cfg, dtype=jnp.float64, fin=fin_s)
+    # the surrogate learned the 7-dim observable space
+    assert pipe.dataset.y_fom.shape[-1] == 7
+    inv = run_inversion(pipe, likelihood="rom_nn", key=jax.random.PRNGKey(11))
+    assert inv.data.shape == (7,)
+    post_mean = np.asarray(inv.result.samples.mean(axis=(0, 1)))
+    post_sd = np.asarray(inv.result.samples.reshape(-1, 5).std(axis=0))
+    theta_true = np.asarray(inv.theta_true)
+    # truth within the posterior's own calibration (pointwise sensors leave
+    # some components legitimately wide at 1e-2 noise — the check is
+    # coverage, not a hard error bound)
+    err = np.abs(post_mean - theta_true)
+    assert err.max() < 0.5, (post_mean, theta_true)
+    assert np.all(err < 3.0 * post_sd + 0.05), (err, post_sd)
