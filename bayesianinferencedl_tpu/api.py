@@ -1283,7 +1283,7 @@ class InversionResult:
     # misspecified forward model or noise level
     ppc: Optional[dict] = None
     # cfg.infer_noise runs only: the marginal posterior over the observation
-    # noise sigma, recovered from the conjugate InvGamma(m/2, S/2)
+    # noise sigma, recovered from the conjugate InvGamma(a0 + m/2, b0 + S/2)
     # conditional over kept draws (utils/ppc.py noise_posterior) —
     # {"sigma_mean", "sigma_sd", "sigma_q05", "sigma_q50", "sigma_q95"}
     noise_sigma_post: Optional[dict] = None
@@ -1443,7 +1443,7 @@ def run_inversion(
     fwd = lambda x: fwd_theta(to_theta(x))
     # likelihood-potential factory for EVERY misfit this function builds
     # (fine, coarse, differentiable, mid-rung): conditioned on noise_sigma,
-    # or with sigma integrated out under the Jeffreys prior
+    # or with sigma integrated out under a conjugate InvGamma prior
     # (cfg.infer_noise — infer/pcn.py marginal_misfit)
     if cfg.infer_noise:
         # proper conjugate noise prior sigma^2 ~ InvGamma(2, noise_sigma^2):
