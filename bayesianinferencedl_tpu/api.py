@@ -1889,6 +1889,48 @@ def run_inversion(
     )
     return out
 
+
+def predict_temperature(
+    pipe: Pipeline,
+    samples: jax.Array,
+    *,
+    points=None,
+    n_draws: int = 256,
+    noise_sigma: Optional[float] = None,
+):
+    """Posterior push-forward prediction of the temperature field
+    (utils/predict.py — the workflow step AFTER inversion: what does the
+    posterior imply about temperatures that were never measured?).
+
+    samples: kept chain states in WORKING coordinates — exactly
+    ``InversionResult.result.samples`` ((T, C, d) or flattened (N, d)).
+    points: optional (P, 2) coordinates for exact P1 point prediction;
+    noise_sigma: if given, also reports the predictive SD a NEW thermocouple
+    reading at each point would have (epistemic + aleatoric in quadrature).
+
+    One batched FOM sweep over the evenly-thinned subsample — the identical
+    solver route the FOM-likelihood samplers use (fused Pallas CG on TPU) —
+    then host-side order statistics. Returns utils.predict.FieldPrediction
+    with node arrays in mesh-node order."""
+    from bayesianinferencedl_tpu.infer.oed import solution_indices
+    from bayesianinferencedl_tpu.utils.ppc import thin_samples
+    from bayesianinferencedl_tpu.utils.predict import predict_field
+
+    s = jnp.asarray(samples)
+    if s.ndim == 2:
+        s = s[:, None, :]
+    x = thin_samples(s, n_draws)
+    theta = jax.vmap(pipe.prior.to_theta)(x)
+    solver = make_fom_solver(
+        pipe.fin, tol=pipe.fin.cg_tol, maxiter=pipe.fin.cg_maxiter
+    )
+    u = solver(jnp.exp(theta))
+    return predict_field(
+        u, solution_indices(pipe.fin), pipe.fin.mesh,
+        points=points, noise_sigma=noise_sigma,
+    )
+
+
 @dataclass(frozen=True)
 class SMCEvidenceResult:
     """run_smc_evidence output: the SMC estimate of the log model evidence

@@ -73,6 +73,21 @@ class FullFieldPipeline:
     def conductivity(self, z: jax.Array) -> jax.Array:
         return jnp.exp(self.theta(z))
 
+    def node_mesh_ids(self):
+        """(mesh, gid): the fin mesh at this pipeline's resolution and the
+        solution-vector row of each mesh node — the mapping every per-node
+        readout of theta/u must go through (the solver works in the padded
+        GRID numbering; plots/predictions work per mesh node)."""
+        from bayesianinferencedl_tpu.infer.oed import mesh_node_grid_ids
+
+        mesh = build_fin_mesh(self.op.resolution)
+        return mesh, mesh_node_grid_ids(mesh)
+
+    def node_theta(self, z: jax.Array) -> jax.Array:
+        """z -> log-conductivity at the MESH nodes (plot/predict layout)."""
+        _, gid = self.node_mesh_ids()
+        return self.theta(z)[jnp.asarray(gid)]
+
     def forward_fn(self, likelihood: str) -> Callable:
         """z -> observables, per likelihood family."""
         if likelihood == "fom":
@@ -168,8 +183,15 @@ def build_full_field_pipeline(
             base=StencilOperator.from_host(host, biot=biot, dtype=dtype),
             G=jnp.asarray(G_host, dtype),
         )
+        # features laid out in the GRID numbering the stencil operator reads
+        # (NodalStencilOperator.vals consumes k[row + offset] over grid
+        # rows) — the identity placement would silently scramble the field
+        # (models/full_field.py RandomField.create docstring)
+        from bayesianinferencedl_tpu.infer.oed import mesh_node_grid_ids
+
         field = RandomField.create(
-            mesh, host.n, ell=ell, sigma=sigma, n_features=n_features, seed=seed, dtype=dtype
+            mesh, host.n, ell=ell, sigma=sigma, n_features=n_features,
+            seed=seed, dtype=dtype, node_ids=mesh_node_grid_ids(mesh),
         )
     log.log("fom_built", n_dof=op.n_dof, n_features=n_features, pallas=use_pallas)
 
@@ -319,10 +341,12 @@ def coarse_fom_forward(pipe: FullFieldPipeline, resolution: int) -> Callable:
         base=StencilOperator.from_host(host_c, biot=pipe.biot, dtype=dtype),
         G=jnp.asarray(assemble_nodal_coeff(mesh_c, host_c), dtype),
     )
+    from bayesianinferencedl_tpu.infer.oed import mesh_node_grid_ids
+
     field_c = RandomField.create(
         mesh_c, host_c.n, ell=pipe.ell, sigma=pipe.field.sigma,
         mean=pipe.field.mean, n_features=pipe.field.n_features,
-        seed=pipe.seed, dtype=dtype,
+        seed=pipe.seed, dtype=dtype, node_ids=mesh_node_grid_ids(mesh_c),
     )
 
     def conductivity_c(z):
@@ -851,3 +875,78 @@ def run_full_field_inversion(
         accept_rate=float(jnp.mean(res.accept_rate)),
     )
     return res, z_true, data, ess, r, wall
+
+
+def _batched_solve_u(pipe: FullFieldPipeline, zs: jax.Array) -> jax.Array:
+    """(B, M) coefficients -> (B, n) temperature fields, through the SAME
+    solver route the FOM-likelihood samplers use (fused Pallas stencil CG
+    with deflation on TPU, vmapped implicit-diff solve elsewhere)."""
+    ks = jax.vmap(pipe.conductivity)(zs)
+    if jax.default_backend() == "tpu" and pipe.op.dtype == jnp.float32:
+        from bayesianinferencedl_tpu.ops.pcg_stencil import (
+            derived_maxiter, solve_fom_stencil_pallas,
+        )
+
+        mi = min(pipe.cg_maxiter, derived_maxiter(pipe.op.resolution))
+        u, _ = jax.jit(
+            lambda k: solve_fom_stencil_pallas(
+                pipe.op, k, tol=pipe.cg_tol, maxiter=mi, deflation=pipe.deflation
+            )
+        )(ks)
+        return u
+    return jax.vmap(
+        lambda k: solve_fom(pipe.op, k, tol=pipe.cg_tol, maxiter=pipe.cg_maxiter)
+    )(ks)
+
+
+def predict_temperature_ff(
+    pipe: FullFieldPipeline,
+    samples: jax.Array,
+    *,
+    points=None,
+    n_draws: int = 256,
+    noise_sigma: Optional[float] = None,
+):
+    """Posterior push-forward prediction of the temperature field for the
+    full-field pipeline (same contract as api.predict_temperature: samples
+    are kept chain states over RFF coefficients z, (T, C, M) or (N, M);
+    returns utils.predict.FieldPrediction in mesh-node order)."""
+    from bayesianinferencedl_tpu.utils.ppc import thin_samples
+    from bayesianinferencedl_tpu.utils.predict import predict_field
+
+    s = jnp.asarray(samples)
+    if s.ndim == 2:
+        s = s[:, None, :]
+    zs = thin_samples(s, n_draws)
+    u = _batched_solve_u(pipe, zs)
+    mesh, gid = pipe.node_mesh_ids()
+    return predict_field(u, gid, mesh, points=points, noise_sigma=noise_sigma)
+
+
+def predict_conductivity_ff(
+    pipe: FullFieldPipeline,
+    samples: jax.Array,
+    *,
+    points=None,
+    n_draws: int = 512,
+):
+    """Posterior of the LOG-CONDUCTIVITY field itself — the inferred
+    quantity — summarized per mesh node (mean / pointwise std / quantiles).
+    Linear in z, so no solves: one (D, M) x (M, n_nodes) matmul over the
+    thinned subsample. Generalizes scripts/plot_ff_posterior.py's panels
+    into a first-class API."""
+    from bayesianinferencedl_tpu.utils.ppc import thin_samples
+    from bayesianinferencedl_tpu.utils.predict import predict_field
+
+    s = jnp.asarray(samples)
+    if s.ndim == 2:
+        s = s[:, None, :]
+    zs = thin_samples(s, n_draws)
+    mesh, gid = pipe.node_mesh_ids()
+    feats = pipe.field.features[jnp.asarray(gid)]  # (n_nodes, M)
+    theta_draws = pipe.field.mean + pipe.field.sigma * jnp.dot(
+        zs, feats.T, precision=jax.lax.Precision.HIGHEST
+    )
+    return predict_field(
+        theta_draws, np.arange(mesh.n_nodes), mesh, points=points
+    )

@@ -65,6 +65,20 @@ def _cg_maxiter(args) -> int:
     return max(480, 120 * args.resolution)
 
 
+def _parse_points(specs):
+    """["X,Y", ...] (--predict-at values) -> (P, 2) float array or None."""
+    if not specs:
+        return None
+    pts = []
+    for s in specs:
+        try:
+            x, y = (float(v) for v in s.split(","))
+        except ValueError:
+            raise SystemExit(f"--predict-at expects 'X,Y', got {s!r}")
+        pts.append((x, y))
+    return np.asarray(pts)
+
+
 def _fin(args):
     from bayesianinferencedl_tpu.models.five_param import FiveParamFin
 
@@ -297,6 +311,24 @@ def cmd_invert(args) -> None:
     if inv.noise_sigma_post is not None:
         # --infer-noise: the marginal sigma posterior (mean, sd, quantiles)
         out["noise_sigma_post"] = inv.noise_sigma_post
+    if getattr(args, "predict_at", None) or getattr(args, "predict_out", None):
+        from bayesianinferencedl_tpu.api import predict_temperature
+
+        # aleatoric part of a NEW reading: the configured noise, or the
+        # posterior-median sigma when the noise itself was inferred
+        sig = args.noise
+        if inv.noise_sigma_post is not None:
+            sig = inv.noise_sigma_post["sigma_q50"]
+        pred = predict_temperature(
+            pipe, inv.result.samples,
+            points=_parse_points(args.predict_at), noise_sigma=sig,
+        )
+        if args.predict_at:
+            out["predictions"] = pred.summary_rows()
+        if args.predict_out:
+            pred.save_npz(args.predict_out)
+            out["prediction_field"] = args.predict_out
+        log.log("predict", n_draws=pred.n_draws, points=len(pred.summary_rows()))
     print(json.dumps(out))
 
 
@@ -572,7 +604,7 @@ def cmd_invert_ff(args) -> None:
     # note: with m << n_features observations the field itself is identified
     # only in a few data directions (posterior ~ prior elsewhere); data-space
     # fit is the meaningful recovery metric
-    print(json.dumps({
+    out = {
         "likelihood": args.likelihood,
         "sampler": args.sampler,
         "n_features": args.n_features,
@@ -584,7 +616,24 @@ def cmd_invert_ff(args) -> None:
         "data_misfit_prior_mean": fit_prior,
         "ppc_p_value": ppc["p_value"] if ppc else None,
         **({"noise_sigma_post": sigma_post} if sigma_post is not None else {}),
-    }))
+    }
+    if getattr(args, "predict_at", None) or getattr(args, "predict_out", None):
+        from bayesianinferencedl_tpu.api_full_field import predict_temperature_ff
+
+        sig = args.noise
+        if sigma_post is not None:
+            sig = sigma_post["sigma_q50"]
+        pred = predict_temperature_ff(
+            pipe, res.samples,
+            points=_parse_points(args.predict_at), noise_sigma=sig,
+        )
+        if args.predict_at:
+            out["predictions"] = pred.summary_rows()
+        if args.predict_out:
+            pred.save_npz(args.predict_out)
+            out["prediction_field"] = args.predict_out
+        log.log("predict", n_draws=pred.n_draws, points=len(pred.summary_rows()))
+    print(json.dumps(out))
 
 
 def cmd_pipeline(args) -> None:
@@ -716,6 +765,20 @@ def main(argv=None) -> None:
                 "sensor observables instead of the five subfin averages",
             )
             p.add_argument("--shard", action="store_true")
+            if name == "invert":
+                p.add_argument(
+                    "--predict-at", action="append", default=None,
+                    metavar="X,Y",
+                    help="posterior-predictive temperature at a point that "
+                    "was never instrumented (repeatable; exact P1 "
+                    "interpolation through a batched FOM sweep over the "
+                    "posterior — api.predict_temperature)",
+                )
+                p.add_argument(
+                    "--predict-out", type=str, default=None,
+                    help="save the full posterior temperature-field "
+                    "prediction (mean/std/quantiles per mesh node) as npz",
+                )
         p.set_defaults(fn=fn)
 
     p = sub.add_parser(
@@ -806,6 +869,15 @@ def main(argv=None) -> None:
         "the prior scale guess and the sigma posterior is reported",
     )
     p.add_argument("--shard", action="store_true")
+    p.add_argument(
+        "--predict-at", action="append", default=None, metavar="X,Y",
+        help="posterior-predictive temperature at an uninstrumented point "
+        "(repeatable; api_full_field.predict_temperature_ff)",
+    )
+    p.add_argument(
+        "--predict-out", type=str, default=None,
+        help="save the posterior temperature-field prediction as npz",
+    )
     p.set_defaults(fn=cmd_invert_ff)
 
     p = sub.add_parser("evidence-ff", help="full-field model evidence (adaptive tempered SMC)")

@@ -113,14 +113,31 @@ class RandomField(NamedTuple):
         n_features: int = 256,
         seed: int = 0,
         dtype=jnp.float32,
+        node_ids=None,
     ) -> "RandomField":
+        """node_ids: (n_nodes,) solution-vector row of each MESH node in the
+        layout that will consume the sampled field — ``None`` (identity) for
+        the ELL/element layout, the structured-grid ids for the dia/stencil
+        layout (infer/oed.py mesh_node_grid_ids). The features matrix MUST be
+        laid out the way the operator reads k: getting this wrong silently
+        replaces the GP with a node-scrambled, partially-constant field
+        (found + fixed round 3 — the dia full-field pipeline used the
+        identity placement while NodalStencilOperator.vals reads grid rows).
+        Rows not owned by any mesh node are zero (field = mean there; the
+        operator never reads them — G is zero off-domain)."""
         key = jax.random.PRNGKey(seed)
         kw, kb = jax.random.split(key)
         W = jax.random.normal(kw, (2, n_features)) / ell
         b = jax.random.uniform(kb, (n_features,), maxval=2 * jnp.pi)
-        X = jnp.zeros((n_padded, 2)).at[: mesh.n_nodes].set(jnp.asarray(mesh.nodes))
-        feats = jnp.sqrt(2.0 / n_features) * jnp.cos(X @ W + b)
-        feats = feats.at[mesh.n_nodes :].set(0.0)  # padding nodes: field = mean
+        ids = (
+            jnp.arange(mesh.n_nodes)
+            if node_ids is None
+            else jnp.asarray(np.asarray(node_ids), jnp.int32)
+        )
+        feats_n = jnp.sqrt(2.0 / n_features) * jnp.cos(
+            jnp.asarray(mesh.nodes) @ W + b
+        )  # (n_nodes, M) at the true node coordinates
+        feats = jnp.zeros((n_padded, n_features)).at[ids].set(feats_n)
         return cls(features=feats.astype(dtype), sigma=float(sigma), mean=float(mean))
 
     @property

@@ -67,14 +67,15 @@ def main() -> None:
     T, C, d = res.samples.shape
     zs = np.asarray(res.samples).reshape(T * C, d)
     idx = np.linspace(0, T * C - 1, min(2048, T * C)).astype(np.int64)
-    feats = np.asarray(pipe.field.features)  # (n_padded, M)
+    # features live in the solver's GRID layout; read them back PER MESH NODE
+    # through the pipeline's mapping (api_full_field.node_mesh_ids)
+    mesh, gid = pipe.node_mesh_ids()
+    feats = np.asarray(pipe.field.features)[np.asarray(gid)]  # (n_nodes, M)
     theta_draws = pipe.field.mean + pipe.field.sigma * zs[idx] @ feats.T
     theta_mean = theta_draws.mean(axis=0)
     theta_std = theta_draws.std(axis=0)
-    theta_true = np.asarray(pipe.theta(z_true))
-
-    mesh = build_fin_mesh(args.resolution)
-    n = mesh.n_nodes  # features are node-indexed; rows past n are padding
+    theta_true = np.asarray(pipe.node_theta(z_true))
+    n = mesh.n_nodes
 
     import matplotlib
 

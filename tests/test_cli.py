@@ -167,3 +167,39 @@ def test_cli_design_invert_roundtrip(tmp_path):
     ])
     assert out.returncode != 0
     assert "resolution" in (out.stderr + out.stdout)
+
+
+def test_cli_predict(tmp_path):
+    """`invert --predict-at --predict-out`: posterior-predictive temperature
+    at uninstrumented points plus the saved field npz
+    (api.predict_temperature; utils/predict.py)."""
+    field_out = str(tmp_path / "pred.npz")
+    out = _run([
+        "invert", "--resolution", "1", "--n-snapshots", "24", "--r", "8",
+        "--n-train", "64", "--epochs", "20", "--chains", "8",
+        "--steps", "120", "--burn", "40", "--noise", "1e-2",
+        "--predict-at", "0.1,2.3", "--predict-at=-2.5,0.875",
+        "--predict-out", field_out,
+    ], timeout=900)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    rows = rec["predictions"]
+    assert len(rows) == 2
+    for row in rows:
+        assert row["q05"] <= row["mean"] <= row["q95"]
+        assert row["sd"] > 0
+        # new-reading SD includes the 1e-2 noise floor in quadrature
+        assert row["pred_sd"] >= max(row["sd"], 1e-2)
+    import numpy as np
+
+    z = np.load(field_out)
+    assert z["mean"].shape == z["std"].shape == (z["node_xy"].shape[0],)
+    # an out-of-domain point must fail loudly
+    bad = _run([
+        "invert", "--resolution", "1", "--n-snapshots", "24", "--r", "8",
+        "--n-train", "64", "--epochs", "20", "--chains", "8",
+        "--steps", "120", "--burn", "40", "--noise", "1e-2",
+        "--predict-at", "2.0,1.5",
+    ], timeout=900)
+    assert bad.returncode != 0
+    assert "outside" in bad.stderr
