@@ -73,9 +73,10 @@ class FiveParamFin:
 
     def deflation_basis(self, m: Optional[int] = None):
         """Lazily build (and cache) the two-level deflation basis for the
-        fused Pallas CG kernels (ops/deflation.py): smooth tensor-cosine
-        modes + affine-Galerkin coarse components, host f64 once per mesh.
-        Returns None for the ELL layout (no structured grid).
+        fused Pallas CG kernels (ops/deflation.py): the lowest generalized
+        eigenvectors of (A(1), D(1)) + affine-Galerkin coarse components,
+        host f64 once per mesh (cosine-mode fallback if the eigensolve
+        fails). Returns None for the ELL layout (no structured grid).
 
         m defaults to 128 (a full MXU/lane tile). It must STAY a multiple of
         128: the kernels' deflation matmuls put m on the lane axis, and m=64

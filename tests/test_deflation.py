@@ -87,6 +87,55 @@ def test_deflation_basis_cached_on_fin():
     assert d1 is d2 and d1.m == 128
 
 
+def test_eig_basis_beats_cosine_iterations(setup):
+    """The default eig coarse space must converge in no more PCG iterations
+    than the cosine space at equal m (measured ~1.4x fewer on the host,
+    1.33x in-kernel at res4-8 — ops/deflation.py module docstring)."""
+    import scipy.sparse as sp
+
+    host, op, _ = setup
+    As, Mext = host.to_scipy_components()
+    mask = sum(A.diagonal() for A in As) > 0
+    b = host.F_root.astype(np.float64)
+
+    def pcg_iters(A, W, maxiter=2000, tol=1e-7):
+        Dinv = 1.0 / A.diagonal()
+        Binv = np.linalg.inv(W.T @ (A @ W))
+        x = np.zeros_like(b)
+        r = b.copy()
+        tol2 = tol * tol * float(r @ r)
+        z = Dinv * r + W @ (Binv @ (W.T @ r))
+        p = z.copy()
+        rz = float(r @ z)
+        for it in range(maxiter):
+            if float(r @ r) <= tol2:
+                return it
+            Ap = A @ p
+            alpha = rz / float(p @ Ap)
+            x += alpha * p
+            r -= alpha * Ap
+            z = Dinv * r + W @ (Binv @ (W.T @ r))
+            rz_new = float(r @ z)
+            p = z + (rz_new / rz) * p
+            rz = rz_new
+        return maxiter
+
+    bases = {
+        name: np.asarray(
+            DeflationBasis.create(host, biot=BIOT, m=64, basis=name).Wt, np.float64
+        ).T
+        for name in ("eig", "cosine")
+    }
+    ks = np.exp(np.random.default_rng(11).uniform(np.log(0.1), np.log(10), (6, 5)))
+    its = {name: [] for name in bases}
+    for k in ks:
+        A = (sum(ki * Ai for ki, Ai in zip(k, As)) + BIOT * Mext
+             + sp.diags(np.where(mask, 0.0, 1.0))).tocsr()
+        for name, W in bases.items():
+            its[name].append(pcg_iters(A, W))
+    assert np.mean(its["eig"]) < np.mean(its["cosine"]), its
+
+
 def test_nonaffine_coarse_projection_matches_dense(setup):
     """coarse_inverses_from_vals (the nodal-operator path) must agree with
     the affine assembly on an affine operator's vals."""
