@@ -34,7 +34,12 @@ Two coarse spaces, selected by `basis=`:
 A union of eigenspaces from several high-contrast corner k's was measured
 WORSE than spending the whole budget at k=1 (res8 m=128: 95.1 vs 69.5 mean
 iters) — splitting m dilutes the per-operator resolution faster than the
-k-coverage pays.
+k-coverage pays. Doubling the budget (m=256, eig, res8 S=16 on-chip) cuts
+iterations further (89 -> 65 mean) but is NET SLOWER (48.5 -> 64.5 ms per
+256-batch): the per-iteration (S, m) x (S, m, m) coarse-inverse apply is a
+VPU contraction whose cost grows with m^2 and at m=256 it outweighs the
+iteration cut (and at res16 the bf16 W alone would bust VMEM). m=128 — one
+MXU/lane tile — is the measured sweet spot.
 
 This is the TPU-native answer to the multigrid crossover failure
 (experimental/multigrid.py): the coarse space rides the MXU instead of a
