@@ -1931,6 +1931,57 @@ def predict_temperature(
     )
 
 
+def run_sbc_check(
+    pipe: Pipeline,
+    likelihood: str = "rom_nn",
+    *,
+    n_datasets: int = 128,
+    n_chains: int = 31,
+    n_steps: int = 800,
+    n_burn: int = 400,
+    beta: float = 0.25,
+    n_bins: int = 8,
+    seed: int = 0,
+    metrics=None,
+):
+    """Simulation-based calibration of the deployed sampler + likelihood
+    (infer/sbc.py, SURVEY.md §4 posterior-quality oracles): J synthetic
+    inversions drawn from the pipeline's own prior x likelihood, all run in
+    ONE pCN program (J x C chain slots, per-slot observations in the batched
+    misfit), rank-tested for posterior correctness. A small p_value means
+    the sampler is NOT drawing from the posterior its config claims — e.g.
+    a mis-scaled noise_sigma, a biased surrogate, or a broken proposal.
+
+    Works for every prior kind: samples and ranks live in the prior's
+    working coordinates (identity for GaussianPrior, whitened z for
+    BoxPrior); ranks are invariant under the componentwise-monotone
+    push-forward, so the verdict is about k-space too. Returns
+    infer.sbc.SBCResult."""
+    from bayesianinferencedl_tpu.infer.sbc import run_sbc
+
+    to_theta = pipe.prior.to_theta
+    fwd_b = pipe.batched_forward_fn(likelihood)
+
+    def fwd(xs):
+        return fwd_b(jax.vmap(to_theta)(xs))
+
+    t0 = time.perf_counter()
+    res = run_sbc(
+        fwd, pipe.prior, pipe.config.mcmc.noise_sigma, jax.random.PRNGKey(seed),
+        n_datasets=n_datasets, n_chains=n_chains, n_steps=n_steps,
+        n_burn=n_burn, beta=beta, n_bins=n_bins,
+    )
+    if metrics is not None:
+        metrics.log(
+            "sbc", likelihood=likelihood, n_datasets=n_datasets,
+            n_chains=n_chains,
+            p_min=float(jnp.min(res.p_values)),
+            p_values=[float(p) for p in res.p_values],
+            wall_seconds=time.perf_counter() - t0,
+        )
+    return res
+
+
 @dataclass(frozen=True)
 class SMCEvidenceResult:
     """run_smc_evidence output: the SMC estimate of the log model evidence

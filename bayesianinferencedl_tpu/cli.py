@@ -332,6 +332,52 @@ def cmd_invert(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_sbc(args) -> None:
+    """Simulation-based calibration of the deployed sampler + likelihood
+    (api.run_sbc_check / infer/sbc.py): rank-uniformity is the oracle that
+    catches a WRONG posterior (mis-scaled noise, biased surrogate, broken
+    proposal) — the failure mode R-hat is blind to."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_sbc_check
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics)
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        mcmc=MCMCConfig(
+            noise_sigma=args.noise, likelihood=args.likelihood, seed=args.seed,
+        ),
+        prior=_prior_config(args),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    res = run_sbc_check(
+        pipe, args.likelihood, n_datasets=args.datasets, n_chains=args.sbc_chains,
+        n_steps=args.steps, n_burn=args.burn, n_bins=args.bins,
+        seed=args.seed, metrics=log,
+    )
+    p_min = float(np.min(np.asarray(res.p_values)))
+    print(json.dumps({
+        "likelihood": args.likelihood,
+        "prior": args.prior,
+        "noise_sigma": args.noise,
+        "n_datasets": args.datasets,
+        "n_posterior_draws": res.n_draws,
+        "p_values": [round(float(p), 5) for p in np.asarray(res.p_values)],
+        "p_min": round(p_min, 5),
+        "calibrated": bool(p_min > 0.005),
+        "rank_counts": np.asarray(res.counts).tolist(),
+        "accept_rate": round(float(np.mean(np.asarray(res.accept_rate))), 4),
+    }))
+
+
 def cmd_evidence(args) -> None:
     """Model evidence by adaptive tempered SMC (infer/smc.py): the
     schedule-free, unbiased estimator — run once per --likelihood on the
@@ -673,6 +719,7 @@ def main(argv=None) -> None:
         ("pipeline", cmd_pipeline),
         ("map", cmd_map),
         ("evidence", cmd_evidence),
+        ("sbc", cmd_sbc),
     ]:
         p = sub.add_parser(name)
         _add_common(p)
@@ -697,6 +744,18 @@ def main(argv=None) -> None:
                 "(InvGamma(2, noise^2) prior); Laplace intervals at the "
                 "plug-in conditional-mode noise scale",
             )
+        elif name == "sbc":
+            p.add_argument("--noise", type=float, default=1e-2)
+            p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument("--datasets", type=int, default=128, help="synthetic inversions J")
+            p.add_argument(
+                "--sbc-chains", type=int, default=31,
+                help="chains per dataset C (posterior draws per rank; "
+                "C+1 must divide by --bins)",
+            )
+            p.add_argument("--steps", type=int, default=800)
+            p.add_argument("--burn", type=int, default=400)
+            p.add_argument("--bins", type=int, default=8, help="rank-histogram bins")
         elif name == "evidence":
             p.add_argument("--noise", type=float, default=1e-3)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")

@@ -1,0 +1,116 @@
+"""Simulation-based calibration (SBC): the posterior-correctness oracle.
+
+Talts et al. 2018 ("Validating Bayesian inference algorithms with
+simulation-based calibration"): draw (theta*, y) from the joint
+prior x likelihood, sample the posterior given y with the sampler under
+test, and rank theta* among L posterior draws. If the sampler targets the
+exact posterior, the rank is uniform on {0..L} for every parameter — any
+bug that warps the posterior (mis-scaled noise, a wrong accept ratio, a
+prior mismatch, a biased surrogate) shows up as a non-uniform rank
+histogram. This is the oracle R-hat cannot be: R-hat certifies the chains
+AGREE, SBC certifies they agree on the RIGHT posterior (SURVEY.md §4
+posterior-quality oracles).
+
+TPU-first batching: all J synthetic datasets run in ONE sampler program.
+The chain axis is J x C with a per-slot observation array captured by the
+batched misfit, so the whole calibration is a single run_pcn call — scan
+over steps x vmap over J*C chains, no Python loop over datasets. The L
+posterior draws used for each rank are the C chains' final states:
+independent chains give independent draws by construction, so no
+autocorrelation thinning is needed (the standard single-chain SBC pitfall).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bayesianinferencedl_tpu.infer.pcn import run_pcn
+from bayesianinferencedl_tpu.infer.priors import GaussianPrior
+
+
+class SBCResult(NamedTuple):
+    ranks: jax.Array  # (J, d) int32 — rank of theta*_j among C draws, in [0, C]
+    n_draws: int  # C (rank support is {0..C}: C+1 values)
+    p_values: jax.Array  # (d,) chi-square uniformity p-value per parameter
+    counts: jax.Array  # (d, n_bins) rank-histogram counts
+    accept_rate: jax.Array  # (J*C,) per-chain acceptance (sanity signal)
+
+
+def rank_uniformity_pvalue(ranks, n_draws: int, n_bins: int):
+    """Chi-square goodness-of-fit of ranks (J, d) against the uniform law on
+    {0..n_draws}, per parameter. n_bins must divide n_draws + 1 so every bin
+    has equal probability. Returns (p_values (d,), counts (d, n_bins))."""
+    import numpy as np
+    from scipy import stats
+
+    ranks = np.asarray(ranks)
+    J, d = ranks.shape
+    if (n_draws + 1) % n_bins:
+        raise ValueError(f"n_bins={n_bins} must divide n_draws+1={n_draws + 1}")
+    width = (n_draws + 1) // n_bins
+    bins = np.clip(ranks // width, 0, n_bins - 1)
+    counts = np.stack([np.bincount(bins[:, i], minlength=n_bins) for i in range(d)])
+    expected = J / n_bins
+    chi2 = ((counts - expected) ** 2 / expected).sum(axis=1)
+    return stats.chi2.sf(chi2, df=n_bins - 1), counts
+
+
+def run_sbc(
+    forward_batch: Callable,
+    prior: GaussianPrior,
+    noise_sigma: float,
+    key: jax.Array,
+    *,
+    n_datasets: int,
+    n_chains: int = 32,
+    n_steps: int = 800,
+    n_burn: int = 400,
+    beta: float = 0.25,
+    n_bins: int = 8,
+) -> SBCResult:
+    """Calibrate the pCN sampler + Gaussian likelihood on `forward_batch`.
+
+    forward_batch: (B, d) -> (B, m) batched forward map (e.g.
+    ``jax.vmap(pipe.forward_fn("rom_nn"))`` or a Pallas batch solver).
+    Runs J = n_datasets synthetic inversions with C = n_chains chains each
+    (J*C total chain slots in one program) and rank-tests theta* against
+    each dataset's C final draws. n_chains + 1 must be divisible by n_bins.
+    """
+    J, C = n_datasets, n_chains
+    if (C + 1) % n_bins:
+        raise ValueError(f"n_chains+1={C + 1} must be divisible by n_bins={n_bins}")
+    k_theta, k_noise, k_init, k_run = jax.random.split(key, 4)
+
+    theta_star = prior.sample(k_theta, (J,))  # (J, d)
+    # jit the simulation sweep: eagerly, a vmapped iterative forward is
+    # hundreds of per-primitive dispatches (~10 ms tunnel RTT each on this
+    # environment — CLAUDE.md whole-solve-jit rule)
+    y_clean = jax.jit(forward_batch)(theta_star)  # (J, m)
+    y = y_clean + noise_sigma * jax.random.normal(k_noise, y_clean.shape, y_clean.dtype)
+    data = jnp.repeat(y, C, axis=0)  # (J*C, m) — one dataset per chain slot
+
+    inv_two_sig2 = 0.5 / (noise_sigma * noise_sigma)
+
+    def misfit(theta):  # (J*C, d) -> (J*C,)
+        r = forward_batch(theta) - data
+        return inv_two_sig2 * jnp.sum(r * r, axis=-1)
+
+    theta0 = prior.sample(k_init, (J * C,))
+    res = run_pcn(
+        misfit, prior, theta0, k_run,
+        n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True,
+    )
+    draws = res.samples[-1].reshape(J, C, -1)  # C independent chains' finals
+    ranks = jnp.sum(draws < theta_star[:, None, :], axis=1).astype(jnp.int32)
+
+    p_values, counts = rank_uniformity_pvalue(ranks, C, n_bins)
+    return SBCResult(
+        ranks=ranks,
+        n_draws=C,
+        p_values=jnp.asarray(p_values),
+        counts=jnp.asarray(counts),
+        accept_rate=res.accept_rate,
+    )

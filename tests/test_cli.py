@@ -98,6 +98,25 @@ def test_cli_evidence_json():
     assert all(n <= 64 for n in rec["n_stages"])
 
 
+def test_cli_sbc_json():
+    """`sbc` runs the simulation-based-calibration oracle end-to-end on a
+    tiny pipeline and reports per-parameter rank-uniformity p-values
+    (SURVEY.md §4 posterior-quality oracles)."""
+    out = _run([
+        "sbc", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-1",
+        "--datasets", "48", "--sbc-chains", "15", "--bins", "4",
+        "--steps", "400", "--burn", "250",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert len(rec["p_values"]) == 5
+    assert rec["n_posterior_draws"] == 15
+    # a correctly-specified pipeline at easy noise must not be flagged
+    assert rec["calibrated"] is True, rec
+    assert len(rec["rank_counts"]) == 5 and len(rec["rank_counts"][0]) == 4
+
+
 def test_cli_infer_noise():
     """`invert --infer-noise` (unknown sigma, marginalized) reports the
     sigma posterior and the scale-free shape PPC; `map --infer-noise`

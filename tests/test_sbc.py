@@ -1,0 +1,81 @@
+"""Simulation-based calibration (infer/sbc.py): the rank-uniformity oracle
+accepts an exact sampler on a linear-Gaussian problem and rejects a
+mis-calibrated likelihood (SURVEY.md §4 posterior-quality oracles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianinferencedl_tpu.infer.priors import GaussianPrior
+from bayesianinferencedl_tpu.infer.sbc import run_sbc, rank_uniformity_pvalue
+
+D, M = 2, 3
+A = jnp.asarray(np.random.default_rng(0).normal(size=(M, D)), jnp.float32)
+
+
+def forward(theta_batch):  # (B, D) -> (B, M)
+    return theta_batch @ A.T
+
+
+def test_sbc_accepts_exact_sampler():
+    """pCN on a linear-Gaussian posterior is exact -> ranks uniform."""
+    prior = GaussianPrior.iid(D, sigma=1.0)
+    res = run_sbc(
+        forward, prior, 0.5, jax.random.PRNGKey(1),
+        n_datasets=128, n_chains=31, n_steps=800, n_burn=500,
+    )
+    assert res.ranks.shape == (128, D)
+    assert int(jnp.min(res.ranks)) >= 0 and int(jnp.max(res.ranks)) <= 31
+    # every parameter's rank histogram is consistent with uniform
+    assert float(jnp.min(res.p_values)) > 1e-3, np.asarray(res.p_values)
+    # chains actually moved (guards against a trivially-stuck sampler
+    # passing by never leaving the prior draw)
+    assert float(jnp.mean(res.accept_rate)) > 0.05
+
+
+def test_sbc_rejects_miscalibrated_noise():
+    """Simulate with 2.5x the assumed noise: the inferred posterior is too
+    narrow for the true spread, ranks pile at the extremes, SBC rejects."""
+    prior = GaussianPrior.iid(D, sigma=1.0)
+    sigma = 0.5
+
+    def run(key):
+        # hand-rolled mis-simulation: reuse run_sbc's machinery by wrapping
+        # the forward so the *simulated* data carries extra noise the
+        # likelihood doesn't know about
+        k1, k2 = jax.random.split(key)
+        extra = 2.29 * sigma * jax.random.normal(k2, (128, M), jnp.float32)
+        calls = [0]
+
+        def fwd(theta):
+            out = forward(theta)
+            if calls[0] == 0:  # first call = dataset simulation in run_sbc
+                calls[0] = 1
+                return out + extra  # total sim noise = sqrt(1+2.29^2)*sigma = 2.5 sigma
+            return out
+
+        return run_sbc(
+            fwd, prior, sigma, k1,
+            n_datasets=128, n_chains=31, n_steps=800, n_burn=500,
+        )
+
+    res = run(jax.random.PRNGKey(2))
+    assert float(jnp.max(res.p_values)) < 1e-3, np.asarray(res.p_values)
+
+
+def test_rank_uniformity_pvalue_validates_bins():
+    with pytest.raises(ValueError):
+        rank_uniformity_pvalue(np.zeros((10, 2), np.int32), n_draws=31, n_bins=7)
+    # exact uniform counts -> p = 1
+    ranks = np.tile(np.arange(32, dtype=np.int32)[:, None], (1, 2))
+    p, counts = rank_uniformity_pvalue(ranks, n_draws=31, n_bins=8)
+    assert np.all(counts == 4)
+    assert np.all(p == 1.0)
+
+
+def test_sbc_validates_chain_bin_compat():
+    prior = GaussianPrior.iid(D, sigma=1.0)
+    with pytest.raises(ValueError):
+        run_sbc(forward, prior, 0.5, jax.random.PRNGKey(0),
+                n_datasets=8, n_chains=30, n_bins=8)
