@@ -1941,6 +1941,9 @@ def run_sbc_check(
     n_burn: int = 400,
     beta: float = 0.25,
     n_bins: int = 8,
+    sampler: str = "pcn",
+    step: float = 0.1,
+    n_leap: int = 8,
     seed: int = 0,
     metrics=None,
 ):
@@ -1960,7 +1963,11 @@ def run_sbc_check(
     from bayesianinferencedl_tpu.infer.sbc import run_sbc
 
     to_theta = pipe.prior.to_theta
-    fwd_b = pipe.batched_forward_fn(likelihood)
+    # gradient kernels (mala/hmc) differentiate the misfit — route through
+    # the custom_linear_solve (implicit-diff) forward
+    fwd_b = pipe.batched_forward_fn(
+        likelihood, differentiable=sampler in ("mala", "hmc")
+    )
 
     def fwd(xs):
         return fwd_b(jax.vmap(to_theta)(xs))
@@ -1970,11 +1977,12 @@ def run_sbc_check(
         fwd, pipe.prior, pipe.config.mcmc.noise_sigma, jax.random.PRNGKey(seed),
         n_datasets=n_datasets, n_chains=n_chains, n_steps=n_steps,
         n_burn=n_burn, beta=beta, n_bins=n_bins,
+        sampler=sampler, step=step, n_leap=n_leap,
     )
     if metrics is not None:
         metrics.log(
             "sbc", likelihood=likelihood, n_datasets=n_datasets,
-            n_chains=n_chains,
+            n_chains=n_chains, sampler=sampler,
             p_min=float(jnp.min(res.p_values)),
             p_values=[float(p) for p in res.p_values],
             wall_seconds=time.perf_counter() - t0,

@@ -361,11 +361,13 @@ def cmd_sbc(args) -> None:
     res = run_sbc_check(
         pipe, args.likelihood, n_datasets=args.datasets, n_chains=args.sbc_chains,
         n_steps=args.steps, n_burn=args.burn, n_bins=args.bins,
+        sampler=args.sampler, step=args.mala_step, n_leap=args.hmc_leap,
         seed=args.seed, metrics=log,
     )
     p_min = float(np.min(np.asarray(res.p_values)))
     print(json.dumps({
         "likelihood": args.likelihood,
+        "sampler": args.sampler,
         "prior": args.prior,
         "noise_sigma": args.noise,
         "n_datasets": args.datasets,
@@ -747,6 +749,13 @@ def main(argv=None) -> None:
         elif name == "sbc":
             p.add_argument("--noise", type=float, default=1e-2)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument(
+                "--sampler", choices=["pcn", "mala", "hmc"], default="pcn",
+                help="kernel under calibration (mala/hmc exercise the "
+                "gradient-proposal corrections)",
+            )
+            p.add_argument("--mala-step", type=float, default=0.1)
+            p.add_argument("--hmc-leap", type=int, default=8)
             p.add_argument("--datasets", type=int, default=128, help="synthetic inversions J")
             p.add_argument(
                 "--sbc-chains", type=int, default=31,

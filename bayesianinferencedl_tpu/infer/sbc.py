@@ -70,18 +70,30 @@ def run_sbc(
     n_burn: int = 400,
     beta: float = 0.25,
     n_bins: int = 8,
+    sampler: str = "pcn",
+    step: float = 0.1,
+    n_leap: int = 8,
 ) -> SBCResult:
-    """Calibrate the pCN sampler + Gaussian likelihood on `forward_batch`.
+    """Calibrate a sampler + Gaussian likelihood on `forward_batch`.
 
     forward_batch: (B, d) -> (B, m) batched forward map (e.g.
     ``jax.vmap(pipe.forward_fn("rom_nn"))`` or a Pallas batch solver).
     Runs J = n_datasets synthetic inversions with C = n_chains chains each
     (J*C total chain slots in one program) and rank-tests theta* against
     each dataset's C final draws. n_chains + 1 must be divisible by n_bins.
+
+    sampler: "pcn" | "mala" | "hmc" — the gradient kernels are the ones
+    whose proposal corrections (drift taming, leapfrog MH ratio) hide
+    calibration bugs; for them forward_batch must be differentiable
+    (api.run_sbc_check passes differentiable=True through automatically).
+    step / n_leap: initial MALA/HMC step size (adapted in burn-in) and HMC
+    leapfrog count.
     """
     J, C = n_datasets, n_chains
     if (C + 1) % n_bins:
         raise ValueError(f"n_chains+1={C + 1} must be divisible by n_bins={n_bins}")
+    if sampler not in ("pcn", "mala", "hmc"):
+        raise ValueError(f"sampler must be pcn|mala|hmc, got {sampler!r}")
     k_theta, k_noise, k_init, k_run = jax.random.split(key, 4)
 
     theta_star = prior.sample(k_theta, (J,))  # (J, d)
@@ -99,10 +111,26 @@ def run_sbc(
         return inv_two_sig2 * jnp.sum(r * r, axis=-1)
 
     theta0 = prior.sample(k_init, (J * C,))
-    res = run_pcn(
-        misfit, prior, theta0, k_run,
-        n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True,
-    )
+    if sampler == "mala":
+        from bayesianinferencedl_tpu.infer.mala import run_mala
+
+        res = run_mala(
+            misfit, prior, theta0, k_run,
+            n_steps=n_steps, n_burn=n_burn, step=step, batched=True,
+        )
+    elif sampler == "hmc":
+        from bayesianinferencedl_tpu.infer.hmc import run_hmc
+
+        res = run_hmc(
+            misfit, prior, theta0, k_run,
+            n_steps=n_steps, n_burn=n_burn, step=step, n_leap=n_leap,
+            batched=True,
+        )
+    else:
+        res = run_pcn(
+            misfit, prior, theta0, k_run,
+            n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True,
+        )
     draws = res.samples[-1].reshape(J, C, -1)  # C independent chains' finals
     ranks = jnp.sum(draws < theta_star[:, None, :], axis=1).astype(jnp.int32)
 

@@ -34,6 +34,24 @@ def test_sbc_accepts_exact_sampler():
     assert float(jnp.mean(res.accept_rate)) > 0.05
 
 
+@pytest.mark.parametrize("sampler,kw", [
+    ("mala", {"step": 0.3}),
+    ("hmc", {"step": 0.2, "n_leap": 4}),
+])
+def test_sbc_accepts_gradient_kernels(sampler, kw):
+    """MALA's tamed-drift correction and HMC's leapfrog MH ratio are the
+    parts a calibration bug would hide in — rank-uniformity certifies both
+    on the exact linear-Gaussian posterior."""
+    prior = GaussianPrior.iid(D, sigma=1.0)
+    res = run_sbc(
+        forward, prior, 0.5, jax.random.PRNGKey(3),
+        n_datasets=128, n_chains=31, n_steps=500, n_burn=300,
+        sampler=sampler, **kw,
+    )
+    assert float(jnp.min(res.p_values)) > 1e-3, (sampler, np.asarray(res.p_values))
+    assert float(jnp.mean(res.accept_rate)) > 0.2
+
+
 def test_sbc_rejects_miscalibrated_noise():
     """Simulate with 2.5x the assumed noise: the inferred posterior is too
     narrow for the true spread, ranks pile at the extremes, SBC rejects."""
