@@ -1944,6 +1944,8 @@ def run_sbc_check(
     sampler: str = "pcn",
     step: float = 0.1,
     n_leap: int = 8,
+    n_temps: int = 5,
+    lambda_min: float = 0.02,
     seed: int = 0,
     metrics=None,
 ):
@@ -1978,6 +1980,7 @@ def run_sbc_check(
         n_datasets=n_datasets, n_chains=n_chains, n_steps=n_steps,
         n_burn=n_burn, beta=beta, n_bins=n_bins,
         sampler=sampler, step=step, n_leap=n_leap,
+        n_temps=n_temps, lambda_min=lambda_min,
     )
     if metrics is not None:
         metrics.log(

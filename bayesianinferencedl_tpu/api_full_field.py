@@ -950,3 +950,61 @@ def predict_conductivity_ff(
     return predict_field(
         theta_draws, np.arange(mesh.n_nodes), mesh, points=points
     )
+
+
+def run_sbc_check_ff(
+    pipe: FullFieldPipeline,
+    likelihood: str = "rom_nn",
+    *,
+    noise_sigma: float = 1e-2,
+    n_datasets: int = 128,
+    n_chains: int = 31,
+    n_steps: int = 1500,
+    n_burn: int = 1000,
+    beta: float = 0.25,
+    n_bins: int = 8,
+    sampler: str = "pcn",
+    step: float = 0.1,
+    n_leap: int = 8,
+    n_temps: int = 5,
+    lambda_min: float = 0.02,
+    seed: int = 0,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Simulation-based calibration of the FULL-FIELD sampler stack
+    (infer/sbc.py; same contract as api.run_sbc_check): J synthetic
+    64-dim RFF inversions drawn from the pipeline's own N(0, I) z-prior x
+    Gaussian likelihood, all run as ONE batched program; rank-uniformity
+    per coefficient is the posterior-correctness verdict.
+
+    d is large here, so the J*C chain-slot batch is the same shape the
+    production full-field samplers run — SBC costs one production-scale
+    run. With d p-values the min is expected small under uniformity:
+    gate on a Sidak-corrected threshold (1 - (1-alpha)^(1/d)), which
+    api_full_field's CLI and scripts do. noise_sigma: the SIMULATION and
+    inference noise (the calibration is of the stated model; default the
+    unimodal 1e-2 regime — at 1e-3 the posterior is multimodal
+    (artifacts/ff_modality_r3.json) and single-temperature kernels should
+    FAIL this check while sampler='pt_pcn' should pass).
+    """
+    from bayesianinferencedl_tpu.infer.sbc import run_sbc
+
+    fwd_b = pipe.batched_forward_fn(
+        likelihood, differentiable=sampler in ("mala", "hmc")
+    )
+    t0 = time.perf_counter()
+    res = run_sbc(
+        fwd_b, pipe.prior, noise_sigma, jax.random.PRNGKey(seed),
+        n_datasets=n_datasets, n_chains=n_chains, n_steps=n_steps,
+        n_burn=n_burn, beta=beta, n_bins=n_bins,
+        sampler=sampler, step=step, n_leap=n_leap,
+        n_temps=n_temps, lambda_min=lambda_min,
+    )
+    if metrics is not None:
+        metrics.log(
+            "sbc_ff", likelihood=likelihood, n_datasets=n_datasets,
+            n_chains=n_chains, sampler=sampler, noise_sigma=noise_sigma,
+            p_min=float(jnp.min(res.p_values)),
+            wall_seconds=time.perf_counter() - t0,
+        )
+    return res

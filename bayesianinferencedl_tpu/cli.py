@@ -362,6 +362,7 @@ def cmd_sbc(args) -> None:
         pipe, args.likelihood, n_datasets=args.datasets, n_chains=args.sbc_chains,
         n_steps=args.steps, n_burn=args.burn, n_bins=args.bins,
         sampler=args.sampler, step=args.mala_step, n_leap=args.hmc_leap,
+        n_temps=args.temps, lambda_min=args.lambda_min,
         seed=args.seed, metrics=log,
     )
     p_min = float(np.min(np.asarray(res.p_values)))
@@ -376,6 +377,52 @@ def cmd_sbc(args) -> None:
         "p_min": round(p_min, 5),
         "calibrated": bool(p_min > 0.005),
         "rank_counts": np.asarray(res.counts).tolist(),
+        "accept_rate": round(float(np.mean(np.asarray(res.accept_rate))), 4),
+    }))
+
+
+def cmd_sbc_ff(args) -> None:
+    """Simulation-based calibration of the FULL-FIELD sampler stack
+    (api_full_field.run_sbc_check_ff): J synthetic 64-dim RFF inversions,
+    rank-uniformity per coefficient. d is large, so the verdict gates the
+    MIN p-value on a Sidak-corrected threshold 1-(1-alpha)^(1/d)."""
+    from bayesianinferencedl_tpu.api_full_field import (
+        build_full_field_pipeline, run_sbc_check_ff,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    pipe = build_full_field_pipeline(
+        resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
+        ell=args.ell, sigma=args.sigma, n_features=args.n_features,
+        n_snapshots=args.n_snapshots, basis_size=args.r, k_basis_size=args.k_basis,
+        n_train=args.n_train, surrogate_steps=args.epochs * 10, seed=args.seed,
+        metrics=log,
+    )
+    res = run_sbc_check_ff(
+        pipe, args.likelihood, noise_sigma=args.noise,
+        n_datasets=args.datasets, n_chains=args.sbc_chains,
+        n_steps=args.steps, n_burn=args.burn, n_bins=args.bins,
+        sampler=args.sampler, step=args.mala_step, n_leap=args.hmc_leap,
+        n_temps=args.temps, lambda_min=args.lambda_min,
+        seed=args.seed, metrics=log,
+    )
+    p = np.asarray(res.p_values)
+    d = p.shape[0]
+    alpha = 0.01
+    sidak = 1.0 - (1.0 - alpha) ** (1.0 / d)
+    p_min = float(p.min())
+    print(json.dumps({
+        "likelihood": args.likelihood,
+        "sampler": args.sampler,
+        "noise_sigma": args.noise,
+        "n_features": d,
+        "n_datasets": args.datasets,
+        "n_posterior_draws": res.n_draws,
+        "p_min": round(p_min, 6),
+        "sidak_threshold_alpha01": round(sidak, 6),
+        "n_below_sidak": int((p < sidak).sum()),
+        "calibrated": bool(p_min > sidak),
         "accept_rate": round(float(np.mean(np.asarray(res.accept_rate))), 4),
     }))
 
@@ -750,12 +797,16 @@ def main(argv=None) -> None:
             p.add_argument("--noise", type=float, default=1e-2)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
             p.add_argument(
-                "--sampler", choices=["pcn", "mala", "hmc"], default="pcn",
+                "--sampler", choices=["pcn", "mala", "hmc", "pt_pcn"], default="pcn",
                 help="kernel under calibration (mala/hmc exercise the "
-                "gradient-proposal corrections)",
+                "gradient-proposal corrections; pt_pcn certifies the "
+                "tempered sampler on multimodal regimes where "
+                "single-temperature kernels should FAIL this check)",
             )
             p.add_argument("--mala-step", type=float, default=0.1)
             p.add_argument("--hmc-leap", type=int, default=8)
+            p.add_argument("--temps", type=int, default=5, help="pt_pcn ladder size")
+            p.add_argument("--lambda-min", type=float, default=0.02, help="pt_pcn ladder floor")
             p.add_argument("--datasets", type=int, default=128, help="synthetic inversions J")
             p.add_argument(
                 "--sbc-chains", type=int, default=31,
@@ -947,6 +998,35 @@ def main(argv=None) -> None:
         help="save the posterior temperature-field prediction as npz",
     )
     p.set_defaults(fn=cmd_invert_ff)
+
+    p = sub.add_parser(
+        "sbc-ff", help="simulation-based calibration of the full-field sampler stack"
+    )
+    _add_common(p)
+    p.add_argument("--n-snapshots", type=int, default=256)
+    p.add_argument("--r", type=int, default=40)
+    p.add_argument("--k-basis", type=int, default=40)
+    p.add_argument("--n-features", type=int, default=64)
+    p.add_argument("--ell", type=float, default=1.0)
+    p.add_argument("--sigma", type=float, default=0.5)
+    p.add_argument("--n-train", type=int, default=1024)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--noise", type=float, default=1e-2)
+    p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+    p.add_argument(
+        "--sampler", choices=["pcn", "mala", "hmc", "pt_pcn"], default="pcn",
+        help="kernel under calibration (pt_pcn for the multimodal 1e-3 regime)",
+    )
+    p.add_argument("--mala-step", type=float, default=0.1)
+    p.add_argument("--hmc-leap", type=int, default=8)
+    p.add_argument("--temps", type=int, default=5)
+    p.add_argument("--lambda-min", type=float, default=0.02)
+    p.add_argument("--datasets", type=int, default=128)
+    p.add_argument("--sbc-chains", type=int, default=31)
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--burn", type=int, default=1000)
+    p.add_argument("--bins", type=int, default=8)
+    p.set_defaults(fn=cmd_sbc_ff)
 
     p = sub.add_parser("evidence-ff", help="full-field model evidence (adaptive tempered SMC)")
     _add_common(p)

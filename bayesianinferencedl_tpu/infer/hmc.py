@@ -265,3 +265,143 @@ def run_hmc_segmented(
         state=res.state, samples=samples, phi_trace=phis,
         accept_rate=rates["accept"], step=hs,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("misfit_fn", "n_leap", "n_adapt", "n_meas", "batched"),
+)
+def _chees_probe(
+    misfit_fn, prior, ref_mean, ref_chol, state, log_h, t0, key,
+    *, n_leap, jitter, n_adapt, n_meas, batched,
+):
+    """One trajectory-length probe: n_adapt steps of step-size adaptation at
+    this n_leap, then n_meas frozen-h steps accumulating the ChEES statistic
+    (Hoffman/Radul/Sountsov 2021): the mean squared change of the CENTERED
+    squared radius, E[(||y'-mu||^2 - ||y-mu||^2)^2], mu = cross-chain mean.
+    Rejected moves contribute 0 — the accepted-jump weighting. Divided by
+    n_leap (by the caller) it is the criterion per gradient evaluation.
+    Returns (state, log_h, chees, accept_rate)."""
+    _, eval_fn = _make_nlp(misfit_fn, prior, ref_mean, ref_chol, batched=batched)
+    dtype = state.y.dtype
+    k_adapt, k_meas = jax.random.split(key)
+
+    def adapt_body(carry, inp):
+        s, lh = carry
+        t, k = inp
+        s, acc = hmc_step(eval_fn, jnp.exp(lh), n_leap, jitter, s, k)
+        eta = 0.5 / (1.0 + t + t0) ** 0.6
+        lh = lh + eta * (acc.astype(dtype) - dtype.type(TARGET_ACCEPT_HMC))
+        lh = jnp.clip(lh, jnp.log(1e-8), jnp.log(10.0))
+        return (s, lh), None
+
+    ts = jnp.arange(n_adapt, dtype=dtype)
+    (state, log_h), _ = jax.lax.scan(
+        adapt_body, (state, log_h), (ts, jax.random.split(k_adapt, n_adapt))
+    )
+
+    h = jnp.exp(log_h)
+
+    def meas_body(s, k):
+        mu = jnp.mean(s.y, axis=0)
+        r0 = jnp.sum((s.y - mu) ** 2, axis=-1)
+        s2, acc = hmc_step(eval_fn, h, n_leap, jitter, s, k)
+        r1 = jnp.sum((s2.y - mu) ** 2, axis=-1)
+        return s2, (jnp.mean((r1 - r0) ** 2), jnp.mean(acc.astype(dtype)))
+
+    state, (js, accs) = jax.lax.scan(
+        meas_body, state, jax.random.split(k_meas, n_meas)
+    )
+    return state, log_h, jnp.mean(js), jnp.mean(accs)
+
+
+def run_hmc_chees(
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step: float = 0.1,
+    leap_candidates=(1, 2, 4, 8, 16, 32),
+    jitter: float = 0.2,
+    n_adapt: int = 24,
+    n_meas: int = 24,
+    thin: int = 1,
+    batched: bool = False,
+    ref: Optional[tuple] = None,
+):
+    """HMC with the trajectory length CHOSEN BY MEASUREMENT instead of by
+    the user: probe each candidate n_leap with the ChEES criterion per
+    gradient evaluation and run the production chain at the argmax.
+
+    NUTS answers "how long should this trajectory be?" with per-chain
+    recursion — control flow XLA cannot tile (module docstring). ChEES-style
+    tuning answers it with a CROSS-CHAIN statistic instead: with thousands
+    of chains, one short probe per candidate measures the expected squared
+    jump of the centered squared radius — the quantity whose stationarity
+    governs the slowest (radial) component — at that trajectory length.
+    That is the TPU-native trade: the batch axis replaces the tree, every
+    probe is a fixed-shape program (one 20-40 s XLA compile per DISTINCT
+    candidate, reused thereafter), and the production run is the already-
+    optimal static-L jittered kernel (run_hmc).
+
+    Probe schedule: half of n_burn runs first at the median candidate
+    (reaching the typical set so probes measure mixing, not transient
+    drift), then each candidate gets n_adapt step-size-adaptation steps +
+    n_meas frozen measurement steps (chain state and per-chain h carry
+    through — the probes double as additional burn-in), then run_hmc
+    finishes the remaining burn-in and the kept run at the winner.
+
+    Returns (MALAResult, info) with info = {"n_leap": chosen,
+    "candidates": [...], "chees_per_grad": [...], "accept": [...]}.
+    """
+    dtype = theta0.dtype
+    ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
+    cands = tuple(int(L) for L in leap_candidates)
+
+    # phase 1: reach the typical set at the median candidate
+    pre = max(n_burn // 2, 8)
+    L_mid = cands[len(cands) // 2]
+    k_pre, k_probe, k_main = jax.random.split(key, 3)
+    res0 = run_hmc(
+        misfit_fn, prior, theta0, k_pre,
+        n_steps=pre, n_burn=pre, step=step, n_leap=L_mid, jitter=jitter,
+        batched=batched, ref=ref,
+    )
+    state, log_h = res0.state._replace(n_accept=res0.state.n_accept * 0), jnp.log(res0.step)
+
+    # phase 2: probe every candidate (state + per-chain h carry through)
+    chees, accept = [], []
+    for i, L in enumerate(cands):
+        state, log_h, j, a = _chees_probe(
+            misfit_fn, prior, ref_mean, ref_chol, state, log_h,
+            jnp.asarray(pre + i * (n_adapt + n_meas), dtype),
+            jax.random.fold_in(k_probe, i),
+            n_leap=L, jitter=jitter, n_adapt=n_adapt, n_meas=n_meas,
+            batched=batched,
+        )
+        chees.append(float(j) / L)  # per gradient evaluation
+        accept.append(float(a))
+    best = max(range(len(cands)), key=lambda i: chees[i])
+    L_star = cands[best]
+
+    # phase 3: remaining burn-in + kept run at the winner
+    tail_burn = max(n_burn - pre, 8)
+    theta_now = ref_mean + jnp.dot(
+        state.y, ref_chol.T, precision=jax.lax.Precision.HIGHEST
+    )
+    res = run_hmc(
+        misfit_fn, prior, theta_now, k_main,
+        n_steps=(n_steps - n_burn) + tail_burn, n_burn=tail_burn,
+        step=jnp.exp(log_h), n_leap=L_star, jitter=jitter, thin=thin,
+        batched=batched, ref=ref,
+    )
+    info = {
+        "n_leap": L_star,
+        "candidates": list(cands),
+        "chees_per_grad": chees,
+        "accept": accept,
+    }
+    return res, info

@@ -73,6 +73,8 @@ def run_sbc(
     sampler: str = "pcn",
     step: float = 0.1,
     n_leap: int = 8,
+    n_temps: int = 5,
+    lambda_min: float = 0.02,
 ) -> SBCResult:
     """Calibrate a sampler + Gaussian likelihood on `forward_batch`.
 
@@ -82,18 +84,37 @@ def run_sbc(
     (J*C total chain slots in one program) and rank-tests theta* against
     each dataset's C final draws. n_chains + 1 must be divisible by n_bins.
 
-    sampler: "pcn" | "mala" | "hmc" — the gradient kernels are the ones
-    whose proposal corrections (drift taming, leapfrog MH ratio) hide
-    calibration bugs; for them forward_batch must be differentiable
+    sampler: "pcn" | "mala" | "hmc" | "pt_pcn" — the gradient kernels are
+    the ones whose proposal corrections (drift taming, leapfrog MH ratio)
+    hide calibration bugs; for them forward_batch must be differentiable
     (api.run_sbc_check passes differentiable=True through automatically).
     step / n_leap: initial MALA/HMC step size (adapted in burn-in) and HMC
-    leapfrog count.
+    leapfrog count. "pt_pcn" calibrates the tempered sampler itself
+    (n_temps levels, adaptive ladder from lambda_min) — the replica-swap
+    rule, the post-burn ladder freeze, and the within-level tempered accept
+    ratio are all places a bug would warp the cold-level target, and
+    rank-uniformity on a bimodal control certifies them
+    (tests/test_sbc.py::test_sbc_pt_kernel_bimodal). Each of the J*C chain
+    groups carries its own dataset; the K temperature replicas of a group
+    share it (states flatten (K, G, d) -> (K*G, d) with K leading, so the
+    per-slot observation array tiles across K).
+
+    What SBC can and CANNOT catch (measured, test_sbc_data_averaged_blind
+    _spot): SBC certifies DATA-AVERAGED posterior correctness. A
+    single-temperature ensemble whose chains strand in their init basin on
+    a multimodal posterior still PASSES, because prior-initialized
+    stranding inherits the prior's basin occupancy: with occupancy split
+    q/(1-q) the rank marginal is q*U[(1-q)L, L] + (1-q)*U[0, (1-q)L] =
+    uniform for ANY q. Per-dataset multimodal convergence is the job of
+    split-R-hat and tempering (docs/SAMPLERS.md); SBC complements them by
+    catching mis-scaled noise, biased surrogates, and broken proposal
+    corrections — failures R-hat is blind to.
     """
     J, C = n_datasets, n_chains
     if (C + 1) % n_bins:
         raise ValueError(f"n_chains+1={C + 1} must be divisible by n_bins={n_bins}")
-    if sampler not in ("pcn", "mala", "hmc"):
-        raise ValueError(f"sampler must be pcn|mala|hmc, got {sampler!r}")
+    if sampler not in ("pcn", "mala", "hmc", "pt_pcn"):
+        raise ValueError(f"sampler must be pcn|mala|hmc|pt_pcn, got {sampler!r}")
     k_theta, k_noise, k_init, k_run = jax.random.split(key, 4)
 
     theta_star = prior.sample(k_theta, (J,))  # (J, d)
@@ -111,7 +132,22 @@ def run_sbc(
         return inv_two_sig2 * jnp.sum(r * r, axis=-1)
 
     theta0 = prior.sample(k_init, (J * C,))
-    if sampler == "mala":
+    if sampler == "pt_pcn":
+        from bayesianinferencedl_tpu.infer.tempering import run_pt_pcn
+
+        data_kg = jnp.tile(data, (n_temps, 1))  # (K*J*C, m), K leading
+
+        def misfit_pt(theta):  # (K*J*C, d) -> (K*J*C,)
+            r = forward_batch(theta) - data_kg
+            return inv_two_sig2 * jnp.sum(r * r, axis=-1)
+
+        res = run_pt_pcn(
+            misfit_pt, prior, theta0, k_run,
+            n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True,
+            n_temps=n_temps, lambda_min=lambda_min, adapt_ladder=True,
+        )
+        accept = res.accept_rate[-1]  # cold level
+    elif sampler == "mala":
         from bayesianinferencedl_tpu.infer.mala import run_mala
 
         res = run_mala(
@@ -131,6 +167,8 @@ def run_sbc(
             misfit, prior, theta0, k_run,
             n_steps=n_steps, n_burn=n_burn, beta=beta, batched=True,
         )
+    if sampler != "pt_pcn":
+        accept = res.accept_rate
     draws = res.samples[-1].reshape(J, C, -1)  # C independent chains' finals
     ranks = jnp.sum(draws < theta_star[:, None, :], axis=1).astype(jnp.int32)
 
@@ -140,5 +178,5 @@ def run_sbc(
         n_draws=C,
         p_values=jnp.asarray(p_values),
         counts=jnp.asarray(counts),
-        accept_rate=res.accept_rate,
+        accept_rate=accept,
     )

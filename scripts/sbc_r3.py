@@ -45,6 +45,9 @@ def main():
     for sampler, kw in [
         ("pcn", {"n_steps": 2000, "n_burn": 1200}),
         ("mala", {"n_steps": 1200, "n_burn": 800, "step": 0.2}),
+        # certifies the production tempered kernel: swap rule, ladder
+        # adaptation + freeze, within-level tempered accept ratio
+        ("pt_pcn", {"n_steps": 1500, "n_burn": 1000}),
     ]:
         t0 = time.time()
         res = run_sbc_check(
@@ -62,6 +65,33 @@ def main():
             "wall_seconds": round(time.time() - t0, 1),
         }
         print(sampler, out["kernels"][sampler]["p_values"], flush=True)
+
+    # full-field stack (64-dim RFF coefficients): Šidák-gated over d p-values
+    from bayesianinferencedl_tpu.api_full_field import (
+        build_full_field_pipeline, run_sbc_check_ff,
+    )
+
+    ffpipe = build_full_field_pipeline(resolution=4, seed=0)
+    t0 = time.time()
+    res = run_sbc_check_ff(
+        ffpipe, "rom_nn", noise_sigma=1e-2, n_datasets=128, n_chains=31,
+        n_steps=2000, n_burn=1400, seed=1,
+    )
+    p = np.asarray(res.p_values)
+    d = p.shape[0]
+    sidak = 1.0 - 0.99 ** (1.0 / d)
+    out["full_field"] = {
+        "config": "res4 d=64 rom_nn, noise 1e-2",
+        "sampler": "pcn",
+        "n_steps": 2000,
+        "p_min": round(float(p.min()), 6),
+        "sidak_threshold_alpha01": round(sidak, 6),
+        "n_below_sidak": int((p < sidak).sum()),
+        "calibrated": bool(p.min() > sidak),
+        "accept_rate": round(float(np.mean(np.asarray(res.accept_rate))), 4),
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    print("full_field", out["full_field"], flush=True)
 
     path = os.path.join(REPO, "artifacts/sbc_r3.json")
     with open(path, "w") as f:

@@ -305,3 +305,22 @@ def test_ff_hmc(ffpipe):
     assert res.samples.shape == (250, 32, 16)
     assert bool(jnp.isfinite(res.samples).all())
     assert 0.3 < float(jnp.mean(res.accept_rate)) <= 1.0
+
+
+def test_ff_sbc_calibrated(ffpipe):
+    """run_sbc_check_ff: the deployed rom_nn likelihood + pCN kernel is
+    calibrated on the full-field pipeline's own prior x likelihood —
+    rank-uniformity per RFF coefficient, Šidák-gated over d=16 p-values
+    (the d-min of uniform p-values is expected small; the gate must
+    account for it)."""
+    from bayesianinferencedl_tpu.api_full_field import run_sbc_check_ff
+
+    res = run_sbc_check_ff(
+        ffpipe, "rom_nn", noise_sigma=1e-2,
+        n_datasets=64, n_chains=31, n_steps=800, n_burn=500, seed=0,
+    )
+    p = np.asarray(res.p_values)
+    assert p.shape == (16,)
+    sidak = 1.0 - 0.99 ** (1.0 / 16)  # alpha=0.01 over 16 tests
+    assert float(p.min()) > sidak, p
+    assert float(np.mean(np.asarray(res.accept_rate))) > 0.05

@@ -97,3 +97,62 @@ def test_sbc_validates_chain_bin_compat():
     with pytest.raises(ValueError):
         run_sbc(forward, prior, 0.5, jax.random.PRNGKey(0),
                 n_datasets=8, n_chains=30, n_bins=8)
+
+
+def _sign_ambiguous_forward(th):  # (B, 1) -> (B, 2)
+    """theta^2 leaves the sign unidentified (a high misfit barrier at 0);
+    the weak 0.1*theta row identifies it, so the posterior is bimodal with
+    strongly unequal weights (wrong-sign weight ~ exp(-8 theta*^2))."""
+    return jnp.concatenate([th**2, 0.1 * th], axis=-1)
+
+
+def test_sbc_pt_kernel_bimodal():
+    """pt_pcn (adaptive ladder + replica exchange) is calibrated on a
+    bimodal posterior: the swap rule and post-burn ladder freeze preserve
+    the exact cold-level target, which rank-uniformity certifies."""
+    prior = GaussianPrior.iid(1, sigma=1.0)
+    res = run_sbc(
+        _sign_ambiguous_forward, prior, 0.05, jax.random.PRNGKey(0),
+        n_datasets=192, n_chains=31, n_steps=800, n_burn=500,
+        sampler="pt_pcn", n_temps=5, lambda_min=0.02,
+    )
+    assert float(jnp.min(res.p_values)) > 1e-3, np.asarray(res.p_values)
+    # cold-level acceptance is the adapted-pCN one
+    assert float(jnp.mean(res.accept_rate)) > 0.1
+
+
+def test_sbc_data_averaged_blind_spot():
+    """Pin the documented SBC limitation (infer/sbc.py docstring): a
+    single-temperature ensemble whose chains STRAND in their init basin
+    still passes, because prior-initialized stranding inherits exactly the
+    prior's basin occupancy — rank marginals average over the prior and a
+    q/(1-q) occupancy split yields q*U[(1-q)L, L] + (1-q)*U[0, (1-q)L] =
+    uniform for ANY q. SBC certifies data-AVERAGED correctness; per-dataset
+    multimodal convergence still needs split-R-hat / tempering."""
+    from bayesianinferencedl_tpu.infer.pcn import run_pcn
+
+    prior = GaussianPrior.iid(1, sigma=1.0)
+
+    # (a) chains really do strand: final basin == init basin almost always
+    th_star = 1.0
+    y = jnp.array([th_star**2, 0.1 * th_star])
+
+    def misfit(th):
+        r = _sign_ambiguous_forward(th) - y
+        return jnp.asarray(0.5 / 0.05**2, th.dtype) * jnp.sum(r * r, axis=-1)
+
+    theta0 = prior.sample(jax.random.PRNGKey(1), (512,))
+    pres = run_pcn(misfit, prior, theta0, jax.random.PRNGKey(2),
+                   n_steps=800, n_burn=500, beta=0.25, batched=True)
+    fin = pres.samples[-1][:, 0]
+    flip = float(jnp.mean((fin < 0) != (theta0[:, 0] < 0)))
+    assert flip < 0.2, flip  # stranded: almost no basin crossings
+    # ... even though the posterior puts ~exp(-8) mass on the wrong sign,
+    # so ~half of these chains sample the WRONG basin for this dataset.
+
+    # (b) yet SBC does not reject the stranded ensemble
+    res = run_sbc(
+        _sign_ambiguous_forward, prior, 0.05, jax.random.PRNGKey(0),
+        n_datasets=192, n_chains=31, n_steps=800, n_burn=500, sampler="pcn",
+    )
+    assert float(jnp.min(res.p_values)) > 0.01, np.asarray(res.p_values)
