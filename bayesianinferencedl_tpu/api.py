@@ -1342,6 +1342,7 @@ def _gradient_sampler_runner(
     n_leap=8,
     jitter=0.2,
     ref=None,
+    log=None,
 ):
     """Runner factory for the gradient samplers (kind: 'mala' | 'hmc'),
     shared by the prior- and Laplace-preconditioned entries of
@@ -1350,7 +1351,38 @@ def _gradient_sampler_runner(
     program holds ~64 batched solves (the MALA-proven budget under the
     ~60 s execution watchdog, CLAUDE.md rule 2): MALA pays 2 solves per
     step (forward + adjoint), HMC 2*n_leap per trajectory, so the HMC
-    segment shrinks proportionally with n_leap."""
+    segment shrinks proportionally with n_leap.
+
+    n_leap=0 (hmc only) = AUTO: the trajectory length is chosen by the
+    cross-chain ChEES criterion (infer/hmc.py run_hmc_chees) instead of by
+    the user; the probe table is logged to `log` under the "chees" event."""
+    if kind == "hmc" and n_leap == 0:
+        from bayesianinferencedl_tpu.infer.hmc import run_hmc_chees
+
+        if like == "fom":
+            raise ValueError(
+                "hmc_leap=0 (ChEES auto trajectory tuning) requires a cheap "
+                "likelihood (rom/rom_nn): the probes run unsegmented, and a "
+                "full-order solve per leapfrog step would trip the execution "
+                "watchdog — pick a fixed n_leap for the fom likelihood"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "hmc_leap=0 (auto) is single-device for now — pass a fixed "
+                "n_leap when sharding over a mesh"
+            )
+
+        def run_auto(k):
+            res, info = run_hmc_chees(
+                misfit_b, prior, theta0, k,
+                n_steps=n_steps, n_burn=n_burn, step=step, jitter=jitter,
+                thin=thin, batched=True, ref=ref,
+            )
+            if log is not None:
+                log.log("chees", **info)
+            return res
+
+        return run_auto
     if kind == "mala":
         from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented
         from bayesianinferencedl_tpu.parallel.sharding import (
@@ -1508,7 +1540,7 @@ def run_inversion(
                 pipe.prior, theta0,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
                 thin=cfg.thin, n_leap=cfg.hmc_leap, jitter=cfg.hmc_jitter,
-                ref=lap_ref,
+                ref=lap_ref, log=log,
             )
     else:
         theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
@@ -1723,6 +1755,7 @@ def run_inversion(
                 smp, like, mesh, misfit_b, pipe.prior, theta0,
                 n_steps=cfg.n_steps, n_burn=cfg.n_burn, step=cfg.mala_step,
                 thin=cfg.thin, n_leap=cfg.hmc_leap, jitter=cfg.hmc_jitter,
+                log=log,
             )
         elif like == "fom":
             # full-order solves per step: segment the run so no single device

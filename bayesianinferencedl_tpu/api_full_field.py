@@ -703,7 +703,7 @@ def run_full_field_inversion(
             sampler.replace("_lap", ""), likelihood, mesh, misfit,
             pipe.prior, theta0,
             n_steps=n_steps, n_burn=n_burn, step=mala_step,
-            n_leap=hmc_leap, jitter=hmc_jitter, ref=ref,
+            n_leap=hmc_leap, jitter=hmc_jitter, ref=ref, log=log,
         )
         runner = lambda m, p, t0, k, **kw: run1(k)
         kwargs = {}

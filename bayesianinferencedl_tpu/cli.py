@@ -858,7 +858,7 @@ def main(argv=None) -> None:
             )
             p.add_argument(
                 "--hmc-leap", type=int, default=8,
-                help="hmc leapfrog steps per trajectory",
+                help="hmc leapfrog steps per trajectory; 0 = auto (cross-chain ChEES trajectory tuning, rom/rom_nn likelihoods, single device)",
             )
             p.add_argument(
                 "--mala-step", type=float, default=0.1,
@@ -958,7 +958,7 @@ def main(argv=None) -> None:
     )
     p.add_argument(
         "--hmc-leap", type=int, default=8,
-        help="hmc leapfrog steps per trajectory",
+        help="hmc leapfrog steps per trajectory; 0 = auto (cross-chain ChEES trajectory tuning, rom/rom_nn likelihoods, single device)",
     )
     p.add_argument(
         "--mala-step", type=float, default=0.1,

@@ -145,6 +145,12 @@ def run_hmc(
     adaptation toward 65.1% during burn-in, ref=(mean, chol) overrides the
     whitening frame). n_steps/n_burn count TRAJECTORIES; each costs n_leap
     fused forward+reverse likelihood passes."""
+    if n_leap < 1:
+        raise ValueError(
+            f"n_leap={n_leap}: run_hmc needs >= 1 leapfrog step (n_leap=0 "
+            "means AUTO only at the api level — run_hmc_chees / "
+            "api.run_inversion(hmc_leap=0); this path needs a fixed length)"
+        )
     dtype = theta0.dtype
     ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
     to_theta, eval_fn = _make_nlp(

@@ -208,3 +208,34 @@ def test_fom_iter_audit_clean_on_converged_solver(pipe):
     inv = run_inversion(dataclasses.replace(pipe, config=cfg))
     assert inv.fom_hit_cap_frac == 0.0
     assert inv.fom_iter_max < inv.fom_iter_cap
+
+
+def test_hmc_auto_leap_through_pipeline(pipe):
+    """hmc_leap=0 = ChEES auto trajectory tuning (infer/hmc.py
+    run_hmc_chees) through run_inversion: the probe table lands in the
+    metrics log, the chosen length is a probe candidate, and the posterior
+    mean agrees with the Laplace sampler. fom + auto is refused (probes are
+    unsegmented — the watchdog guard)."""
+    from dataclasses import replace
+
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    cfg2 = replace(pipe.config, mcmc=replace(pipe.config.mcmc, hmc_leap=0))
+    pipe2 = replace(pipe, config=cfg2)
+    key = jax.random.PRNGKey(29)
+    theta_true = pipe.prior.sample(key)
+    log = MetricsLogger()
+    inv_mh = run_inversion(pipe, likelihood="rom_nn", sampler="laplace_mh",
+                           theta_true=theta_true, key=key)
+    inv = run_inversion(pipe2, likelihood="rom_nn", sampler="hmc",
+                        theta_true=theta_true, key=key, metrics=log)
+    ev = [e for e in log.events if e["event"] == "chees"]
+    assert ev, "chees probe table not logged"
+    assert ev[-1]["n_leap"] in ev[-1]["candidates"]
+    m = np.asarray(inv.result.samples.mean(axis=(0, 1)))
+    m_mh = np.asarray(inv_mh.result.samples.mean(axis=(0, 1)))
+    np.testing.assert_allclose(m, m_mh, atol=0.2)
+
+    with pytest.raises(ValueError, match="ChEES"):
+        run_inversion(pipe2, likelihood="fom", sampler="hmc",
+                      theta_true=theta_true, key=key)

@@ -131,3 +131,43 @@ def test_run_inversion_hmc_end_to_end():
     inv_sh = run_inversion(pipe, mesh=device_mesh())
     assert inv_sh.result.samples.shape == (120, 16, 5)
     assert bool(jnp.isfinite(inv_sh.result.samples).all())
+
+
+def test_hmc_chees_auto_trajectory():
+    """run_hmc_chees picks the trajectory length by the cross-chain ChEES
+    criterion: on an anisotropic linear-Gaussian posterior (condition ~30)
+    the probe table has an interior maximum (single steps waste the
+    Hamiltonian flow, over-long trajectories U-turn), and the production
+    run at the winner matches the analytic posterior."""
+    from bayesianinferencedl_tpu.infer.hmc import run_hmc_chees
+
+    d = 8
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(
+        rng.standard_normal((d, d)) * np.geomspace(1.0, 30.0, d)[None, :],
+        jnp.float64,
+    )
+    sigma = 0.5
+    prior = GaussianPrior.iid(d, sigma=1.0, dtype=jnp.float64)
+    data = jnp.asarray(rng.standard_normal(d))
+    Cpost = np.linalg.inv(np.asarray(A.T @ A) / sigma**2 + np.eye(d))
+    mu = Cpost @ np.asarray(A.T @ data) / sigma**2
+
+    def misfit(th):  # batched
+        r = th @ A.T - data
+        return 0.5 / sigma**2 * jnp.sum(r * r, axis=-1)
+
+    theta0 = prior.sample(jax.random.PRNGKey(1), (2048,))
+    res, info = run_hmc_chees(
+        misfit, prior, theta0, jax.random.PRNGKey(2),
+        n_steps=700, n_burn=300, step=0.1, batched=True,
+    )
+    # the winner is interior: neither a single step nor the longest probe
+    assert 1 < info["n_leap"] < info["candidates"][-1], info
+    # and per-gradient ChEES at the winner beats both endpoints
+    cpg = info["chees_per_grad"]
+    assert cpg[info["candidates"].index(info["n_leap"])] >= max(cpg[0], cpg[-1])
+    s = np.asarray(res.samples).reshape(-1, d)
+    np.testing.assert_allclose(s.mean(0), mu, atol=0.05)
+    np.testing.assert_allclose(s.std(0), np.sqrt(np.diag(Cpost)), atol=0.05)
+    assert float(jnp.mean(res.accept_rate)) > 0.4
