@@ -381,6 +381,57 @@ def cmd_sbc(args) -> None:
     }))
 
 
+def cmd_eki(args) -> None:
+    """Derivative-free ensemble Kalman inversion (api.run_eki_inversion /
+    infer/eki.py): a posterior approximation in ~10-20 batched forward
+    sweeps — the fast first look before committing to an MCMC run, and the
+    only inversion mode whose exact-physics (fom) variant costs well under
+    a second. Exact in the linear-Gaussian limit; see docs/SAMPLERS.md."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_eki_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        mcmc=MCMCConfig(noise_sigma=args.noise, likelihood=args.likelihood, seed=args.seed),
+        prior=_prior_config(args),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    obs = None
+    if getattr(args, "data", None):
+        obs = jnp.asarray(np.load(args.data)["data"])
+    res, theta_true, data, wall = run_eki_inversion(
+        pipe, args.likelihood, n_ensemble=args.ensemble,
+        ess_target=args.ess_target, data=obs,
+        key=jax.random.PRNGKey(args.seed), metrics=log,
+    )
+    to_theta = pipe.prior.to_theta
+    th_ens = jax.vmap(to_theta)(res.ensemble)
+    mean_log_k = np.asarray(jnp.mean(th_ens, axis=0))
+    print(json.dumps({
+        "likelihood": args.likelihood,
+        "n_ensemble": args.ensemble,
+        "n_iters": len(res.ts) - 1,
+        "n_forward_evals": res.n_forward,
+        "wall_seconds": round(wall, 3),
+        "posterior_mean_log_k": mean_log_k.tolist(),
+        "posterior_std_log_k": np.asarray(jnp.std(th_ens, axis=0)).tolist(),
+        "theta_true": np.asarray(to_theta(theta_true)).tolist(),
+        "mean_abs_err": round(float(np.abs(mean_log_k - np.asarray(to_theta(theta_true))).mean()), 5),
+        "misfit_trace": [round(x, 2) for x in res.misfit_trace],
+        "tempering_knots": [round(t, 5) for t in res.ts],
+    }))
+
+
 def cmd_sbc_ff(args) -> None:
     """Simulation-based calibration of the FULL-FIELD sampler stack
     (api_full_field.run_sbc_check_ff): J synthetic 64-dim RFF inversions,
@@ -769,6 +820,7 @@ def main(argv=None) -> None:
         ("map", cmd_map),
         ("evidence", cmd_evidence),
         ("sbc", cmd_sbc),
+        ("eki", cmd_eki),
     ]:
         p = sub.add_parser(name)
         _add_common(p)
@@ -792,6 +844,18 @@ def main(argv=None) -> None:
                 help="MAP under the sigma-marginalized potential "
                 "(InvGamma(2, noise^2) prior); Laplace intervals at the "
                 "plug-in conditional-mode noise scale",
+            )
+        elif name == "eki":
+            p.add_argument("--noise", type=float, default=1e-2)
+            p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument("--ensemble", type=int, default=1024, help="ensemble size J")
+            p.add_argument(
+                "--ess-target", type=float, default=0.5,
+                help="tempering-increment ESS fraction controlling the adaptive step",
+            )
+            p.add_argument(
+                "--data", type=str, default=None,
+                help="observation npz (key 'data'): external measurements",
             )
         elif name == "sbc":
             p.add_argument("--noise", type=float, default=1e-2)

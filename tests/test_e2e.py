@@ -239,3 +239,25 @@ def test_hmc_auto_leap_through_pipeline(pipe):
     with pytest.raises(ValueError, match="ChEES"):
         run_inversion(pipe2, likelihood="fom", sampler="hmc",
                       theta_true=theta_true, key=key)
+
+
+def test_eki_tracks_mcmc_posterior(pipe):
+    """run_eki_inversion on the fin (rom_nn likelihood): the derivative-free
+    ensemble mean tracks the Laplace-MH posterior mean in the unimodal
+    regime at a fraction of the forward evaluations — the documented
+    contract (docs/SAMPLERS.md: fast first look, not a certified
+    posterior)."""
+    from bayesianinferencedl_tpu.api import run_eki_inversion
+
+    key = jax.random.PRNGKey(31)
+    theta_true = pipe.prior.sample(key)
+    res, _, data, wall = run_eki_inversion(
+        pipe, "rom_nn", n_ensemble=512, theta_true=theta_true, key=key,
+    )
+    inv = run_inversion(pipe, likelihood="rom_nn", sampler="laplace_mh",
+                        theta_true=theta_true, data=data, key=key)
+    m_mcmc = np.asarray(inv.result.samples.mean(axis=(0, 1)))
+    np.testing.assert_allclose(np.asarray(res.mean), m_mcmc, atol=0.15)
+    assert np.all(np.asarray(res.std) > 0)
+    # ~15 batched sweeps, not tens of thousands of chain steps
+    assert res.n_forward <= 512 * 51
