@@ -1424,6 +1424,7 @@ def run_inversion(
     *,
     likelihood: Optional[str] = None,
     sampler: Optional[str] = None,
+    init: str = "prior",
     theta_true: Optional[jax.Array] = None,
     data: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
@@ -1431,6 +1432,18 @@ def run_inversion(
     metrics: Optional[MetricsLogger] = None,
 ) -> InversionResult:
     """Bayesian inversion (BASELINE config 5).
+
+    init: "prior" (default) draws chain inits from the prior; "eki" warm-
+    starts them from a derivative-free EKI ensemble (infer/eki.py — ~10
+    batched forward sweeps, logged as an "eki_init" event), so chains
+    start inside the posterior bulk instead of diffusing there through
+    burn-in. Exactness is unaffected (MCMC forgets its init); only the
+    burn-in budget changes — measured on the unimodal 1e-2 regime in
+    artifacts/eki_init_r3.json. NOT recommended for multimodal targets
+    (pt_pcn at 1e-3 noise): the EKI Gaussian-ansatz transport can collapse
+    toward one basin, which costs PT its prior-spread mode discovery.
+    Ignored by the Laplace-seeded samplers (laplace_mh/gpcn/mala_lap/
+    hmc_lap), whose init is already the Laplace approximation.
 
     data=None (the benchmark/experiment mode): draws theta_true from the
     prior (or uses the given one) and simulates noisy observations with the
@@ -1543,10 +1556,24 @@ def run_inversion(
                 ref=lap_ref, log=log,
             )
     else:
-        theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
         fwd_b_theta = pipe.batched_forward_fn(like)
         fwd_b = lambda xs: fwd_b_theta(to_theta(xs))  # to_theta is elementwise
         misfit_b = mk_misfit(fwd_b)
+        if init == "eki":
+            from bayesianinferencedl_tpu.infer.eki import run_eki
+
+            with log.timer("eki_init"):
+                eki0 = run_eki(
+                    fwd_b, pipe.prior, data, cfg.noise_sigma, k_init,
+                    n_ensemble=cfg.n_chains, mesh=mesh,
+                )
+            theta0 = eki0.ensemble
+            log.log("eki_init", n_iters=len(eki0.ts) - 1,
+                    n_forward=eki0.n_forward)
+        elif init == "prior":
+            theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
+        else:
+            raise ValueError(f"init must be 'prior' or 'eki', got {init!r}")
         if smp == "pt_pcn":
             # parallel tempering: the exact sampler when the posterior is
             # multimodal (measured on the fin at 1e-3 noise — see

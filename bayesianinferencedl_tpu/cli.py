@@ -272,7 +272,7 @@ def cmd_invert(args) -> None:
         z = np.load(args.data)
         obs = jnp.asarray(z["data"])
         log.log("external_data", path=args.data, n_obs=int(obs.shape[0]))
-    inv = run_inversion(pipe, data=obs, metrics=log, mesh=mesh)
+    inv = run_inversion(pipe, init=args.init, data=obs, metrics=log, mesh=mesh)
     # samples live in working coordinates (z for box priors); report log k
     post_mean = np.asarray(pipe.prior.to_theta(inv.result.samples).mean(axis=(0, 1)))
     out = {
@@ -949,6 +949,13 @@ def main(argv=None) -> None:
             )
             p.add_argument("--shard", action="store_true")
             if name == "invert":
+                p.add_argument(
+                    "--init", choices=["prior", "eki"], default="prior",
+                    help="chain initialization: 'eki' warm-starts from a "
+                    "derivative-free EKI ensemble (~10 batched sweeps) so "
+                    "chains begin inside the posterior bulk — unimodal "
+                    "regimes only (api.run_inversion docstring)",
+                )
                 p.add_argument(
                     "--predict-at", action="append", default=None,
                     metavar="X,Y",

@@ -261,3 +261,28 @@ def test_eki_tracks_mcmc_posterior(pipe):
     assert np.all(np.asarray(res.std) > 0)
     # ~15 batched sweeps, not tens of thousands of chain steps
     assert res.n_forward <= 512 * 51
+
+
+def test_eki_warm_start_init(pipe):
+    """init='eki' (run_inversion): chains start from the EKI ensemble —
+    the init event is logged, the posterior matches the prior-init run
+    (exactness is init-independent), and a bogus init name raises. The
+    burn-in saving itself is measured at bench scale
+    (artifacts/eki_init_r3.json)."""
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    key = jax.random.PRNGKey(37)
+    theta_true = pipe.prior.sample(key)
+    log = MetricsLogger()
+    inv_e = run_inversion(pipe, likelihood="rom_nn", sampler="pcn",
+                          init="eki", theta_true=theta_true, key=key,
+                          metrics=log)
+    assert any(e["event"] == "eki_init" for e in log.events)
+    inv_p = run_inversion(pipe, likelihood="rom_nn", sampler="pcn",
+                          init="prior", theta_true=theta_true, key=key)
+    m_e = np.asarray(inv_e.result.samples.mean(axis=(0, 1)))
+    m_p = np.asarray(inv_p.result.samples.mean(axis=(0, 1)))
+    np.testing.assert_allclose(m_e, m_p, atol=0.2)
+    with pytest.raises(ValueError, match="init"):
+        run_inversion(pipe, likelihood="rom_nn", sampler="pcn",
+                      init="bogus", theta_true=theta_true, key=key)
