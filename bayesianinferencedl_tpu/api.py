@@ -1367,10 +1367,19 @@ def _gradient_sampler_runner(
                 "watchdog — pick a fixed n_leap for the fom likelihood"
             )
         if mesh is not None:
-            raise ValueError(
-                "hmc_leap=0 (auto) is single-device for now — pass a fixed "
-                "n_leap when sharding over a mesh"
-            )
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_hmc_chees
+
+            def run_auto_sharded(k):
+                res, info = sharded_hmc_chees(
+                    mesh, misfit_b, prior, theta0, k,
+                    n_steps=n_steps, n_burn=n_burn, step=step, jitter=jitter,
+                    thin=thin, batched=True, ref=ref,
+                )
+                if log is not None:
+                    log.log("chees", **info)
+                return res
+
+            return run_auto_sharded
 
         def run_auto(k):
             res, info = run_hmc_chees(

@@ -922,7 +922,7 @@ def main(argv=None) -> None:
             )
             p.add_argument(
                 "--hmc-leap", type=int, default=8,
-                help="hmc leapfrog steps per trajectory; 0 = auto (cross-chain ChEES trajectory tuning, rom/rom_nn likelihoods, single device)",
+                help="hmc leapfrog steps per trajectory; 0 = auto (cross-chain ChEES trajectory tuning, rom/rom_nn likelihoods; shards over the mesh)",
             )
             p.add_argument(
                 "--mala-step", type=float, default=0.1,
@@ -1029,7 +1029,7 @@ def main(argv=None) -> None:
     )
     p.add_argument(
         "--hmc-leap", type=int, default=8,
-        help="hmc leapfrog steps per trajectory; 0 = auto (cross-chain ChEES trajectory tuning, rom/rom_nn likelihoods, single device)",
+        help="hmc leapfrog steps per trajectory; 0 = auto (cross-chain ChEES trajectory tuning, rom/rom_nn likelihoods; shards over the mesh)",
     )
     p.add_argument(
         "--mala-step", type=float, default=0.1,

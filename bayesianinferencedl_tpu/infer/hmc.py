@@ -275,11 +275,13 @@ def run_hmc_segmented(
 
 @partial(
     jax.jit,
-    static_argnames=("misfit_fn", "n_leap", "n_adapt", "n_meas", "batched"),
+    static_argnames=(
+        "misfit_fn", "n_leap", "n_adapt", "n_meas", "batched", "axis_name"
+    ),
 )
 def _chees_probe(
     misfit_fn, prior, ref_mean, ref_chol, state, log_h, t0, key,
-    *, n_leap, jitter, n_adapt, n_meas, batched,
+    *, n_leap, jitter, n_adapt, n_meas, batched, axis_name=None,
 ):
     """One trajectory-length probe: n_adapt steps of step-size adaptation at
     this n_leap, then n_meas frozen-h steps accumulating the ChEES statistic
@@ -287,7 +289,11 @@ def _chees_probe(
     squared radius, E[(||y'-mu||^2 - ||y-mu||^2)^2], mu = cross-chain mean.
     Rejected moves contribute 0 — the accepted-jump weighting. Divided by
     n_leap (by the caller) it is the criterion per gradient evaluation.
-    Returns (state, log_h, chees, accept_rate)."""
+    Returns (state, log_h, chees, accept_rate).
+
+    axis_name: set inside shard_map (parallel/sharding.sharded_hmc_chees) —
+    the centering mean and the returned scalars become cross-DEVICE means
+    (pmean), so every shard computes the identical criterion."""
     _, eval_fn = _make_nlp(misfit_fn, prior, ref_mean, ref_chol, batched=batched)
     dtype = state.y.dtype
     k_adapt, k_meas = jax.random.split(key)
@@ -310,6 +316,8 @@ def _chees_probe(
 
     def meas_body(s, k):
         mu = jnp.mean(s.y, axis=0)
+        if axis_name is not None:
+            mu = jax.lax.pmean(mu, axis_name)
         r0 = jnp.sum((s.y - mu) ** 2, axis=-1)
         s2, acc = hmc_step(eval_fn, h, n_leap, jitter, s, k)
         r1 = jnp.sum((s2.y - mu) ** 2, axis=-1)
@@ -318,7 +326,11 @@ def _chees_probe(
     state, (js, accs) = jax.lax.scan(
         meas_body, state, jax.random.split(k_meas, n_meas)
     )
-    return state, log_h, jnp.mean(js), jnp.mean(accs)
+    chees, acc = jnp.mean(js), jnp.mean(accs)
+    if axis_name is not None:
+        chees = jax.lax.pmean(chees, axis_name)
+        acc = jax.lax.pmean(acc, axis_name)
+    return state, log_h, chees, acc
 
 
 def run_hmc_chees(

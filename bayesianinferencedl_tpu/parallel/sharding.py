@@ -1022,3 +1022,99 @@ def sharded_smc(
     )
     f = jax.shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=out_specs)
     return f(key)
+
+
+def sharded_hmc_chees(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta0: jax.Array,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int = 0,
+    step=0.1,
+    leap_candidates=(1, 2, 4, 8, 16, 32),
+    jitter: float = 0.2,
+    n_adapt: int = 24,
+    n_meas: int = 24,
+    thin: int = 1,
+    batched: bool = False,
+    ref=None,
+):
+    """ChEES-tuned HMC (infer/hmc.py run_hmc_chees) with the chain batch
+    sharded over the mesh axis. The probe's centering mean and the returned
+    criterion are cross-DEVICE pmeans, so every shard scores every
+    candidate identically and the argmax needs no host reconciliation;
+    chain state and per-chain step sizes stay sharded through all three
+    phases. Returns (MALAResult, info) — same contract as run_hmc_chees."""
+    from bayesianinferencedl_tpu.infer.hmc import _chees_probe
+    from bayesianinferencedl_tpu.infer.mala import MALAState
+
+    axis = mesh.axis_names[0]
+    hi = jax.lax.Precision.HIGHEST
+    ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
+    cands = tuple(int(L) for L in leap_candidates)
+    dtype = theta0.dtype
+
+    # phase 1: reach the typical set at the median candidate
+    pre = max(n_burn // 2, 8)
+    L_mid = cands[len(cands) // 2]
+    k_pre, k_probe, k_main = jax.random.split(key, 3)
+    # n_steps=pre+1 keeps ONE (discarded) sample: a zero-length kept axis
+    # makes XLA canonicalize the output to replicated, which trips the
+    # shard_map out_specs=P(None, axis) sharding check.
+    res0 = sharded_hmc(
+        mesh, misfit_fn, prior, theta0, k_pre,
+        n_steps=pre + 1, n_burn=pre, step=step, n_leap=L_mid, jitter=jitter,
+        batched=batched, ref=ref,
+    )
+    state = res0.state._replace(n_accept=res0.state.n_accept * 0)
+    log_h = jnp.log(res0.step)
+
+    state_specs = MALAState(
+        y=P(axis), nlp=P(axis), phi=P(axis), grad=P(axis), n_accept=P(axis)
+    )
+    chees, accept = [], []
+    for i, L in enumerate(cands):
+        t0v = float(pre + i * (n_adapt + n_meas))
+
+        def local(s, lh, k_all, L=L, t0v=t0v, i=i):
+            dev_key = jax.random.fold_in(
+                jax.random.fold_in(k_all, i), jax.lax.axis_index(axis)
+            )
+            return _chees_probe(
+                misfit_fn, prior, ref_mean, ref_chol, s, lh,
+                jnp.asarray(t0v, dtype), dev_key,
+                n_leap=L, jitter=jitter, n_adapt=n_adapt, n_meas=n_meas,
+                batched=batched, axis_name=axis,
+            )
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(state_specs, P(axis), P()),
+            out_specs=(state_specs, P(axis), P(), P()),
+            check_vma=False,
+        )
+        state, log_h, j, a = f(state, log_h, k_probe)
+        chees.append(float(j) / L)  # per gradient evaluation
+        accept.append(float(a))
+    best = max(range(len(cands)), key=lambda q: chees[q])
+    L_star = cands[best]
+
+    # phase 3: remaining burn-in + kept run at the winner, still sharded
+    tail_burn = max(n_burn - pre, 8)
+    theta_now = ref_mean + jnp.dot(state.y, ref_chol.T, precision=hi)
+    res = sharded_hmc(
+        mesh, misfit_fn, prior, theta_now, k_main,
+        n_steps=(n_steps - n_burn) + tail_burn, n_burn=tail_burn,
+        step=jnp.exp(log_h), n_leap=L_star, jitter=jitter, thin=thin,
+        batched=batched, ref=ref,
+    )
+    info = {
+        "n_leap": L_star,
+        "candidates": list(cands),
+        "chees_per_grad": chees,
+        "accept": accept,
+    }
+    return res, info

@@ -239,6 +239,30 @@ def main() -> None:
     )
     inv_st = run_inversion(dataclasses.replace(pipe, config=cfg_st), metrics=log)
 
+    # --- derivative-free EKI: the fast first look (unimodal 1e-2 regime) ----
+    # scored against the single-temperature pCN posterior on the SAME data;
+    # fail-soft like the other optional blocks
+    try:
+        from bayesianinferencedl_tpu.infer.eki import run_eki
+
+        fwd_eki = jax.jit(pipe.batched_forward_fn("rom_nn"))
+        run_eki(fwd_eki, pipe.prior, inv_st.data, 1e-2,
+                jax.random.PRNGKey(57), n_ensemble=1024)
+        t0 = time.perf_counter()
+        res_eki = run_eki(fwd_eki, pipe.prior, inv_st.data, 1e-2,
+                          jax.random.PRNGKey(58), n_ensemble=1024)
+        eki_wall = time.perf_counter() - t0
+        eki_block = {
+            "regime": "unimodal (noise 1e-2) — posterior APPROXIMATION; docs/SAMPLERS.md",
+            "n_iters": len(res_eki.ts) - 1,
+            "n_forward_evals": res_eki.n_forward,
+            "wall_seconds": round(eki_wall, 3),
+            "mean_abs_err_vs_pcn": round(float(jnp.mean(jnp.abs(
+                res_eki.mean - inv_st.result.samples.mean(axis=(0, 1))))), 4),
+        }
+    except Exception as e:  # pragma: no cover - env-dependent
+        eki_block = {"error": str(e)[:300]}
+
     # --- delayed acceptance: the EXACT full-order posterior -----------------
     # rom_nn subchains (S=8) + one batched Pallas FOM correction per outer
     # step; same artifacts, unimodal 1e-2-noise regime (the multimodal 1e-3
@@ -353,6 +377,7 @@ def main() -> None:
                 if inv_da is not None
                 else {"error": da_err}
             ),
+            "eki": eki_block,
             "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
             "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),
             "fom_solves_per_sec_pallas_b4096": round(fom_sps_pallas_peak, 2),
