@@ -1444,9 +1444,10 @@ def run_inversion(
 
     init: "prior" (default) draws chain inits from the prior; "eki" warm-
     starts them from a derivative-free EKI ensemble (infer/eki.py — ~10
-    batched forward sweeps, logged as an "eki_init" event), so chains
-    start inside the posterior bulk instead of diffusing there through
-    burn-in. Exactness is unaffected (MCMC forgets its init); only the
+    batched forward sweeps, logged as an "eki_init" event); "vi" from a
+    short full-rank ADVI fit (infer/vi.py, gradient-based, logged as
+    "vi_init") — either way chains start inside the posterior bulk instead
+    of diffusing there through burn-in. Exactness is unaffected (MCMC forgets its init); only the
     burn-in budget changes — measured on the unimodal 1e-2 regime in
     artifacts/eki_init_r3.json. NOT recommended for multimodal targets
     (pt_pcn at 1e-3 noise): the EKI Gaussian-ansatz transport can collapse
@@ -1579,10 +1580,26 @@ def run_inversion(
             theta0 = eki0.ensemble
             log.log("eki_init", n_iters=len(eki0.ts) - 1,
                     n_forward=eki0.n_forward)
+        elif init == "vi":
+            # gradient-based warm start: a short full-rank ADVI fit, chains
+            # drawn from q (infer/vi.py; the same burn-in-bias removal as
+            # init='eki' with gradients instead of ensemble transport)
+            from bayesianinferencedl_tpu.infer.vi import run_advi, vi_sample
+
+            fwd_bl_theta = pipe.batched_forward_fn(like, differentiable=True)
+            fwd_bl = lambda xs: fwd_bl_theta(to_theta(xs))
+            with log.timer("vi_init"):
+                vi0 = run_advi(
+                    mk_misfit(fwd_bl), pipe.prior, k_init,
+                    n_steps=800, n_mc=32, rank="full", batched=True,
+                )
+            theta0 = vi_sample(vi0, jax.random.fold_in(k_init, 1), (cfg.n_chains,))
+            log.log("vi_init", n_forward=vi0.n_forward,
+                    elbo_final=float(jnp.mean(vi0.elbo_trace[-50:])))
         elif init == "prior":
             theta0 = pipe.prior.sample(k_init, (cfg.n_chains,))
         else:
-            raise ValueError(f"init must be 'prior' or 'eki', got {init!r}")
+            raise ValueError(f"init must be 'prior', 'eki', or 'vi', got {init!r}")
         if smp == "pt_pcn":
             # parallel tempering: the exact sampler when the posterior is
             # multimodal (measured on the fin at 1e-3 noise — see
@@ -2059,6 +2076,81 @@ def run_eki_inversion(
             "eki", likelihood=likelihood, n_ensemble=n_ensemble,
             n_iters=len(res.ts) - 1, n_forward=res.n_forward,
             misfit_final=res.misfit_trace[-1], wall_seconds=wall,
+        )
+    return res, theta_true, data, wall
+
+
+def run_vi_inversion(
+    pipe: Pipeline,
+    likelihood: str = "rom_nn",
+    *,
+    rank: str = "full",
+    n_steps: int = 1500,
+    n_mc: int = 32,
+    lr: float = 0.05,
+    theta_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics=None,
+):
+    """Gradient-based variational posterior approximation (ADVI, infer/vi.py):
+    fit q = N(mu, L L^T) in the whitened prior frame by stochastic ELBO
+    ascent — the gradient-informed sibling of run_eki_inversion, with the
+    same data contract (data=None simulates from theta_true or a prior
+    draw). Each step is one batched differentiable forward+reverse pass over
+    the n_mc Monte Carlo draws, so the whole fit is one scan'd XLA program.
+    Returns (VIResult, theta_true, data, wall_seconds).
+
+    Honest contract (docs/SAMPLERS.md): exact when the posterior is Gaussian
+    in the whitened frame (rank='full' on linear-Gaussian problems);
+    mode-seeking approximation otherwise — for certified posteriors run the
+    MCMC kernels. mesh= shards the Monte Carlo axis over ICI
+    (parallel/sharding.sharded_advi)."""
+    from bayesianinferencedl_tpu.infer.vi import run_advi
+
+    log = metrics
+    cfg = pipe.config.mcmc
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    k_true, k_noise, k_run = jax.random.split(key, 3)
+    dtype = pipe.prior.mean.dtype
+    to_theta = pipe.prior.to_theta
+    if data is not None:
+        data = jnp.asarray(data, dtype)
+        if theta_true is None:
+            theta_true = pipe.prior.mean
+    else:
+        if theta_true is None:
+            theta_true = pipe.prior.sample(k_true)
+        y_true = pipe.fin.forward(jnp.exp(to_theta(theta_true)))
+        data = y_true + cfg.noise_sigma * jax.random.normal(
+            k_noise, y_true.shape, dtype
+        )
+
+    fwd_bl_theta = pipe.batched_forward_fn(likelihood, differentiable=True)
+    fwd_bl = lambda xs: fwd_bl_theta(to_theta(xs))  # to_theta is elementwise
+    misfit_b = gaussian_misfit(fwd_bl, data, cfg.noise_sigma)
+    t0 = time.perf_counter()
+    if mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import sharded_advi
+
+        res = sharded_advi(
+            mesh, misfit_b, pipe.prior, k_run,
+            n_steps=n_steps, n_mc=n_mc, rank=rank, lr=lr, batched=True,
+        )
+    else:
+        res = run_advi(
+            misfit_b, pipe.prior, k_run,
+            n_steps=n_steps, n_mc=n_mc, rank=rank, lr=lr, batched=True,
+        )
+    jax.block_until_ready(res.theta_mean)
+    wall = time.perf_counter() - t0
+    if log is not None:
+        log.log(
+            "vi", likelihood=likelihood, rank=rank, n_steps=n_steps,
+            n_mc=n_mc, n_forward=res.n_forward,
+            elbo_final=float(jnp.mean(res.elbo_trace[-50:])),
+            wall_seconds=wall,
         )
     return res, theta_true, data, wall
 

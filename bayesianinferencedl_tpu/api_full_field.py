@@ -1061,3 +1061,73 @@ def run_eki_inversion_ff(
             misfit_final=res.misfit_trace[-1], wall_seconds=wall,
         )
     return res, z_true, data, wall
+
+
+def run_vi_inversion_ff(
+    pipe: FullFieldPipeline,
+    likelihood: str = "rom_nn",
+    *,
+    noise_sigma: float = 1e-3,
+    rank: str = "full",
+    n_steps: int = 1500,
+    n_mc: int = 32,
+    lr: float = 0.05,
+    z_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Gradient-based variational approximation of the full-field posterior
+    (infer/vi.py ADVI; same contract as api.run_vi_inversion): the 64-dim
+    RFF posterior fit as q = N(mu, L L^T) — rank='full' carries the full
+    64x64 coefficient covariance, which no ensemble of practical size pins
+    this cheaply. Returns (VIResult, z_true, data, wall_seconds). Honest
+    contract as everywhere: mode-seeking — at this model's multimodal
+    default noise_sigma=1e-3 the fit describes ONE basin; certify with
+    pt_pcn/pt_da_pcn (docs/SAMPLERS.md)."""
+    from bayesianinferencedl_tpu.infer.vi import run_advi
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_true, k_noise, k_run = jax.random.split(key, 3)
+    dtype = pipe.prior.mean.dtype
+    if data is not None:
+        data = jnp.asarray(data, dtype)
+        if z_true is None:
+            z_true = jnp.zeros_like(pipe.prior.mean)
+    else:
+        if z_true is None:
+            z_true = pipe.prior.sample(k_true)
+        y_true = pipe.op.observe(
+            solve_fom(pipe.op, pipe.conductivity(z_true), tol=pipe.cg_tol,
+                      maxiter=pipe.cg_maxiter)
+        )
+        data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+
+    import time as _t
+
+    fwd_bl = pipe.batched_forward_fn(likelihood, differentiable=True)
+    misfit_b = gaussian_misfit(fwd_bl, data, noise_sigma)
+    t0 = _t.perf_counter()
+    if mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import sharded_advi
+
+        res = sharded_advi(
+            mesh, misfit_b, pipe.prior, k_run,
+            n_steps=n_steps, n_mc=n_mc, rank=rank, lr=lr, batched=True,
+        )
+    else:
+        res = run_advi(
+            misfit_b, pipe.prior, k_run,
+            n_steps=n_steps, n_mc=n_mc, rank=rank, lr=lr, batched=True,
+        )
+    jax.block_until_ready(res.theta_mean)
+    wall = _t.perf_counter() - t0
+    if metrics is not None:
+        metrics.log(
+            "vi_ff", likelihood=likelihood, rank=rank, n_steps=n_steps,
+            n_mc=n_mc, n_forward=res.n_forward,
+            elbo_final=float(jnp.mean(res.elbo_trace[-50:])),
+            wall_seconds=wall,
+        )
+    return res, z_true, data, wall

@@ -432,6 +432,59 @@ def cmd_eki(args) -> None:
     }))
 
 
+def cmd_vi(args) -> None:
+    """Gradient-based variational posterior approximation (api.run_vi_inversion
+    / infer/vi.py ADVI): fit q = N(mu, L L^T) by stochastic ELBO ascent —
+    the gradient-informed sibling of `eki`. Exact when the posterior is
+    Gaussian in the whitened frame; see docs/SAMPLERS.md."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_vi_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        mcmc=MCMCConfig(noise_sigma=args.noise, likelihood=args.likelihood, seed=args.seed),
+        prior=_prior_config(args),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    obs = None
+    if getattr(args, "data", None):
+        obs = jnp.asarray(np.load(args.data)["data"])
+    res, theta_true, data, wall = run_vi_inversion(
+        pipe, args.likelihood, rank=args.rank, n_steps=args.steps,
+        n_mc=args.mc, lr=args.lr, data=obs,
+        key=jax.random.PRNGKey(args.seed), metrics=log,
+    )
+    from bayesianinferencedl_tpu.infer.vi import vi_sample
+
+    to_theta = pipe.prior.to_theta
+    th_s = jax.vmap(to_theta)(vi_sample(res, jax.random.PRNGKey(args.seed + 1), (4096,)))
+    mean_log_k = np.asarray(jnp.mean(th_s, axis=0))
+    elbo = np.asarray(res.elbo_trace)
+    print(json.dumps({
+        "likelihood": args.likelihood,
+        "rank": args.rank,
+        "n_steps": args.steps,
+        "n_mc": args.mc,
+        "n_forward_evals": res.n_forward,
+        "wall_seconds": round(wall, 3),
+        "posterior_mean_log_k": mean_log_k.tolist(),
+        "posterior_std_log_k": np.asarray(jnp.std(th_s, axis=0)).tolist(),
+        "theta_true": np.asarray(to_theta(theta_true)).tolist(),
+        "mean_abs_err": round(float(np.abs(mean_log_k - np.asarray(to_theta(theta_true))).mean()), 5),
+        "elbo_first_last": [round(float(elbo[:50].mean()), 2), round(float(elbo[-50:].mean()), 2)],
+    }))
+
+
 def cmd_sbc_ff(args) -> None:
     """Simulation-based calibration of the FULL-FIELD sampler stack
     (api_full_field.run_sbc_check_ff): J synthetic 64-dim RFF inversions,
@@ -821,6 +874,7 @@ def main(argv=None) -> None:
         ("evidence", cmd_evidence),
         ("sbc", cmd_sbc),
         ("eki", cmd_eki),
+        ("vi", cmd_vi),
     ]:
         p = sub.add_parser(name)
         _add_common(p)
@@ -853,6 +907,21 @@ def main(argv=None) -> None:
                 "--ess-target", type=float, default=0.5,
                 help="tempering-increment ESS fraction controlling the adaptive step",
             )
+            p.add_argument(
+                "--data", type=str, default=None,
+                help="observation npz (key 'data'): external measurements",
+            )
+        elif name == "vi":
+            p.add_argument("--noise", type=float, default=1e-2)
+            p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument(
+                "--rank", choices=["full", "meanfield"], default="full",
+                help="variational family: dense Cholesky (exact on Gaussian "
+                "posteriors) or diagonal (cheaper, shrinks correlated marginals)",
+            )
+            p.add_argument("--steps", type=int, default=1500, help="Adam steps on the ELBO")
+            p.add_argument("--mc", type=int, default=32, help="Monte Carlo draws per step")
+            p.add_argument("--lr", type=float, default=0.05)
             p.add_argument(
                 "--data", type=str, default=None,
                 help="observation npz (key 'data'): external measurements",
@@ -950,10 +1019,11 @@ def main(argv=None) -> None:
             p.add_argument("--shard", action="store_true")
             if name == "invert":
                 p.add_argument(
-                    "--init", choices=["prior", "eki"], default="prior",
+                    "--init", choices=["prior", "eki", "vi"], default="prior",
                     help="chain initialization: 'eki' warm-starts from a "
-                    "derivative-free EKI ensemble (~10 batched sweeps) so "
-                    "chains begin inside the posterior bulk — unimodal "
+                    "derivative-free EKI ensemble (~10 batched sweeps), 'vi' "
+                    "from a short full-rank ADVI fit (gradient-based) — so "
+                    "chains begin inside the posterior bulk; unimodal "
                     "regimes only (api.run_inversion docstring)",
                 )
                 p.add_argument(

@@ -1118,3 +1118,89 @@ def sharded_hmc_chees(
         "accept": accept,
     }
     return res, info
+
+
+def sharded_advi(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    key: jax.Array,
+    *,
+    n_steps: int = 1500,
+    n_mc: int = 256,
+    rank: str = "full",
+    lr: float = 0.05,
+    lr_decay: float = 0.05,
+    batched: bool = False,
+    theta0=None,
+    ref=None,
+    segment=None,
+):
+    """ADVI (infer/vi.py) with the Monte Carlo draw axis sharded over the
+    mesh: each device integrates n_mc/n_devices reparameterized draws
+    through the differentiable forward, and the replicated variational
+    parameters update identically everywhere via the vma convention (grads
+    of replicated params arrive pre-psum'd; dividing by the axis size turns
+    every term — including the replicated analytic entropy — into a
+    cross-device mean). One psum per Adam step, riding ICI.
+
+    Returns the same VIResult contract as run_advi with a cross-device-mean
+    elbo_trace."""
+    from bayesianinferencedl_tpu.infer.mala import _inv_chol
+    from bayesianinferencedl_tpu.infer.vi import VIResult, _advi_segment, _chol_of
+
+    if rank not in ("full", "meanfield"):
+        raise ValueError(f"rank must be 'full' or 'meanfield', got {rank!r}")
+    if n_mc % mesh.size:
+        raise ValueError(f"n_mc={n_mc} must divide by mesh size {mesh.size}")
+    axis = mesh.axis_names[0]
+    hi = jax.lax.Precision.HIGHEST
+    d = prior.dim
+    ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
+    dtype = ref_mean.dtype
+
+    if theta0 is None:
+        mu0 = jnp.zeros((d,), dtype)
+    else:
+        mu0 = jnp.dot(
+            theta0 - ref_mean, _inv_chol(ref_chol).T, precision=hi
+        )
+    raw0 = jnp.zeros((d,) if rank == "meanfield" else (d, d), dtype)
+    from bayesianinferencedl_tpu.models.surrogate import adam_init
+
+    params = {"mu": mu0, "raw": raw0}
+    opt = adam_init(params)
+    n_mc_local = n_mc // mesh.size
+
+    seg = int(segment) if segment else n_steps
+
+    def make_local(this, done):
+        def local(p, o, k_all):
+            dev_key = jax.random.fold_in(k_all, jax.lax.axis_index(axis))
+            return _advi_segment(
+                misfit_fn, prior, ref_mean, ref_chol, p, o, dev_key, done,
+                rank=rank, n_mc=n_mc_local, n_steps=this, n_total=n_steps,
+                lr=lr, lr_decay=lr_decay, batched=batched, axis_name=axis,
+            )
+        return local
+
+    traces = []
+    done = 0
+    while done < n_steps:
+        this = min(seg, n_steps - done)
+        f = jax.shard_map(
+            make_local(this, done), mesh=mesh,
+            in_specs=(P(), P(), P()), out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        params, opt, elbo = f(params, opt, key)
+        traces.append(elbo)
+        done += this
+
+    L = _chol_of(params, rank)
+    theta_mean = ref_mean + jnp.dot(params["mu"], ref_chol.T, precision=hi)
+    theta_chol = jnp.dot(ref_chol, L, precision=hi)
+    return VIResult(
+        mu=params["mu"], L=L, theta_mean=theta_mean, theta_chol=theta_chol,
+        elbo_trace=jnp.concatenate(traces), n_forward=n_mc * n_steps,
+    )

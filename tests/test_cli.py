@@ -117,6 +117,26 @@ def test_cli_sbc_json():
     assert len(rec["rank_counts"]) == 5 and len(rec["rank_counts"][0]) == 4
 
 
+def test_cli_vi_json():
+    """`vi` fits the ADVI posterior approximation end-to-end on a tiny
+    pipeline: valid JSON, finite posterior moments, and an ELBO that
+    improved over the run (infer/vi.py honest contract)."""
+    out = _run([
+        "vi", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--steps", "600", "--mc", "16",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["rank"] == "full"
+    assert len(rec["posterior_mean_log_k"]) == 5
+    assert all(s > 0 for s in rec["posterior_std_log_k"])
+    assert rec["n_forward_evals"] == 600 * 16
+    first, last = rec["elbo_first_last"]
+    assert last > first
+    assert rec["mean_abs_err"] < 1.0
+
+
 def test_cli_infer_noise():
     """`invert --infer-noise` (unknown sigma, marginalized) reports the
     sigma posterior and the scale-free shape PPC; `map --infer-noise`
