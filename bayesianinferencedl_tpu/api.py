@@ -2155,6 +2155,50 @@ def run_vi_inversion(
     return res, theta_true, data, wall
 
 
+def psis_certify(
+    pipe: Pipeline,
+    q_mean: jax.Array,
+    q_chol: jax.Array,
+    data: jax.Array,
+    likelihood: str = "rom_nn",
+    *,
+    n_draws: int = 4096,
+    key: Optional[jax.Array] = None,
+    metrics=None,
+):
+    """Certify-and-correct a Gaussian posterior approximation by
+    Pareto-smoothed importance sampling (infer/psis.py): draw n_draws from
+    q = N(q_mean, q_chol q_chol^T), run ONE batched forward sweep through
+    the same fused likelihood route the samplers use (no gradients — the
+    fast non-differentiable path), smooth the weight tail, and return
+    importance-weighted moments plus the k-hat quality gate (k < 0.7 =
+    q covers the posterior; the approximation kernels' honest-contract
+    caveat, measured instead of assumed).
+
+    q_mean/q_chol: any Gaussian fit over WORKING coordinates — a VIResult's
+    (theta_mean, theta_chol), a Laplace fit's (mean, chol), or
+    moment-matched EKI output. Returns PSISResult."""
+    from bayesianinferencedl_tpu.infer.psis import psis_correct
+
+    cfg = pipe.config.mcmc
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 7)
+    to_theta = pipe.prior.to_theta
+    fwd_b_theta = pipe.batched_forward_fn(likelihood)
+    fwd_b = jax.jit(lambda xs: fwd_b_theta(to_theta(xs)))
+    misfit_b = gaussian_misfit(fwd_b, jnp.asarray(data, pipe.prior.mean.dtype),
+                               cfg.noise_sigma)
+    res = psis_correct(
+        misfit_b, pipe.prior, q_mean, q_chol, key,
+        n_draws=n_draws, batched=True,
+    )
+    if metrics is not None:
+        metrics.log(
+            "psis", likelihood=likelihood, n_draws=n_draws,
+            k_hat=res.k_hat, ess=res.ess, reliable=res.reliable,
+        )
+    return res
+
+
 def run_sbc_check(
     pipe: Pipeline,
     likelihood: str = "rom_nn",

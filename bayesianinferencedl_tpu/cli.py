@@ -470,7 +470,7 @@ def cmd_vi(args) -> None:
     th_s = jax.vmap(to_theta)(vi_sample(res, jax.random.PRNGKey(args.seed + 1), (4096,)))
     mean_log_k = np.asarray(jnp.mean(th_s, axis=0))
     elbo = np.asarray(res.elbo_trace)
-    print(json.dumps({
+    rec = {
         "likelihood": args.likelihood,
         "rank": args.rank,
         "n_steps": args.steps,
@@ -482,7 +482,28 @@ def cmd_vi(args) -> None:
         "theta_true": np.asarray(to_theta(theta_true)).tolist(),
         "mean_abs_err": round(float(np.abs(mean_log_k - np.asarray(to_theta(theta_true))).mean()), 5),
         "elbo_first_last": [round(float(elbo[:50].mean()), 2), round(float(elbo[-50:].mean()), 2)],
-    }))
+    }
+    if args.psis:
+        from bayesianinferencedl_tpu.api import psis_certify
+
+        cert = psis_certify(
+            pipe, res.theta_mean, res.theta_chol, data, args.likelihood,
+            n_draws=args.psis, key=jax.random.PRNGKey(args.seed + 2),
+            metrics=log,
+        )
+        # importance-weighted mean of log k: reweight the draws pushed
+        # through to_theta (exact for any prior, not just the affine one)
+        w = np.exp(cert.log_weights - cert.log_weights.max())
+        w /= w.sum()
+        th_psis = np.asarray(jax.vmap(to_theta)(cert.samples))
+        rec["psis"] = {
+            "n_draws": args.psis,
+            "k_hat": round(cert.k_hat, 3),
+            "reliable": cert.reliable,
+            "ess": round(cert.ess, 1),
+            "corrected_mean_log_k": (w @ th_psis).tolist(),
+        }
+    print(json.dumps(rec))
 
 
 def cmd_sbc_ff(args) -> None:
@@ -922,6 +943,12 @@ def main(argv=None) -> None:
             p.add_argument("--steps", type=int, default=1500, help="Adam steps on the ELBO")
             p.add_argument("--mc", type=int, default=32, help="Monte Carlo draws per step")
             p.add_argument("--lr", type=float, default=0.05)
+            p.add_argument(
+                "--psis", type=int, default=0, metavar="K",
+                help="certify the fit by Pareto-smoothed importance sampling "
+                "with K draws (infer/psis.py): reports k-hat (<0.7 = the fit "
+                "covers the posterior) and the importance-corrected mean",
+            )
             p.add_argument(
                 "--data", type=str, default=None,
                 help="observation npz (key 'data'): external measurements",

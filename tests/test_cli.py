@@ -137,6 +137,25 @@ def test_cli_vi_json():
     assert rec["mean_abs_err"] < 1.0
 
 
+def test_cli_vi_psis_gate():
+    """`vi --psis K` appends the PSIS certification block: k-hat, the
+    usability verdict, and the importance-corrected mean (a near-Gaussian
+    1e-2-noise rom_nn posterior must pass the gate)."""
+    out = _run([
+        "vi", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--steps", "800", "--mc", "16", "--psis", "2048",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    psis = rec["psis"]
+    assert psis["n_draws"] == 2048
+    assert psis["reliable"] is True, psis
+    assert psis["k_hat"] < 0.7
+    assert 0 < psis["ess"] <= 2048
+    assert len(psis["corrected_mean_log_k"]) == 5
+
+
 def test_cli_infer_noise():
     """`invert --infer-noise` (unknown sigma, marginalized) reports the
     sigma posterior and the scale-free shape PPC; `map --infer-noise`
