@@ -51,6 +51,10 @@ class PSISResult(NamedTuple):
     log_weights: np.ndarray  # (K,) smoothed, max-subtracted log weights
     samples: jax.Array  # (K, d) the proposal draws the weights refer to
     reliable: bool  # k_hat < 0.7 (the published usability threshold)
+    log_evidence: float  # log E_mu0[exp(-Phi)] from the RAW weights —
+    # unbiased in Z, same prior-predictive convention as infer/evidence.py
+    # and infer/smc.py, so Bayes factors cross-check across all three
+    # estimators. Trust it under the same k_hat gate as the moments.
 
 
 def _gpd_fit(x: np.ndarray) -> tuple[float, float, float]:
@@ -152,6 +156,16 @@ def psis_correct(
     log_q = -0.5 * np.sum(e64 * e64, axis=1) - log_det_q
     log_w_raw = log_p - log_q
 
+    # evidence from the RAW weights (unbiased in Z): the target above is
+    # exp(-Phi) times the UNNORMALIZED prior density; dividing by the prior
+    # normalization |det prior.chol| (the (2 pi)^{d/2} cancels against q's)
+    # yields Z = E_mu0[exp(-Phi)] — the infer/evidence.py convention
+    log_det_p = float(np.sum(np.log(np.abs(np.diag(pc)))))
+    mx = log_w_raw.max()
+    log_evidence = float(
+        mx + np.log(np.mean(np.exp(log_w_raw - mx))) - log_det_p
+    )
+
     log_w, k_hat = psis_smooth(log_w_raw)
     w = np.exp(log_w - log_w.max())
     w /= w.sum()
@@ -162,4 +176,5 @@ def psis_correct(
     return PSISResult(
         mean=mean, cov=cov, k_hat=float(k_hat), ess=ess,
         log_weights=log_w, samples=theta, reliable=bool(k_hat < 0.7),
+        log_evidence=log_evidence,
     )

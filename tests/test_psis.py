@@ -23,13 +23,28 @@ def _linear_gaussian(d=5, sigma=0.5, seed=0):
         r = th @ A.T - data
         return 0.5 / sigma**2 * jnp.sum(r * r, axis=-1)
 
-    return misfit, prior, mu, Cpost
+    return misfit, prior, mu, Cpost, (A, data, sigma)
+
+
+def _analytic_log_evidence(A, data, sigma):
+    """log E_mu0[exp(-Phi)] for the linear-Gaussian problem: exp(-Phi) =
+    (2 pi sigma^2)^{m/2} N(y; A theta, sigma^2 I), marginalized over the
+    standard-normal prior -> (2 pi sigma^2)^{m/2} N(y; 0, A A^T+sigma^2 I)."""
+    A = np.asarray(A, np.float64)
+    y = np.asarray(data, np.float64)
+    m = y.size
+    S = A @ A.T + sigma**2 * np.eye(m)
+    _, logdet = np.linalg.slogdet(S)
+    return float(
+        0.5 * m * np.log(2.0 * np.pi * sigma**2)
+        - 0.5 * (y @ np.linalg.solve(S, y) + logdet + m * np.log(2.0 * np.pi))
+    )
 
 
 def test_psis_exact_proposal():
     """q = the exact posterior: weights are constant, k-hat tiny, ESS ~ K,
     and the weighted moments reproduce the posterior."""
-    misfit, prior, mu, Cpost = _linear_gaussian()
+    misfit, prior, mu, Cpost, aux = _linear_gaussian()
     res = psis_correct(
         misfit, prior, jnp.asarray(mu), jnp.asarray(np.linalg.cholesky(Cpost)),
         jax.random.PRNGKey(1), n_draws=4096, batched=True,
@@ -39,12 +54,15 @@ def test_psis_exact_proposal():
     assert res.ess > 0.98 * 4096  # constant weights
     np.testing.assert_allclose(res.mean, mu, atol=0.03)
     np.testing.assert_allclose(res.cov, Cpost, atol=0.03)
+    # evidence from the raw weights matches the analytic prior-predictive
+    # mass (the infer/evidence.py convention)
+    assert abs(res.log_evidence - _analytic_log_evidence(*aux)) < 0.05
 
 
 def test_psis_corrects_covering_proposal():
     """q wider and shifted (covers the posterior): raw q moments are wrong,
     the importance-weighted moments are right, k-hat stays below 0.7."""
-    misfit, prior, mu, Cpost = _linear_gaussian(seed=2)
+    misfit, prior, mu, Cpost, aux = _linear_gaussian(seed=2)
     q_mean = jnp.asarray(mu + 0.25)  # deliberately biased
     q_chol = jnp.asarray(2.0 * np.linalg.cholesky(Cpost))  # deliberately wide
     res = psis_correct(
@@ -59,13 +77,15 @@ def test_psis_corrects_covering_proposal():
     np.testing.assert_allclose(res.mean, mu, atol=0.05)
     np.testing.assert_allclose(res.cov, Cpost, atol=0.08)
     assert res.ess < 16384  # non-trivial weights
+    # the evidence estimate survives a biased+wide proposal too
+    assert abs(res.log_evidence - _analytic_log_evidence(*aux)) < 0.1
 
 
 def test_psis_flags_non_covering_proposal():
     """q much NARROWER than the posterior and shifted: the importance
     weights are heavy-tailed, k-hat crosses the 0.7 usability threshold —
     the gate fails loudly instead of returning silently-wrong moments."""
-    misfit, prior, mu, Cpost = _linear_gaussian(seed=4)
+    misfit, prior, mu, Cpost, aux = _linear_gaussian(seed=4)
     q_mean = jnp.asarray(mu + 3.0 * np.sqrt(np.diag(Cpost)))
     q_chol = jnp.asarray(np.linalg.cholesky(Cpost) * 0.15)
     res = psis_correct(
