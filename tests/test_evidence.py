@@ -149,3 +149,49 @@ def test_ss_evidence_bimodal_quadrature_oracle():
     )
     est = log_evidence_from_pt(res, misfit, prior, jax.random.PRNGKey(7), batched=False)
     assert abs(est.log_z - log_z) < 0.1, (est.log_z, float(log_z))
+
+
+def test_three_estimator_evidence_consistency():
+    """The repo now carries THREE independent evidence estimators —
+    stepping-stone over the PT ladder (infer/evidence.py), unbiased SMC
+    (infer/smc.py), and PSIS raw-weight importance sampling over an ADVI
+    fit (infer/psis.py) — all under the same Z = E_mu0[exp(-Phi)]
+    convention. On the linear-Gaussian oracle they must agree with the
+    analytic value AND each other (the cross-check a real model-comparison
+    workflow leans on)."""
+    from bayesianinferencedl_tpu.infer.psis import psis_correct
+    from bayesianinferencedl_tpu.infer.smc import run_smc
+    from bayesianinferencedl_tpu.infer.vi import run_advi
+
+    misfit, prior, log_z = _linear_gaussian()
+    theta0 = prior.sample(jax.random.PRNGKey(0), (64,))
+
+    res_pt = run_pt_pcn(
+        misfit, prior, theta0, jax.random.PRNGKey(1),
+        n_steps=6000, n_burn=2000, n_temps=6, lambda_min=0.05,
+        adapt_ladder=True, batched=False,
+    )
+    z_ss = log_evidence_from_pt(
+        res_pt, misfit, prior, jax.random.PRNGKey(7), batched=False
+    ).log_z
+
+    z_smc = float(run_smc(
+        misfit, prior, jax.random.PRNGKey(2), n_particles=4096,
+        n_mutations=5, batched=False,
+    ).log_evidence)
+
+    fit = run_advi(
+        misfit, prior, jax.random.PRNGKey(3),
+        n_steps=3000, n_mc=64, rank="full", lr=0.02, batched=False,
+    )
+    cert = psis_correct(
+        misfit, prior, fit.theta_mean, fit.theta_chol,
+        jax.random.PRNGKey(4), n_draws=8192, batched=False,
+    )
+    assert cert.reliable, cert.k_hat
+    z_psis = cert.log_evidence
+
+    for name, z in (("ss", z_ss), ("smc", z_smc), ("psis", z_psis)):
+        assert abs(z - log_z) < 0.1, (name, z, log_z)
+    spread = max(z_ss, z_smc, z_psis) - min(z_ss, z_smc, z_psis)
+    assert spread < 0.15, (z_ss, z_smc, z_psis)
