@@ -1131,3 +1131,39 @@ def run_vi_inversion_ff(
             wall_seconds=wall,
         )
     return res, z_true, data, wall
+
+
+def psis_certify_ff(
+    pipe: FullFieldPipeline,
+    q_mean: jax.Array,
+    q_chol: jax.Array,
+    data: jax.Array,
+    likelihood: str = "rom_nn",
+    *,
+    noise_sigma: float = 1e-3,
+    n_draws: int = 4096,
+    key: Optional[jax.Array] = None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """PSIS certify-and-correct for a full-field Gaussian fit (infer/psis.py;
+    same contract as api.psis_certify): one batched gradient-free forward
+    sweep over n_draws proposal draws — for the fom likelihood that is one
+    fused Pallas deflated-CG dispatch — then the k-hat gate and
+    importance-weighted moments over the RFF coefficients."""
+    from bayesianinferencedl_tpu.infer.psis import psis_correct
+
+    key = key if key is not None else jax.random.PRNGKey(7)
+    fwd_b = pipe.batched_forward_fn(likelihood)
+    misfit_b = gaussian_misfit(
+        fwd_b, jnp.asarray(data, pipe.prior.mean.dtype), noise_sigma
+    )
+    res = psis_correct(
+        misfit_b, pipe.prior, q_mean, q_chol, key,
+        n_draws=n_draws, batched=True,
+    )
+    if metrics is not None:
+        metrics.log(
+            "psis_ff", likelihood=likelihood, n_draws=n_draws,
+            k_hat=res.k_hat, ess=res.ess, reliable=res.reliable,
+        )
+    return res

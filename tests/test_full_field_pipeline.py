@@ -358,3 +358,13 @@ def test_ff_vi(ffpipe):
     )
     m_mc = np.asarray(res_mc.samples.mean(axis=(0, 1)))
     np.testing.assert_allclose(np.asarray(res.theta_mean), m_mc, atol=0.25)
+    # PSIS closes the loop: the near-Gaussian 1e-2 full-field posterior
+    # certifies the full-rank fit, and the correction stays near the fit
+    from bayesianinferencedl_tpu.api_full_field import psis_certify_ff
+
+    cert = psis_certify_ff(
+        ffpipe, res.theta_mean, res.theta_chol, data, "rom_nn",
+        noise_sigma=1e-2, n_draws=4096, key=jax.random.PRNGKey(45),
+    )
+    assert cert.reliable, cert.k_hat
+    np.testing.assert_allclose(cert.mean, np.asarray(res.theta_mean), atol=0.2)
