@@ -417,7 +417,7 @@ def cmd_eki(args) -> None:
     to_theta = pipe.prior.to_theta
     th_ens = jax.vmap(to_theta)(res.ensemble)
     mean_log_k = np.asarray(jnp.mean(th_ens, axis=0))
-    print(json.dumps({
+    rec = {
         "likelihood": args.likelihood,
         "n_ensemble": args.ensemble,
         "n_iters": len(res.ts) - 1,
@@ -429,7 +429,30 @@ def cmd_eki(args) -> None:
         "mean_abs_err": round(float(np.abs(mean_log_k - np.asarray(to_theta(theta_true))).mean()), 5),
         "misfit_trace": [round(x, 2) for x in res.misfit_trace],
         "tempering_knots": [round(t, 5) for t in res.ts],
-    }))
+    }
+    if getattr(args, "psis", 0):
+        # certify the moment-matched Gaussian of the final ensemble (the
+        # honest contract made measurable — infer/psis.py k-hat gate); the
+        # ensemble lives in working coordinates, as psis_certify expects
+        from bayesianinferencedl_tpu.api import psis_certify
+
+        ens = np.asarray(res.ensemble, np.float64)
+        q_mean = jnp.asarray(ens.mean(axis=0), pipe.prior.mean.dtype)
+        cov = np.cov(ens.T) + 1e-12 * np.eye(ens.shape[1])
+        q_chol = jnp.asarray(np.linalg.cholesky(cov), pipe.prior.mean.dtype)
+        cert = psis_certify(
+            pipe, q_mean, q_chol, data, args.likelihood,
+            n_draws=args.psis, key=jax.random.PRNGKey(args.seed + 2),
+        )
+        rec["psis"] = {
+            "n_draws": args.psis,
+            "k_hat": round(cert.k_hat, 3),
+            "reliable": cert.reliable,
+            "ess": round(cert.ess, 1),
+            "corrected_mean_working": cert.mean.tolist(),
+            "log_evidence": round(cert.log_evidence, 4),
+        }
+    print(json.dumps(rec))
 
 
 def cmd_vi(args) -> None:
@@ -701,7 +724,7 @@ def cmd_map(args) -> None:
     lap = laplace_approximation(fwd, data, sig_lap, pipe.prior, x_map)
     sd = np.sqrt(np.diag(np.asarray(lap.cov)))
     theta_map = to_theta(x_map)
-    print(json.dumps({
+    rec = {
         "theta_map": np.asarray(theta_map).tolist(),
         "theta_true": np.asarray(to_theta(x_true)).tolist(),
         "laplace_sd_working": sd.tolist(),
@@ -709,7 +732,33 @@ def cmd_map(args) -> None:
         "nlp": float(nlp),
         "prior": args.prior,
         **({"noise_sigma_plugin": sig_lap} if args.infer_noise else {}),
-    }))
+    }
+    if getattr(args, "psis", 0):
+        # certify the LAPLACE fit: is the local quadratic actually covering
+        # the posterior? (infer/psis.py k-hat gate + corrected mean)
+        if args.infer_noise:
+            raise SystemExit(
+                "--psis with --infer-noise is unsupported: the sigma-marginal "
+                "potential needs its own importance target"
+            )
+        from bayesianinferencedl_tpu.infer.psis import psis_correct
+
+        fwd_b_theta = pipe.batched_forward_fn(args.likelihood)
+        fwd_b = jax.jit(lambda xs: fwd_b_theta(to_theta(xs)))  # elementwise
+        misfit_b = gaussian_misfit(fwd_b, data, args.noise)
+        cert = psis_correct(
+            misfit_b, pipe.prior, lap.mean, lap.chol,
+            jax.random.PRNGKey(args.seed + 2), n_draws=args.psis, batched=True,
+        )
+        rec["psis"] = {
+            "n_draws": args.psis,
+            "k_hat": round(cert.k_hat, 3),
+            "reliable": cert.reliable,
+            "ess": round(cert.ess, 1),
+            "corrected_mean_working": cert.mean.tolist(),
+            "log_evidence": round(cert.log_evidence, 4),
+        }
+    print(json.dumps(rec))
 
 
 def cmd_design(args) -> None:
@@ -920,6 +969,12 @@ def main(argv=None) -> None:
                 "(InvGamma(2, noise^2) prior); Laplace intervals at the "
                 "plug-in conditional-mode noise scale",
             )
+            p.add_argument(
+                "--psis", type=int, default=0, metavar="K",
+                help="certify the Laplace fit by Pareto-smoothed importance "
+                "sampling with K draws (infer/psis.py k-hat gate + corrected "
+                "mean; fixed-noise likelihood only)",
+            )
         elif name == "eki":
             p.add_argument("--noise", type=float, default=1e-2)
             p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
@@ -931,6 +986,12 @@ def main(argv=None) -> None:
             p.add_argument(
                 "--data", type=str, default=None,
                 help="observation npz (key 'data'): external measurements",
+            )
+            p.add_argument(
+                "--psis", type=int, default=0, metavar="K",
+                help="certify the moment-matched ensemble Gaussian by "
+                "Pareto-smoothed importance sampling with K draws "
+                "(infer/psis.py k-hat gate + corrected mean)",
             )
         elif name == "vi":
             p.add_argument("--noise", type=float, default=1e-2)

@@ -156,6 +156,36 @@ def test_cli_vi_psis_gate():
     assert len(psis["corrected_mean_log_k"]) == 5
 
 
+def test_cli_map_and_eki_psis_gates():
+    """--psis on `map` and `eki`: the Laplace fit and the moment-matched
+    ensemble Gaussian each get the k-hat verdict plus a cross-checkable
+    log-evidence (all three CLI approximations share one certification)."""
+    out = _run([
+        "map", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--psis", "2048",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["psis"]["reliable"] is True, rec["psis"]
+    lz_map = rec["psis"]["log_evidence"]
+
+    out = _run([
+        "eki", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--ensemble", "512", "--psis", "2048",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["psis"]["reliable"] is True, rec["psis"]
+    assert 0 < rec["psis"]["ess"] <= 2048
+    # the two commands invert DIFFERENT synthetic data draws, so evidences
+    # need not match across commands — both must simply be finite
+    import math
+
+    assert math.isfinite(lz_map) and math.isfinite(rec["psis"]["log_evidence"])
+
+
 def test_cli_infer_noise():
     """`invert --infer-noise` (unknown sigma, marginalized) reports the
     sigma posterior and the scale-free shape PPC; `map --infer-noise`
