@@ -2164,6 +2164,7 @@ def psis_certify(
     *,
     n_draws: int = 4096,
     key: Optional[jax.Array] = None,
+    mesh=None,
     metrics=None,
 ):
     """Certify-and-correct a Gaussian posterior approximation by
@@ -2189,7 +2190,7 @@ def psis_certify(
                                cfg.noise_sigma)
     res = psis_correct(
         misfit_b, pipe.prior, q_mean, q_chol, key,
-        n_draws=n_draws, batched=True,
+        n_draws=n_draws, batched=True, mesh=mesh,
     )
     if metrics is not None:
         metrics.log(

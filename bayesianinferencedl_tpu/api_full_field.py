@@ -1143,6 +1143,7 @@ def psis_certify_ff(
     noise_sigma: float = 1e-3,
     n_draws: int = 4096,
     key: Optional[jax.Array] = None,
+    mesh=None,
     metrics: Optional[MetricsLogger] = None,
 ):
     """PSIS certify-and-correct for a full-field Gaussian fit (infer/psis.py;
@@ -1159,7 +1160,7 @@ def psis_certify_ff(
     )
     res = psis_correct(
         misfit_b, pipe.prior, q_mean, q_chol, key,
-        n_draws=n_draws, batched=True,
+        n_draws=n_draws, batched=True, mesh=mesh,
     )
     if metrics is not None:
         metrics.log(

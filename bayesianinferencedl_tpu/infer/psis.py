@@ -96,6 +96,12 @@ def psis_smooth(log_w: np.ndarray) -> tuple[np.ndarray, float]:
     tail_idx = order[-M:]
     cut = lw[order[-M - 1]]  # weight just below the tail
     x = np.exp(lw[tail_idx]) - np.exp(cut)  # exceedances, already ascending
+    # degenerate tail: (near-)constant weights leave only float noise above
+    # the cut — there is no tail to fit (the GPD estimator would return an
+    # arbitrary shape from numeric dust). That is the IDEAL case: report a
+    # maximally light tail and smooth nothing.
+    if x[-1] <= 0 or x[x.size // 4] <= 0 or x[-1] < 1e-10 * np.exp(cut):
+        return lw, -np.inf
     xi, sigma, k_hat = _gpd_fit(x)
     if np.isfinite(k_hat) and np.isfinite(sigma) and sigma > 0:
         n = x.size
@@ -122,6 +128,7 @@ def psis_correct(
     *,
     n_draws: int = 4096,
     batched: bool = False,
+    mesh=None,
 ) -> PSISResult:
     """Importance-correct a Gaussian approximation q = N(q_mean, q_chol
     q_chol^T) over WORKING coordinates toward the exact posterior
@@ -130,7 +137,11 @@ def psis_correct(
     (theta_mean, theta_chol), a Laplace fit, or moment-matched EKI output.
 
     Returns PSISResult with importance-weighted mean/cov, the k-hat
-    diagnostic, and the smoothed weights for custom expectations."""
+    diagnostic, and the smoothed weights for custom expectations.
+
+    mesh: optional jax.sharding.Mesh — the draw axis shards over ICI for the
+    forward sweep (embarrassingly parallel, the run_eki pattern; n_draws
+    must divide by the mesh size). The O(K d) host algebra gathers."""
     hi = jax.lax.Precision.HIGHEST
     d = prior.dim
     dtype = prior.mean.dtype
@@ -139,6 +150,16 @@ def psis_correct(
 
     eps = jax.random.normal(key, (n_draws, d), dtype)
     theta = q_mean + jnp.dot(eps, q_chol.T, precision=hi)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if n_draws % mesh.size:
+            raise ValueError(
+                f"n_draws={n_draws} must divide by mesh size {mesh.size}"
+            )
+        theta = jax.device_put(
+            theta, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        )
 
     # device: the physics — one batched misfit sweep
     phi = misfit_fn(theta) if batched else jax.vmap(misfit_fn)(theta)

@@ -263,6 +263,39 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - env-dependent
         eki_block = {"error": str(e)[:300]}
 
+    # --- gradient-based VI (full-rank ADVI) + PSIS certification ------------
+    # the same data as the pCN reference; the k-hat gate makes the
+    # approximation's validity a measured number (infer/vi.py, infer/psis.py)
+    try:
+        from bayesianinferencedl_tpu.api import psis_certify, run_vi_inversion
+
+        pipe_st = dataclasses.replace(pipe, config=cfg_st)
+        run_vi_inversion(pipe_st, "rom_nn", n_steps=3000, n_mc=32,
+                         data=inv_st.data, key=jax.random.PRNGKey(59))
+        t0 = time.perf_counter()
+        res_vi, _, _, _ = run_vi_inversion(
+            pipe_st, "rom_nn", n_steps=3000, n_mc=32, data=inv_st.data,
+            key=jax.random.PRNGKey(60),
+        )
+        vi_wall = time.perf_counter() - t0
+        cert = psis_certify(
+            pipe_st, res_vi.theta_mean, res_vi.theta_chol, inv_st.data,
+            "rom_nn", n_draws=4096, key=jax.random.PRNGKey(61),
+        )
+        vi_block = {
+            "regime": "unimodal (noise 1e-2) — posterior APPROXIMATION; docs/SAMPLERS.md",
+            "rank": "full",
+            "n_forward_evals": res_vi.n_forward,
+            "wall_seconds": round(vi_wall, 3),
+            "mean_abs_err_vs_pcn": round(float(jnp.mean(jnp.abs(
+                res_vi.theta_mean - inv_st.result.samples.mean(axis=(0, 1))))), 4),
+            "psis_k_hat": round(cert.k_hat, 3),
+            "psis_reliable": bool(cert.reliable),
+            "psis_ess": round(cert.ess, 1),
+        }
+    except Exception as e:  # pragma: no cover - env-dependent
+        vi_block = {"error": str(e)[:300]}
+
     # --- delayed acceptance: the EXACT full-order posterior -----------------
     # rom_nn subchains (S=8) + one batched Pallas FOM correction per outer
     # step; same artifacts, unimodal 1e-2-noise regime (the multimodal 1e-3
@@ -378,6 +411,7 @@ def main() -> None:
                 else {"error": da_err}
             ),
             "eki": eki_block,
+            "vi": vi_block,
             "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
             "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),
             "fom_solves_per_sec_pallas_b4096": round(fom_sps_pallas_peak, 2),

@@ -155,3 +155,22 @@ def test_psis_certify_on_pipeline_fit():
     np.testing.assert_allclose(
         cert.mean, np.asarray(res.theta_mean), atol=0.15
     )
+
+
+def test_psis_sharded_sweep_matches_single_device():
+    """mesh=: the certification forward sweep shards the draw axis over the
+    mesh (run_eki pattern). Same key => identical draws, so the sharded and
+    single-device results are bit-identical up to reduction order."""
+    from bayesianinferencedl_tpu.parallel.mesh import device_mesh
+
+    misfit, prior, mu, Cpost, aux = _linear_gaussian(seed=8)
+    q_mean = jnp.asarray(mu)
+    q_chol = jnp.asarray(np.linalg.cholesky(Cpost))
+    r1 = psis_correct(misfit, prior, q_mean, q_chol, jax.random.PRNGKey(9),
+                      n_draws=4096, batched=False)
+    r8 = psis_correct(misfit, prior, q_mean, q_chol, jax.random.PRNGKey(9),
+                      n_draws=4096, batched=False, mesh=device_mesh())
+    assert r8.reliable
+    np.testing.assert_allclose(r8.mean, r1.mean, atol=1e-8)
+    np.testing.assert_allclose(r8.k_hat, r1.k_hat, atol=1e-8)
+    np.testing.assert_allclose(r8.log_evidence, r1.log_evidence, atol=1e-8)
