@@ -2200,6 +2200,244 @@ def psis_certify(
     return res
 
 
+def run_flow_vi_inversion(
+    pipe: Pipeline,
+    likelihood: str = "rom_nn",
+    *,
+    n_couplings: int = 6,
+    hidden: int = 32,
+    n_steps: Optional[int] = None,
+    n_mc: int = 64,
+    lr: float = 0.003,
+    pretrain: str = "smc",
+    pretrain_particles: int = 2048,
+    pretrain_steps: int = 2000,
+    n_mutations: int = 5,
+    anneal_steps: Optional[int] = None,
+    theta_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics=None,
+):
+    """Normalizing-flow posterior approximation (infer/flow.py): the
+    non-Gaussian member of the approximation layer, able to represent the
+    skewed/multimodal posteriors where every Gaussian fit (ADVI / Laplace /
+    EKI) is structurally wrong.
+
+    pretrain='smc' (the production route, collapse-proof): one adaptive
+    tempered-SMC population (infer/smc.py) gives a rough-but-everywhere
+    particle map of the posterior, and the flow distills it by
+    mass-covering forward-KL MLE (fit_flow_mle — a dropped basin costs
+    unbounded NLL on that basin's particles). Reverse-KL ELBO refinement is
+    OFF by default here (n_steps=0): measured on the bimodal oracle, even a
+    short refinement from a perfectly covering warm start re-collapses to
+    one basin — within the coupling family the bridge-mass penalty of
+    reverse KL beats the log-2 coverage gain (tests/test_flow.py). Pass
+    n_steps>0 only for targets known unimodal. pretrain='none' is plain
+    annealed reverse-KL flow-VI (default n_steps=3000) — appropriate for
+    unimodal non-Gaussian targets, measured to mode-collapse otherwise.
+
+    Same data contract as run_vi_inversion (data=None simulates from
+    theta_true or a prior draw; same seed => the same observations as
+    run_inversion). mesh= shards the SMC particle axis (islands) and the
+    refinement's MC axis over ICI. Returns (FlowVIResult, theta_true, data,
+    wall_seconds) — certify with psis_certify_flow, warm-start MCMC with
+    flow_sample, or sample exactly with run_neutra_inversion."""
+    from bayesianinferencedl_tpu.infer.flow import fit_flow_mle, run_flow_vi
+
+    if pretrain not in ("smc", "none"):
+        raise ValueError(f"pretrain must be 'smc' or 'none', got {pretrain!r}")
+    log = metrics
+    cfg = pipe.config.mcmc
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    k_true, k_noise, k_smc, k_mle, k_run = jax.random.split(key, 5)
+    dtype = pipe.prior.mean.dtype
+    to_theta = pipe.prior.to_theta
+    if data is not None:
+        data = jnp.asarray(data, dtype)
+        if theta_true is None:
+            theta_true = pipe.prior.mean
+    else:
+        if theta_true is None:
+            theta_true = pipe.prior.sample(k_true)
+        y_true = pipe.fin.forward(jnp.exp(to_theta(theta_true)))
+        data = y_true + cfg.noise_sigma * jax.random.normal(
+            k_noise, y_true.shape, dtype
+        )
+
+    # ELBO refinement differentiates the misfit; SMC pretraining does not —
+    # route each through the matching forward (implicit-diff vs fast)
+    fwd_bd_theta = pipe.batched_forward_fn(likelihood, differentiable=True)
+    misfit_bd = gaussian_misfit(
+        lambda xs: fwd_bd_theta(to_theta(xs)), data, cfg.noise_sigma
+    )
+    fwd_b_theta = pipe.batched_forward_fn(likelihood)
+    misfit_b = gaussian_misfit(
+        lambda xs: fwd_b_theta(to_theta(xs)), data, cfg.noise_sigma
+    )
+
+    t0 = time.perf_counter()
+    params = None
+    n_stages = None
+    if n_steps is None:
+        n_steps = 0 if pretrain == "smc" else 3000
+    res = None
+    if pretrain == "smc":
+        from bayesianinferencedl_tpu.infer.smc import run_smc
+
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_smc
+
+            smc_res, _ = sharded_smc(
+                mesh, misfit_b, pipe.prior, k_smc,
+                n_particles=pretrain_particles, n_mutations=n_mutations,
+                batched=True,
+            )
+        else:
+            smc_res = run_smc(
+                misfit_b, pipe.prior, k_smc,
+                n_particles=pretrain_particles, n_mutations=n_mutations,
+                batched=True,
+            )
+        n_stages = int(np.max(np.asarray(smc_res.n_stages)))
+        res = fit_flow_mle(
+            smc_res.particles, pipe.prior, k_mle,
+            n_couplings=n_couplings, hidden=hidden, n_steps=pretrain_steps,
+        )
+        params = res.params
+        anneal_steps = 0  # warm-started refinement never re-anneals
+
+    if n_steps > 0 or res is None:
+        run_kwargs = dict(
+            n_couplings=n_couplings, hidden=hidden, n_steps=n_steps,
+            n_mc=n_mc, lr=lr, anneal_steps=anneal_steps, batched=True,
+            params=params,
+        )
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_flow_vi
+
+            res = sharded_flow_vi(mesh, misfit_bd, pipe.prior, k_run, **run_kwargs)
+        else:
+            res = run_flow_vi(misfit_bd, pipe.prior, k_run, **run_kwargs)
+    jax.block_until_ready(res.theta_mean)
+    wall = time.perf_counter() - t0
+    if log is not None:
+        log.log(
+            "flow_vi", likelihood=likelihood, pretrain=pretrain,
+            n_couplings=n_couplings, n_steps=n_steps,
+            smc_stages=n_stages, n_forward=res.n_forward,
+            elbo_final=float(jnp.mean(res.elbo_trace[-50:])),
+            wall_seconds=wall,
+        )
+    return res, theta_true, data, wall
+
+
+def psis_certify_flow(
+    pipe: Pipeline,
+    flow_res,
+    data: jax.Array,
+    likelihood: str = "rom_nn",
+    *,
+    n_draws: int = 4096,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics=None,
+):
+    """psis_certify for a flow fit (infer/flow.py FlowVIResult): the draws
+    carry exact log q through their latent coordinates, so the same k-hat
+    gate / moment correction / evidence estimate apply to the non-Gaussian
+    member of the approximation layer. Remember the gate's mode-missing
+    blind spot (infer/flow.py module docstring): a fit that cleanly misses
+    a far basin can still pass — which is exactly why the flow is pretrained
+    mass-covering on an SMC population."""
+    from bayesianinferencedl_tpu.infer.flow import flow_psis_certify
+
+    cfg = pipe.config.mcmc
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 7)
+    to_theta = pipe.prior.to_theta
+    fwd_b_theta = pipe.batched_forward_fn(likelihood)
+    fwd_b = jax.jit(lambda xs: fwd_b_theta(to_theta(xs)))
+    misfit_b = gaussian_misfit(
+        fwd_b, jnp.asarray(data, pipe.prior.mean.dtype), cfg.noise_sigma
+    )
+    res = flow_psis_certify(
+        misfit_b, pipe.prior, flow_res, key,
+        n_draws=n_draws, batched=True, mesh=mesh,
+    )
+    if metrics is not None:
+        metrics.log(
+            "psis_flow", likelihood=likelihood, n_draws=n_draws,
+            k_hat=res.k_hat, ess=res.ess, reliable=res.reliable,
+        )
+    return res
+
+
+def run_neutra_inversion(
+    pipe: Pipeline,
+    flow_res,
+    data: jax.Array,
+    likelihood: str = "rom_nn",
+    *,
+    theta_true: Optional[jax.Array] = None,
+    n_chains: int = 1024,
+    n_steps: int = 2000,
+    n_burn: int = 1000,
+    beta: float = 0.3,
+    thin: int = 1,
+    key: Optional[jax.Array] = None,
+    metrics=None,
+) -> InversionResult:
+    """Flow-preconditioned pCN (NeuTra, infer/flow.py run_neutra_pcn): the
+    EXACT posterior for the given likelihood, sampled in the trained flow's
+    latent coordinates — basins the flow connects through latent space
+    become one pCN-traversable blob, so a good flow buys tempering-grade
+    mixing at single-chain cost (one misfit per step; exactness never
+    depends on flow quality). Returns the standard InversionResult with
+    rank-normalized split diagnostics over the PUSHED-FORWARD (working-
+    coordinate) samples, directly comparable to run_inversion's."""
+    from bayesianinferencedl_tpu.infer.flow import run_neutra_pcn
+
+    cfg = pipe.config.mcmc
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 11)
+    dtype = pipe.prior.mean.dtype
+    to_theta = pipe.prior.to_theta
+    if theta_true is None:
+        theta_true = pipe.prior.mean
+    fwd_b_theta = pipe.batched_forward_fn(likelihood)
+    misfit_b = gaussian_misfit(
+        lambda xs: fwd_b_theta(to_theta(xs)),
+        jnp.asarray(data, dtype), cfg.noise_sigma,
+    )
+    t0 = time.perf_counter()
+    out = run_neutra_pcn(
+        flow_res, misfit_b, pipe.prior, key,
+        n_chains=n_chains, n_steps=n_steps, n_burn=n_burn, beta=beta,
+        thin=thin, batched=True,
+    )
+    jax.block_until_ready(out.samples)
+    wall = time.perf_counter() - t0
+    ess = ess_bulk(out.samples)
+    ess_t = ess_tail(out.samples)
+    rh = split_rhat(out.samples)
+    n_total = out.samples.shape[0] * out.samples.shape[1]
+    res = InversionResult(
+        result=out, theta_true=theta_true, data=jnp.asarray(data, dtype),
+        ess=ess, rhat=rh, wall_seconds=wall,
+        samples_per_sec=n_total / wall,
+        ess_per_sec=float(jnp.min(ess)) / wall, ess_tail=ess_t,
+    )
+    if metrics is not None:
+        metrics.log(
+            "neutra", likelihood=likelihood, n_chains=n_chains,
+            n_steps=n_steps, rhat_split_max=float(jnp.max(rh)),
+            ess_bulk_min=float(jnp.min(ess)),
+            accept_rate=float(jnp.mean(out.accept_rate)),
+            wall_seconds=wall,
+        )
+    return res
+
+
 def run_sbc_check(
     pipe: Pipeline,
     likelihood: str = "rom_nn",

@@ -455,6 +455,76 @@ def cmd_eki(args) -> None:
     print(json.dumps(rec))
 
 
+def _cmd_vi_flow(args, pipe, obs, log, to_theta) -> None:
+    """`vi --flow N`: the normalizing-flow branch (api.run_flow_vi_inversion
+    / infer/flow.py). pretrain='smc' distills a tempered-SMC population by
+    mass-covering MLE (multimodal-safe; --lr unused — refinement is off by
+    default, measured to re-collapse covering fits); pretrain='none' is
+    annealed reverse-KL flow-VI with --steps/--lr (unimodal targets; flow-VI
+    wants lr ~0.01, lower than ADVI's default)."""
+    from bayesianinferencedl_tpu.api import (
+        psis_certify_flow, run_flow_vi_inversion, run_neutra_inversion,
+    )
+    from bayesianinferencedl_tpu.infer.flow import flow_sample
+
+    res, theta_true, data, wall = run_flow_vi_inversion(
+        pipe, args.likelihood, n_couplings=args.flow,
+        pretrain=args.flow_pretrain,
+        n_steps=(args.steps if args.flow_pretrain == "none" else None),
+        n_mc=args.mc, lr=args.lr, data=obs,
+        key=jax.random.PRNGKey(args.seed), metrics=log,
+    )
+    th_s = jax.vmap(to_theta)(
+        flow_sample(res, jax.random.PRNGKey(args.seed + 1), (4096,))
+    )
+    mean_log_k = np.asarray(jnp.mean(th_s, axis=0))
+    rec = {
+        "likelihood": args.likelihood,
+        "family": f"flow (couplings={args.flow}, pretrain={args.flow_pretrain})",
+        "n_forward_evals": res.n_forward,
+        "wall_seconds": round(wall, 3),
+        "posterior_mean_log_k": mean_log_k.tolist(),
+        "posterior_std_log_k": np.asarray(jnp.std(th_s, axis=0)).tolist(),
+        "theta_true": np.asarray(to_theta(theta_true)).tolist(),
+        "mean_abs_err": round(float(np.abs(mean_log_k - np.asarray(to_theta(theta_true))).mean()), 5),
+    }
+    if args.psis:
+        cert = psis_certify_flow(
+            pipe, res, data, args.likelihood,
+            n_draws=args.psis, key=jax.random.PRNGKey(args.seed + 2),
+            metrics=log,
+        )
+        w = np.exp(cert.log_weights - cert.log_weights.max())
+        w /= w.sum()
+        th_psis = np.asarray(jax.vmap(to_theta)(cert.samples))
+        rec["psis"] = {
+            "n_draws": args.psis,
+            "k_hat": round(cert.k_hat, 3),
+            "reliable": cert.reliable,
+            "ess": round(cert.ess, 1),
+            "corrected_mean_log_k": (w @ th_psis).tolist(),
+        }
+    if args.neutra:
+        inv = run_neutra_inversion(
+            pipe, res, data, args.likelihood, theta_true=theta_true,
+            n_chains=256, n_steps=args.neutra, n_burn=args.neutra // 2,
+            key=jax.random.PRNGKey(args.seed + 3), metrics=log,
+        )
+        samp = np.asarray(inv.result.samples)
+        neutra_mean = np.asarray(
+            jax.vmap(to_theta)(jnp.asarray(samp.reshape(-1, samp.shape[-1])))
+        ).mean(0)
+        rec["neutra"] = {
+            "n_steps": args.neutra,
+            "rhat_split_max": round(float(jnp.max(inv.rhat)), 4),
+            "ess_bulk_min": round(float(jnp.min(inv.ess)), 1),
+            "accept_rate": round(float(jnp.mean(inv.result.accept_rate)), 3),
+            "posterior_mean_log_k": neutra_mean.tolist(),
+            "wall_seconds": round(inv.wall_seconds, 3),
+        }
+    print(json.dumps(rec))
+
+
 def cmd_vi(args) -> None:
     """Gradient-based variational posterior approximation (api.run_vi_inversion
     / infer/vi.py ADVI): fit q = N(mu, L L^T) by stochastic ELBO ascent —
@@ -482,6 +552,10 @@ def cmd_vi(args) -> None:
     obs = None
     if getattr(args, "data", None):
         obs = jnp.asarray(np.load(args.data)["data"])
+    to_theta = pipe.prior.to_theta
+    if args.flow > 0:
+        _cmd_vi_flow(args, pipe, obs, log, to_theta)
+        return
     res, theta_true, data, wall = run_vi_inversion(
         pipe, args.likelihood, rank=args.rank, n_steps=args.steps,
         n_mc=args.mc, lr=args.lr, data=obs,
@@ -489,7 +563,6 @@ def cmd_vi(args) -> None:
     )
     from bayesianinferencedl_tpu.infer.vi import vi_sample
 
-    to_theta = pipe.prior.to_theta
     th_s = jax.vmap(to_theta)(vi_sample(res, jax.random.PRNGKey(args.seed + 1), (4096,)))
     mean_log_k = np.asarray(jnp.mean(th_s, axis=0))
     elbo = np.asarray(res.elbo_trace)
@@ -1013,6 +1086,24 @@ def main(argv=None) -> None:
             p.add_argument(
                 "--data", type=str, default=None,
                 help="observation npz (key 'data'): external measurements",
+            )
+            p.add_argument(
+                "--flow", type=int, default=0, metavar="N",
+                help="fit a normalizing flow with N coupling layers instead "
+                "of the Gaussian family (infer/flow.py): the non-Gaussian / "
+                "multimodal-capable member of the approximation layer, "
+                "pretrained mass-covering on a tempered-SMC population "
+                "(collapse-proof; --flow-pretrain none for plain annealed "
+                "reverse-KL flow-VI on unimodal targets)",
+            )
+            p.add_argument(
+                "--flow-pretrain", choices=["smc", "none"], default="smc",
+            )
+            p.add_argument(
+                "--neutra", type=int, default=0, metavar="STEPS",
+                help="after the flow fit, run STEPS of flow-preconditioned "
+                "pCN (NeuTra, exact posterior whatever the flow quality) and "
+                "report its rank-normalized diagnostics next to the fit",
             )
         elif name == "sbc":
             p.add_argument("--noise", type=float, default=1e-2)

@@ -119,6 +119,74 @@ def psis_smooth(log_w: np.ndarray) -> tuple[np.ndarray, float]:
     return lw, k_hat
 
 
+def psis_correct_draws(
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    theta: jax.Array,
+    log_q: jax.Array,
+    *,
+    batched: bool = False,
+    mesh=None,
+) -> PSISResult:
+    """PSIS certify-and-correct from EXPLICIT proposal draws: theta (K, d)
+    samples from any proposal q over WORKING coordinates with their log
+    density log_q (K,) in this module's convention — the (2 pi)^{d/2} base
+    constant dropped, all determinants included (a Gaussian q = N(m, L L^T)
+    reports -0.5|z|^2 - log|det L|; a flow reports the base log-density
+    minus the accumulated log-determinant, infer/flow.py flow_sample).
+
+    This is the proposal-agnostic core psis_correct wraps: one batched
+    forward sweep for the misfit, host f64 tail smoothing, importance-
+    weighted moments, k-hat gate, and the evidence estimate — identical
+    semantics for Gaussian and flow proposals, so Bayes factors and
+    reliability verdicts compare across the whole approximation layer."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if theta.shape[0] % mesh.size:
+            raise ValueError(
+                f"n_draws={theta.shape[0]} must divide by mesh size {mesh.size}"
+            )
+        theta = jax.device_put(
+            theta, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        )
+
+    # device: the physics — one batched misfit sweep
+    phi = misfit_fn(theta) if batched else jax.vmap(misfit_fn)(theta)
+
+    # host f64: log p (unnormalized) - log q
+    th = np.asarray(theta, np.float64)
+    phi64 = np.asarray(phi, np.float64)
+    pm = np.asarray(prior.mean, np.float64)
+    pc = np.asarray(prior.chol, np.float64)
+    w_prior = np.linalg.solve(pc, (th - pm).T).T
+    log_p = -phi64 - 0.5 * np.sum(w_prior * w_prior, axis=1)
+    log_w_raw = log_p - np.asarray(log_q, np.float64)
+
+    # evidence from the RAW weights (unbiased in Z): the target above is
+    # exp(-Phi) times the UNNORMALIZED prior density; dividing by the prior
+    # normalization |det prior.chol| (the (2 pi)^{d/2} cancels against q's)
+    # yields Z = E_mu0[exp(-Phi)] — the infer/evidence.py convention
+    log_det_p = float(np.sum(np.log(np.abs(np.diag(pc)))))
+    mx = log_w_raw.max()
+    log_evidence = float(
+        mx + np.log(np.mean(np.exp(log_w_raw - mx))) - log_det_p
+    )
+
+    log_w, k_hat = psis_smooth(log_w_raw)
+    w = np.exp(log_w - log_w.max())
+    w /= w.sum()
+    mean = w @ th
+    c = th - mean
+    cov = (c * w[:, None]).T @ c / max(1.0 - float(w @ w), 1e-12)
+    ess = float(1.0 / np.sum(w * w))
+    return PSISResult(
+        mean=mean, cov=cov, k_hat=float(k_hat), ess=ess,
+        log_weights=log_w, samples=theta, reliable=bool(k_hat < 0.7),
+        log_evidence=log_evidence,
+    )
+
+
 def psis_correct(
     misfit_fn: Callable,
     prior: GaussianPrior,
@@ -150,52 +218,9 @@ def psis_correct(
 
     eps = jax.random.normal(key, (n_draws, d), dtype)
     theta = q_mean + jnp.dot(eps, q_chol.T, precision=hi)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        if n_draws % mesh.size:
-            raise ValueError(
-                f"n_draws={n_draws} must divide by mesh size {mesh.size}"
-            )
-        theta = jax.device_put(
-            theta, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-        )
-
-    # device: the physics — one batched misfit sweep
-    phi = misfit_fn(theta) if batched else jax.vmap(misfit_fn)(theta)
-
-    # host f64: log p (unnormalized) - log q
-    th = np.asarray(theta, np.float64)
-    phi64 = np.asarray(phi, np.float64)
-    pm = np.asarray(prior.mean, np.float64)
-    pc = np.asarray(prior.chol, np.float64)
-    w_prior = np.linalg.solve(pc, (th - pm).T).T
-    log_p = -phi64 - 0.5 * np.sum(w_prior * w_prior, axis=1)
     # log q at theta: eps are exactly the whitened coords under q
-    e64 = np.asarray(eps, np.float64)
-    log_det_q = float(np.sum(np.log(np.abs(np.diag(np.asarray(q_chol, np.float64))))))
-    log_q = -0.5 * np.sum(e64 * e64, axis=1) - log_det_q
-    log_w_raw = log_p - log_q
-
-    # evidence from the RAW weights (unbiased in Z): the target above is
-    # exp(-Phi) times the UNNORMALIZED prior density; dividing by the prior
-    # normalization |det prior.chol| (the (2 pi)^{d/2} cancels against q's)
-    # yields Z = E_mu0[exp(-Phi)] — the infer/evidence.py convention
-    log_det_p = float(np.sum(np.log(np.abs(np.diag(pc)))))
-    mx = log_w_raw.max()
-    log_evidence = float(
-        mx + np.log(np.mean(np.exp(log_w_raw - mx))) - log_det_p
-    )
-
-    log_w, k_hat = psis_smooth(log_w_raw)
-    w = np.exp(log_w - log_w.max())
-    w /= w.sum()
-    mean = w @ th
-    c = th - mean
-    cov = (c * w[:, None]).T @ c / max(1.0 - float(w @ w), 1e-12)
-    ess = float(1.0 / np.sum(w * w))
-    return PSISResult(
-        mean=mean, cov=cov, k_hat=float(k_hat), ess=ess,
-        log_weights=log_w, samples=theta, reliable=bool(k_hat < 0.7),
-        log_evidence=log_evidence,
+    log_det_q = jnp.sum(jnp.log(jnp.abs(jnp.diag(q_chol))))
+    log_q = -0.5 * jnp.sum(eps * eps, axis=1) - log_det_q
+    return psis_correct_draws(
+        misfit_fn, prior, theta, log_q, batched=batched, mesh=mesh
     )

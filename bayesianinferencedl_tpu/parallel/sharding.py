@@ -1204,3 +1204,88 @@ def sharded_advi(
         mu=params["mu"], L=L, theta_mean=theta_mean, theta_chol=theta_chol,
         elbo_trace=jnp.concatenate(traces), n_forward=n_mc * n_steps,
     )
+
+
+def sharded_flow_vi(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    key: jax.Array,
+    *,
+    n_couplings: int = 6,
+    hidden: int = 32,
+    n_steps: int = 3000,
+    n_mc: int = 256,
+    lr: float = 0.01,
+    lr_decay: float = 0.05,
+    anneal_steps=None,
+    lambda0: float = 0.05,
+    batched: bool = False,
+    ref=None,
+    segment=None,
+    n_summary: int = 4096,
+):
+    """Flow-VI (infer/flow.py) with the Monte Carlo draw axis sharded over
+    the mesh — the exact sharded_advi pattern: each device integrates
+    n_mc/n_devices reparameterized draws through the differentiable forward
+    and the flow's tiny coupling MLPs, replicated flow parameters update
+    identically everywhere (vma grad convention, one psum per Adam step).
+
+    Returns the same FlowVIResult contract as run_flow_vi."""
+    from bayesianinferencedl_tpu.infer.flow import (
+        CouplingFlow, FlowVIResult, _flow_segment, flow_sample,
+    )
+    from bayesianinferencedl_tpu.models.surrogate import adam_init
+
+    if n_mc % mesh.size:
+        raise ValueError(f"n_mc={n_mc} must divide by mesh size {mesh.size}")
+    axis = mesh.axis_names[0]
+    hi = jax.lax.Precision.HIGHEST
+    d = prior.dim
+    ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
+    dtype = ref_mean.dtype
+    flow = CouplingFlow(dim=d, n_couplings=n_couplings, hidden=hidden)
+    k_init, k_run, k_sum = jax.random.split(key, 3)
+    params = flow.init(k_init, dtype)
+    opt = adam_init(params)
+    n_mc_local = n_mc // mesh.size
+    if anneal_steps is None:
+        anneal_steps = n_steps // 2
+
+    seg = int(segment) if segment else n_steps
+
+    def make_local(this, done):
+        def local(p, o, k_all):
+            dev_key = jax.random.fold_in(k_all, jax.lax.axis_index(axis))
+            return _flow_segment(
+                misfit_fn, prior, ref_mean, ref_chol, flow, p, o, dev_key,
+                done, n_mc=n_mc_local, n_steps=this, n_total=n_steps,
+                anneal_steps=anneal_steps, lambda0=lambda0, lr=lr,
+                lr_decay=lr_decay, batched=batched, axis_name=axis,
+            )
+        return local
+
+    traces = []
+    done = 0
+    while done < n_steps:
+        this = min(seg, n_steps - done)
+        f = jax.shard_map(
+            make_local(this, done), mesh=mesh,
+            in_specs=(P(), P(), P()), out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        params, opt, elbo = f(params, opt, key)
+        traces.append(elbo)
+        done += this
+
+    res = FlowVIResult(
+        flow=flow, params=params, ref_mean=ref_mean, ref_chol=ref_chol,
+        elbo_trace=jnp.concatenate(traces),
+        theta_mean=jnp.zeros((d,), dtype), theta_cov=jnp.eye(d, dtype=dtype),
+        n_forward=n_mc * n_steps,
+    )
+    th = flow_sample(res, k_sum, (n_summary,))
+    mean = jnp.mean(th, axis=0)
+    c = th - mean
+    cov = jnp.dot(c.T, c, precision=hi) / (n_summary - 1)
+    return res._replace(theta_mean=mean, theta_cov=cov)

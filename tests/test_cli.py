@@ -156,6 +156,25 @@ def test_cli_vi_psis_gate():
     assert len(psis["corrected_mean_log_k"]) == 5
 
 
+def test_cli_vi_flow_neutra():
+    """`vi --flow N`: the normalizing-flow branch (SMC pretrain -> MLE)
+    with PSIS certification and a NeuTra exactness pass — the full
+    approximation-to-exact ladder in one command (infer/flow.py)."""
+    out = _run([
+        "vi", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--mc", "16", "--flow", "4", "--psis", "1024", "--neutra", "300",
+    ], timeout=900)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["family"].startswith("flow")
+    assert len(rec["posterior_mean_log_k"]) == 5
+    assert rec["psis"]["reliable"] is True, rec["psis"]
+    assert rec["neutra"]["rhat_split_max"] < 1.2
+    assert 0.05 < rec["neutra"]["accept_rate"] < 0.6
+    assert rec["mean_abs_err"] < 1.0
+
+
 def test_cli_map_and_eki_psis_gates():
     """--psis on `map` and `eki`: the Laplace fit and the moment-matched
     ensemble Gaussian each get the k-hat verdict plus a cross-checkable
