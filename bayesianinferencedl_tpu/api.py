@@ -2213,6 +2213,7 @@ def run_flow_vi_inversion(
     pretrain_particles: int = 2048,
     pretrain_steps: int = 2000,
     n_mutations: int = 5,
+    max_stages: int = 64,
     anneal_steps: Optional[int] = None,
     theta_true: Optional[jax.Array] = None,
     data: Optional[jax.Array] = None,
@@ -2244,14 +2245,14 @@ def run_flow_vi_inversion(
     refinement's MC axis over ICI. Returns (FlowVIResult, theta_true, data,
     wall_seconds) — certify with psis_certify_flow, warm-start MCMC with
     flow_sample, or sample exactly with run_neutra_inversion."""
-    from bayesianinferencedl_tpu.infer.flow import fit_flow_mle, run_flow_vi
+    from bayesianinferencedl_tpu.infer.flow import flow_fit_pipeline
 
     if pretrain not in ("smc", "none"):
         raise ValueError(f"pretrain must be 'smc' or 'none', got {pretrain!r}")
     log = metrics
     cfg = pipe.config.mcmc
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-    k_true, k_noise, k_smc, k_mle, k_run = jax.random.split(key, 5)
+    k_true, k_noise, k_fit = jax.random.split(key, 3)
     dtype = pipe.prior.mean.dtype
     to_theta = pipe.prior.to_theta
     if data is not None:
@@ -2278,48 +2279,13 @@ def run_flow_vi_inversion(
     )
 
     t0 = time.perf_counter()
-    params = None
-    n_stages = None
-    if n_steps is None:
-        n_steps = 0 if pretrain == "smc" else 3000
-    res = None
-    if pretrain == "smc":
-        from bayesianinferencedl_tpu.infer.smc import run_smc
-
-        if mesh is not None:
-            from bayesianinferencedl_tpu.parallel.sharding import sharded_smc
-
-            smc_res, _ = sharded_smc(
-                mesh, misfit_b, pipe.prior, k_smc,
-                n_particles=pretrain_particles, n_mutations=n_mutations,
-                batched=True,
-            )
-        else:
-            smc_res = run_smc(
-                misfit_b, pipe.prior, k_smc,
-                n_particles=pretrain_particles, n_mutations=n_mutations,
-                batched=True,
-            )
-        n_stages = int(np.max(np.asarray(smc_res.n_stages)))
-        res = fit_flow_mle(
-            smc_res.particles, pipe.prior, k_mle,
-            n_couplings=n_couplings, hidden=hidden, n_steps=pretrain_steps,
-        )
-        params = res.params
-        anneal_steps = 0  # warm-started refinement never re-anneals
-
-    if n_steps > 0 or res is None:
-        run_kwargs = dict(
-            n_couplings=n_couplings, hidden=hidden, n_steps=n_steps,
-            n_mc=n_mc, lr=lr, anneal_steps=anneal_steps, batched=True,
-            params=params,
-        )
-        if mesh is not None:
-            from bayesianinferencedl_tpu.parallel.sharding import sharded_flow_vi
-
-            res = sharded_flow_vi(mesh, misfit_bd, pipe.prior, k_run, **run_kwargs)
-        else:
-            res = run_flow_vi(misfit_bd, pipe.prior, k_run, **run_kwargs)
+    res, n_stages = flow_fit_pipeline(
+        misfit_b, misfit_bd, pipe.prior, k_fit,
+        n_couplings=n_couplings, hidden=hidden, pretrain=pretrain,
+        pretrain_particles=pretrain_particles, pretrain_steps=pretrain_steps,
+        n_mutations=n_mutations, max_stages=max_stages, n_steps=n_steps,
+        n_mc=n_mc, lr=lr, anneal_steps=anneal_steps, mesh=mesh,
+    )
     jax.block_until_ready(res.theta_mean)
     wall = time.perf_counter() - t0
     if log is not None:
@@ -2340,6 +2306,7 @@ def psis_certify_flow(
     likelihood: str = "rom_nn",
     *,
     n_draws: int = 4096,
+    base_scale: float = 1.0,
     key: Optional[jax.Array] = None,
     mesh=None,
     metrics=None,
@@ -2363,11 +2330,12 @@ def psis_certify_flow(
     )
     res = flow_psis_certify(
         misfit_b, pipe.prior, flow_res, key,
-        n_draws=n_draws, batched=True, mesh=mesh,
+        n_draws=n_draws, batched=True, base_scale=base_scale, mesh=mesh,
     )
     if metrics is not None:
         metrics.log(
             "psis_flow", likelihood=likelihood, n_draws=n_draws,
+            base_scale=base_scale,
             k_hat=res.k_hat, ess=res.ess, reliable=res.reliable,
         )
     return res

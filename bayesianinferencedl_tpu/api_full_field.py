@@ -162,8 +162,14 @@ def build_full_field_pipeline(
     use_pallas: Optional[bool] = None,
     online_precision: str = "highest",
     rom_pcg_iters: int = 25,
+    forward_only: bool = False,
     metrics: Optional[MetricsLogger] = None,
 ) -> FullFieldPipeline:
+    """forward_only=True skips the surrogate ladder entirely (no snapshots,
+    POD, projection, or NN training — rom/surrogate are None): the exact-FOM
+    forward, prior, and deflated fused solver only. Build cost drops from
+    minutes to seconds — the right pipeline for likelihood='fom' evidence
+    sweeps (select_correlation_length runs one per candidate ell)."""
     from bayesianinferencedl_tpu.api import _online_precision
 
     # resolve up front: a typo'd tier must fail in milliseconds, not after
@@ -248,6 +254,16 @@ def build_full_field_pipeline(
         solver = lambda ks: jax.vmap(
             lambda k: solve_fom(op, k, tol=cg_tol, maxiter=cg_maxiter)
         )(ks)
+
+    if forward_only:
+        prior = GaussianPrior.iid(n_features, mean=0.0, sigma=1.0, dtype=dtype)
+        return FullFieldPipeline(
+            op=op, field=field, rom=None, surrogate=None, prior=prior,
+            P0=None, rom_pcg_iters=rom_pcg_iters, cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter, rom_precision=rom_prec,
+            deflation=deflation, ell=float(ell), seed=int(seed),
+            biot=float(biot),
+        )
 
     key = jax.random.PRNGKey(seed)
     k_z, k_ds = jax.random.split(key)
@@ -444,6 +460,124 @@ def run_full_field_evidence(
         likelihood=likelihood, event="ff_smc_evidence", theta_true=z_true,
         data=data,
     )
+
+
+def select_correlation_length(
+    ells,
+    *,
+    resolution: int = 4,
+    biot: float = 0.1,
+    dtype=jnp.float32,
+    sigma: float = 0.5,
+    n_features: int = 64,
+    noise_sigma: float = 1e-2,
+    ell_true: Optional[float] = None,
+    data: Optional[jax.Array] = None,
+    n_datasets: int = 1,
+    n_particles: int = 4096,
+    n_groups: int = 8,
+    n_mutations: int = 5,
+    ess_target: float = 0.5,
+    max_stages: int = 128,
+    cg_tol: float = 1e-7,
+    cg_maxiter: int = 2000,
+    seed: int = 0,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+) -> dict:
+    """Prior hyperparameter selection by model evidence: which correlation
+    length ell explains the data best?
+
+    The RFF prior's ell is a MODELING choice the reference (and most
+    inverse-problem codes) hard-wires. Here it becomes a measured quantity:
+    every candidate ell defines a different push-forward model z -> k(x)
+    under the same N(0, I) coefficient prior, so the SMC evidence
+    Z(ell) = E_prior[exp(-Phi)] (run_full_field_evidence, exact-FOM
+    likelihood through the fused deflated solver) is the marginal likelihood
+    of the SAME observations under each candidate — their ratios are Bayes
+    factors over ell, and a uniform hyperprior makes softmax(log Z) the
+    hyperparameter posterior. Candidate pipelines are forward_only builds
+    (seconds each — no surrogate ladder; the evidence runs exact physics).
+
+    data=None simulates n_datasets INDEPENDENT experiments from ell_true
+    (z_true ~ prior under the TRUE feature map per experiment, same key
+    discipline as run_full_field_evidence); data= inverts external
+    observations instead — shape (n_obs,) for one experiment or
+    (M, n_obs) for M independent ones. Evidences POOL across experiments
+    (log Z summed — the experiments are independent given ell), which is
+    what identifies the hyperparameter: with the fin's 5 scalar
+    observations a SINGLE experiment's Bayes factor is dataset luck
+    (measured: one seed preferred a 5x-too-short ell by 2 nats with a
+    +-4.8 per-dataset spread; pooling 8 experiments picks the truth by
+    12+ nats — tests/test_ell_selection.py pins the pooled verdict).
+    Returns {"ells", "log_z", "log_z_std", "posterior", "ell_map",
+    "z_true", "data"} with log_z the pooled totals.
+    """
+    ells = [float(e) for e in ells]
+    if data is None and ell_true is None:
+        raise ValueError("provide external data= or ell_true to simulate from")
+    log = metrics or MetricsLogger()
+    key = key if key is not None else jax.random.PRNGKey(seed)
+    k_true, k_noise, k_ev = jax.random.split(key, 3)
+
+    def build(ell):
+        return build_full_field_pipeline(
+            resolution=resolution, biot=biot, dtype=dtype, ell=ell,
+            sigma=sigma, n_features=n_features, cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter, seed=seed, forward_only=True,
+            metrics=log,
+        )
+
+    z_true = None
+    if data is None:
+        pipe_true = build(float(ell_true))
+        z_true = pipe_true.prior.sample(k_true, (n_datasets,))
+        y_true = jax.vmap(
+            lambda z: pipe_true.op.observe(
+                solve_fom(pipe_true.op, pipe_true.conductivity(z),
+                          tol=cg_tol, maxiter=cg_maxiter)
+            )
+        )(z_true)
+        data = y_true + noise_sigma * jax.random.normal(
+            k_noise, y_true.shape, dtype
+        )
+    else:
+        data = jnp.asarray(data, dtype)
+        if data.ndim == 1:
+            data = data[None]
+
+    log_z, log_z_std = [], []
+    for ell in ells:
+        pipe = build(ell)
+        tot, var = 0.0, 0.0
+        for m in range(data.shape[0]):
+            res = run_full_field_evidence(
+                pipe, likelihood="fom", noise_sigma=noise_sigma,
+                data=data[m], n_particles=n_particles, n_groups=n_groups,
+                n_mutations=n_mutations, ess_target=ess_target,
+                max_stages=max_stages, key=jax.random.fold_in(k_ev, m),
+                mesh=mesh, metrics=log,
+            )
+            tot += res.log_evidence
+            var += res.log_evidence_std ** 2
+        log_z.append(tot)
+        log_z_std.append(float(np.sqrt(var)))
+        log.log("ell_evidence", ell=ell, log_z=tot,
+                log_z_std=log_z_std[-1], n_datasets=int(data.shape[0]))
+
+    lz = np.asarray(log_z, np.float64)
+    post = np.exp(lz - lz.max())
+    post /= post.sum()
+    return {
+        "ells": ells,
+        "log_z": [round(float(v), 3) for v in lz],
+        "log_z_std": [round(float(v), 3) for v in log_z_std],
+        "posterior": [round(float(p), 4) for p in post],
+        "ell_map": ells[int(np.argmax(lz))],
+        "z_true": z_true,
+        "data": data,
+    }
 
 
 def _sync(res):
@@ -1166,5 +1300,181 @@ def psis_certify_ff(
         metrics.log(
             "psis_ff", likelihood=likelihood, n_draws=n_draws,
             k_hat=res.k_hat, ess=res.ess, reliable=res.reliable,
+        )
+    return res
+
+
+def run_flow_vi_inversion_ff(
+    pipe: FullFieldPipeline,
+    likelihood: str = "rom_nn",
+    *,
+    noise_sigma: float = 1e-3,
+    n_couplings: int = 6,
+    hidden: int = 64,
+    pretrain: str = "smc",
+    pretrain_particles: int = 2048,
+    pretrain_steps: int = 3000,
+    n_mutations: int = 5,
+    max_stages: int = 64,
+    n_steps: Optional[int] = None,
+    n_mc: int = 64,
+    lr: float = 0.003,
+    anneal_steps: Optional[int] = None,
+    z_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Normalizing-flow approximation of the full-field posterior
+    (infer/flow.py; same contract as api.run_flow_vi_inversion): the 64-dim
+    RFF posterior at its multimodal/metastable default noise_sigma=1e-3 is
+    exactly where every Gaussian fit describes ONE basin
+    (run_vi_inversion_ff's documented caveat) — the SMC-pretrained
+    mass-covering flow is the approximation-layer member built for that
+    regime, and run_neutra_inversion_ff samples the exact posterior in its
+    latent frame. Returns (FlowVIResult, z_true, data, wall_seconds)."""
+    from bayesianinferencedl_tpu.infer.flow import flow_fit_pipeline
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_true, k_noise, k_fit = jax.random.split(key, 3)
+    dtype = pipe.prior.mean.dtype
+    if data is not None:
+        data = jnp.asarray(data, dtype)
+        if z_true is None:
+            z_true = jnp.zeros_like(pipe.prior.mean)
+    else:
+        if z_true is None:
+            z_true = pipe.prior.sample(k_true)
+        y_true = pipe.op.observe(
+            solve_fom(pipe.op, pipe.conductivity(z_true), tol=pipe.cg_tol,
+                      maxiter=pipe.cg_maxiter)
+        )
+        data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+
+    import time as _t
+
+    misfit_b = gaussian_misfit(pipe.batched_forward_fn(likelihood), data, noise_sigma)
+    misfit_bd = gaussian_misfit(
+        pipe.batched_forward_fn(likelihood, differentiable=True), data, noise_sigma
+    )
+    t0 = _t.perf_counter()
+    res, n_stages = flow_fit_pipeline(
+        misfit_b, misfit_bd, pipe.prior, k_fit,
+        n_couplings=n_couplings, hidden=hidden, pretrain=pretrain,
+        pretrain_particles=pretrain_particles, pretrain_steps=pretrain_steps,
+        n_mutations=n_mutations, max_stages=max_stages, n_steps=n_steps,
+        n_mc=n_mc, lr=lr, anneal_steps=anneal_steps, mesh=mesh,
+    )
+    jax.block_until_ready(res.theta_mean)
+    wall = _t.perf_counter() - t0
+    if metrics is not None:
+        metrics.log(
+            "flow_vi_ff", likelihood=likelihood, pretrain=pretrain,
+            n_couplings=n_couplings, smc_stages=n_stages,
+            n_forward=res.n_forward, wall_seconds=wall,
+        )
+    return res, z_true, data, wall
+
+
+def psis_certify_flow_ff(
+    pipe: FullFieldPipeline,
+    flow_res,
+    data: jax.Array,
+    likelihood: str = "rom_nn",
+    *,
+    noise_sigma: float = 1e-3,
+    n_draws: int = 4096,
+    base_scale: float = 1.0,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """psis_certify_ff for a full-field flow fit: exact latent log-densities
+    make the k-hat gate and importance-corrected RFF-coefficient moments
+    apply to the non-Gaussian member too (infer/flow.py flow_psis_certify;
+    mode-missing blind-spot caveat applies as documented there)."""
+    from bayesianinferencedl_tpu.infer.flow import flow_psis_certify
+
+    key = key if key is not None else jax.random.PRNGKey(7)
+    misfit_b = gaussian_misfit(
+        pipe.batched_forward_fn(likelihood),
+        jnp.asarray(data, pipe.prior.mean.dtype), noise_sigma,
+    )
+    res = flow_psis_certify(
+        misfit_b, pipe.prior, flow_res, key,
+        n_draws=n_draws, batched=True, base_scale=base_scale, mesh=mesh,
+    )
+    if metrics is not None:
+        metrics.log(
+            "psis_flow_ff", likelihood=likelihood, n_draws=n_draws,
+            k_hat=res.k_hat, ess=res.ess, reliable=res.reliable,
+        )
+    return res
+
+
+def run_neutra_inversion_ff(
+    pipe: FullFieldPipeline,
+    flow_res,
+    data: jax.Array,
+    likelihood: str = "rom_nn",
+    *,
+    noise_sigma: float = 1e-3,
+    z_true: Optional[jax.Array] = None,
+    n_chains: int = 1024,
+    n_steps: int = 2000,
+    n_burn: int = 1000,
+    beta: float = 0.3,
+    thin: int = 1,
+    key: Optional[jax.Array] = None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Flow-preconditioned pCN on the EXACT full-field posterior
+    (infer/flow.py run_neutra_pcn; same contract as api.run_neutra_inversion):
+    basins of the 64-dim RFF posterior the flow connects through latent
+    space become pCN-traversable at one fused likelihood per step.
+    Returns api.InversionResult with rank-normalized split diagnostics over
+    the pushed-forward coefficient samples."""
+    import time as _t
+
+    from bayesianinferencedl_tpu.api import InversionResult
+    from bayesianinferencedl_tpu.infer.diagnostics import (
+        ess_bulk, ess_tail, split_rhat,
+    )
+    from bayesianinferencedl_tpu.infer.flow import run_neutra_pcn
+
+    key = key if key is not None else jax.random.PRNGKey(11)
+    dtype = pipe.prior.mean.dtype
+    if z_true is None:
+        z_true = jnp.zeros_like(pipe.prior.mean)
+    misfit_b = gaussian_misfit(
+        pipe.batched_forward_fn(likelihood), jnp.asarray(data, dtype),
+        noise_sigma,
+    )
+    t0 = _t.perf_counter()
+    out = run_neutra_pcn(
+        flow_res, misfit_b, pipe.prior, key,
+        n_chains=n_chains, n_steps=n_steps, n_burn=n_burn, beta=beta,
+        thin=thin, batched=True,
+    )
+    jax.block_until_ready(out.samples)
+    wall = _t.perf_counter() - t0
+    ess = ess_bulk(out.samples)
+    ess_t = ess_tail(out.samples)
+    rh = split_rhat(out.samples)
+    n_total = out.samples.shape[0] * out.samples.shape[1]
+    res = InversionResult(
+        result=out, theta_true=z_true, data=jnp.asarray(data, dtype),
+        ess=ess, rhat=rh, wall_seconds=wall,
+        samples_per_sec=n_total / wall,
+        ess_per_sec=float(jnp.min(ess)) / wall, ess_tail=ess_t,
+    )
+    if metrics is not None:
+        metrics.log(
+            "neutra_ff", likelihood=likelihood, n_chains=n_chains,
+            n_steps=n_steps, rhat_split_max=float(jnp.max(rh)),
+            ess_bulk_min=float(jnp.min(ess)),
+            accept_rate=float(jnp.mean(out.accept_rate)),
+            wall_seconds=wall,
         )
     return res

@@ -491,14 +491,15 @@ def _cmd_vi_flow(args, pipe, obs, log, to_theta) -> None:
     if args.psis:
         cert = psis_certify_flow(
             pipe, res, data, args.likelihood,
-            n_draws=args.psis, key=jax.random.PRNGKey(args.seed + 2),
-            metrics=log,
+            n_draws=args.psis, base_scale=args.psis_widen,
+            key=jax.random.PRNGKey(args.seed + 2), metrics=log,
         )
         w = np.exp(cert.log_weights - cert.log_weights.max())
         w /= w.sum()
         th_psis = np.asarray(jax.vmap(to_theta)(cert.samples))
         rec["psis"] = {
             "n_draws": args.psis,
+            "base_scale": args.psis_widen,
             "k_hat": round(cert.k_hat, 3),
             "reliable": cert.reliable,
             "ess": round(cert.ess, 1),
@@ -1104,6 +1105,13 @@ def main(argv=None) -> None:
                 help="after the flow fit, run STEPS of flow-preconditioned "
                 "pCN (NeuTra, exact posterior whatever the flow quality) and "
                 "report its rank-normalized diagnostics next to the fit",
+            )
+            p.add_argument(
+                "--psis-widen", type=float, default=1.0, metavar="S",
+                help="certify through a base-widened flow proposal "
+                "(defensive importance sampling, flow_sample base_scale): "
+                "the move when k-hat sits just above the 0.7 gate from "
+                "mild under-dispersion (flow branch only)",
             )
         elif name == "sbc":
             p.add_argument("--noise", type=float, default=1e-2)

@@ -168,20 +168,32 @@ class FlowVIResult(NamedTuple):
 
 
 def flow_sample(
-    res: FlowVIResult, key: jax.Array, shape=(), *, with_logq: bool = False
+    res: FlowVIResult, key: jax.Array, shape=(), *, with_logq: bool = False,
+    base_scale: float = 1.0,
 ):
     """Draw theta ~ q_flow in WORKING coordinates. with_logq=True also
     returns log q(theta) in the psis.py convention (the (2 pi)^{d/2} base
     constant dropped, frame determinant included) — exact, because the draws
-    carry their own latent coordinates."""
+    carry their own latent coordinates.
+
+    base_scale > 1 widens the BASE distribution to N(0, base_scale^2 I)
+    before the flow push — defensive importance sampling: the pushed-forward
+    proposal inherits fatter tails everywhere while log q stays exact, the
+    standard cure when a fit is mildly under-dispersed and k-hat sits just
+    above the gate (flow_psis_certify(base_scale=...))."""
     d = res.flow.dim
-    Z = jax.random.normal(key, (*shape, d), res.ref_mean.dtype)
+    dtype = res.ref_mean.dtype
+    s = jnp.asarray(base_scale, dtype)
+    Z = s * jax.random.normal(key, (*shape, d), dtype)
     Y, logdet = res.flow.forward(res.params, Z)
     theta = res.ref_mean + jnp.dot(Y, res.ref_chol.T, precision=_HI)
     if not with_logq:
         return theta
     log_det_ref = jnp.sum(jnp.log(jnp.abs(jnp.diag(res.ref_chol))))
-    log_q = -0.5 * jnp.sum(Z * Z, axis=-1) - logdet - log_det_ref
+    log_q = (
+        -0.5 * jnp.sum((Z / s) ** 2, axis=-1)
+        - d * jnp.log(s) - logdet - log_det_ref
+    )
     return theta, log_q
 
 
@@ -325,15 +337,21 @@ def run_flow_vi(
 
 @partial(jax.jit, static_argnames=("flow", "n_batch", "n_steps", "n_total"))
 def _mle_segment(
-    flow, params, opt, Yp, w, key, t0, *, n_batch, n_steps, n_total, lr, lr_decay
+    flow, params, opt, Yp, w, jit_scale, key, t0,
+    *, n_batch, n_steps, n_total, lr, lr_decay,
 ):
     """n_steps Adam steps on the weighted negative log-likelihood of the
     (whitened) particles under the flow — one scan'd XLA program. Each step
     resamples a minibatch of n_batch particle indices by their weights
-    (uniform weights = plain bootstrap minibatching), inverts the flow
-    analytically, and scores against the base: -log q(y) = 0.5|f^{-1}(y)|^2
-    + logdet(f at that preimage) + const."""
+    (uniform weights = plain bootstrap minibatching), adds FRESH jitter
+    eps * jit_scale (per-dim; the KDE smoothing that makes the target a
+    proper density — see fit_flow_mle), inverts the flow analytically, and
+    scores against the base: -log q(y) = 0.5|f^{-1}(y)|^2 + logdet(f at
+    that preimage) + const."""
     n = Yp.shape[0]
+    d = Yp.shape[1]
+    mu_w, sd_w, h = jit_scale  # Liu-West kernel: (per-dim mean, std, bandwidth)
+    a = jnp.sqrt(jnp.maximum(1.0 - h * h, 0.0))
 
     def nll(p, yb):
         Z, logdet = flow.inverse(p, yb)
@@ -342,8 +360,11 @@ def _mle_segment(
     def body(carry, i):
         p, o = carry
         k = jax.random.fold_in(key, t0 + i)
-        idx = jax.random.choice(k, n, (n_batch,), replace=True, p=w)
-        loss, grads = jax.value_and_grad(nll)(p, Yp[idx])
+        k_idx, k_jit = jax.random.split(k)
+        idx = jax.random.choice(k_idx, n, (n_batch,), replace=True, p=w)
+        eps = jax.random.normal(k_jit, (n_batch, d), Yp.dtype)
+        yb = mu_w + a * (Yp[idx] - mu_w) + h * sd_w * eps
+        loss, grads = jax.value_and_grad(nll)(p, yb)
         frac = (t0 + i).astype(Yp.dtype) / max(n_total, 1)
         lr_i = lr * (1.0 - (1.0 - lr_decay) * frac)
         p, o = adam_update(p, grads, o, lr_i)
@@ -367,6 +388,7 @@ def fit_flow_mle(
     n_batch: int = 256,
     lr: float = 0.01,
     lr_decay: float = 0.05,
+    jitter: Optional[float] = None,
     ref=None,
     params=None,
     n_summary: int = 4096,
@@ -383,6 +405,20 @@ def fit_flow_mle(
 
     particles: (N, d) in WORKING coordinates; weights: optional (N,)
     importance weights (e.g. an SMC population's), normalized internally.
+    jitter: smoothing bandwidth h of the Liu-West shrinkage kernel — each
+    minibatch draw is replaced by mu + sqrt(1-h^2)(y-mu) + h*sd*eps with
+    FRESH eps, so the MLE target is a covariance-preserving kernel density
+    (a proper density), not the empirical atom measure. Load-bearing, not
+    cosmetic: a resampled SMC population at tight noise can carry only
+    dozens of UNIQUE points (mutation acceptance collapses at cold
+    temperatures), and exact MLE on atoms is degenerate — the flow gains
+    unbounded likelihood collapsing onto them while stretching wildly
+    between (measured: 32 unique points tiled to 4096 -> sample std up to
+    1400x the truth; a small fixed 5% jitter without shrinkage still blew
+    up 1.8e4x). None (default) = Silverman's bandwidth from the UNIQUE
+    row count, (4/(d+2))^(1/(d+4)) * n_unique^(-1/(d+4)) capped at 0.8 —
+    wide exactly when the population is degenerate, with zero covariance
+    bias by the shrinkage construction. jitter=0 disables entirely.
     params: optional warm start (e.g. continue from a previous fit).
     Production composition (api.run_flow_vi_inversion): tempered SMC for a
     rough-but-everywhere population -> fit_flow_mle -> flow_psis_certify,
@@ -408,8 +444,24 @@ def fit_flow_mle(
         w = jnp.asarray(weights, dtype)
         w = w / jnp.sum(w)
 
+    # Liu-West kernel in the whitened frame: per-dim weighted moments + a
+    # Silverman bandwidth from the UNIQUE row count (host — the population
+    # is already host-sized data)
+    mu_w = jnp.sum(w[:, None] * Yp, axis=0)
+    var_w = jnp.sum(w[:, None] * (Yp - mu_w) ** 2, axis=0)
+    sd_w = jnp.sqrt(jnp.maximum(var_w, jnp.finfo(dtype).tiny))
+    if jitter is None:
+        n_unique = np.unique(np.asarray(Yp), axis=0).shape[0]
+        h = min(
+            0.8,
+            (4.0 / (d + 2)) ** (1.0 / (d + 4)) * n_unique ** (-1.0 / (d + 4)),
+        )
+    else:
+        h = float(jitter)
+    jit_scale = (mu_w, sd_w, jnp.asarray(h, dtype))
+
     params, opt, nll_trace = _mle_segment(
-        flow, params, opt, Yp, w, k_run, 0,
+        flow, params, opt, Yp, w, jit_scale, k_run, 0,
         n_batch=n_batch, n_steps=n_steps, n_total=n_steps, lr=lr,
         lr_decay=lr_decay,
     )
@@ -427,6 +479,97 @@ def fit_flow_mle(
     return res._replace(theta_mean=mean, theta_cov=cov)
 
 
+def flow_fit_pipeline(
+    misfit_b: Callable,
+    misfit_bd: Callable,
+    prior: GaussianPrior,
+    key: jax.Array,
+    *,
+    n_couplings: int = 6,
+    hidden: int = 32,
+    pretrain: str = "smc",
+    pretrain_particles: int = 2048,
+    pretrain_steps: int = 2000,
+    n_mutations: int = 5,
+    max_stages: int = 64,
+    n_steps: Optional[int] = None,
+    n_mc: int = 64,
+    lr: float = 0.003,
+    anneal_steps: Optional[int] = None,
+    mesh=None,
+) -> tuple[FlowVIResult, Optional[int]]:
+    """The production flow-fit composition, shared by the five-param and
+    full-field API layers: tempered SMC (infer/smc.py, islands over the
+    mesh) -> mass-covering MLE distillation -> optional reverse-KL ELBO
+    refinement (OFF by default after pretraining — measured to re-collapse
+    covering fits; see fit_flow_mle). misfit_b: batched non-differentiable
+    misfit (the fast likelihood route, for SMC); misfit_bd: batched
+    differentiable misfit (for the ELBO direction). Returns
+    (FlowVIResult, smc_stages_or_None).
+
+    max_stages: the SMC tempering-stage bound. Tight-noise posteriors need
+    a LONG adaptive schedule (the lambda range scales like 1/noise^2 —
+    measured on the 1e-3-noise fin, 64 stages is NOT enough), and a
+    population stopped at lambda < 1 is a hot, too-wide pseudo-posterior
+    that silently poisons the MLE fit — so an unfinished schedule raises
+    here instead of returning garbage."""
+    if pretrain not in ("smc", "none"):
+        raise ValueError(f"pretrain must be 'smc' or 'none', got {pretrain!r}")
+    k_smc, k_mle, k_run = jax.random.split(key, 3)
+    params = None
+    n_stages = None
+    res = None
+    if n_steps is None:
+        n_steps = 0 if pretrain == "smc" else 3000
+    if pretrain == "smc":
+        from bayesianinferencedl_tpu.infer.smc import run_smc
+
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_smc
+
+            smc_res, _ = sharded_smc(
+                mesh, misfit_b, prior, k_smc,
+                n_particles=pretrain_particles, n_mutations=n_mutations,
+                max_stages=max_stages, batched=True,
+            )
+        else:
+            smc_res = run_smc(
+                misfit_b, prior, k_smc,
+                n_particles=pretrain_particles, n_mutations=n_mutations,
+                max_stages=max_stages, batched=True,
+            )
+        n_stages = int(np.max(np.asarray(smc_res.n_stages)))
+        lam_final = float(np.min(np.asarray(smc_res.lambdas)[..., -1]))
+        if n_stages >= max_stages and lam_final < 1.0:
+            raise RuntimeError(
+                f"SMC pretraining hit max_stages={max_stages} at lambda="
+                f"{lam_final:.3e} < 1: the population is a hot (too-wide) "
+                "pseudo-posterior and the MLE fit would inherit it. Raise "
+                "max_stages (tight-noise posteriors need a long adaptive "
+                "schedule) and/or n_mutations."
+            )
+        res = fit_flow_mle(
+            smc_res.particles, prior, k_mle,
+            n_couplings=n_couplings, hidden=hidden, n_steps=pretrain_steps,
+        )
+        params = res.params
+        anneal_steps = 0  # warm-started refinement never re-anneals
+
+    if n_steps > 0 or res is None:
+        kwargs = dict(
+            n_couplings=n_couplings, hidden=hidden, n_steps=n_steps,
+            n_mc=n_mc, lr=lr, anneal_steps=anneal_steps, batched=True,
+            params=params,
+        )
+        if mesh is not None:
+            from bayesianinferencedl_tpu.parallel.sharding import sharded_flow_vi
+
+            res = sharded_flow_vi(mesh, misfit_bd, prior, k_run, **kwargs)
+        else:
+            res = run_flow_vi(misfit_bd, prior, k_run, **kwargs)
+    return res, n_stages
+
+
 def flow_psis_certify(
     misfit_fn: Callable,
     prior: GaussianPrior,
@@ -435,16 +578,21 @@ def flow_psis_certify(
     *,
     n_draws: int = 4096,
     batched: bool = False,
+    base_scale: float = 1.0,
     mesh=None,
 ):
     """PSIS certify-and-correct for a flow fit (infer/psis.py with the flow
     as the proposal): the draws carry exact log q via their own latent
     coordinates, so no density inversion is needed. Returns PSISResult —
     same k-hat gate, same evidence convention (and the same mode-missing
-    blind spot; see the module docstring)."""
+    blind spot; see the module docstring). base_scale > 1 certifies with a
+    base-widened proposal (defensive IS — see flow_sample), the move when
+    k-hat sits just above the gate from mild under-dispersion."""
     from bayesianinferencedl_tpu.infer.psis import psis_correct_draws
 
-    theta, log_q = flow_sample(res, key, (n_draws,), with_logq=True)
+    theta, log_q = flow_sample(
+        res, key, (n_draws,), with_logq=True, base_scale=base_scale
+    )
     return psis_correct_draws(
         misfit_fn, prior, theta, log_q, batched=batched, mesh=mesh
     )
@@ -533,7 +681,17 @@ def run_neutra_pcn(
         misfit_Z, base_prior, Z0, k_run,
         n_steps=n_steps, n_burn=n_burn, beta=beta, thin=thin, batched=batched,
     )
-    # push kept latent samples to working coordinates (exact, per-draw)
+    # push kept latent samples to working coordinates (exact, per-draw).
+    # Chunked along the kept axis: one dispatch over the full (kept*C, d)
+    # sample tensor materializes (kept*C, hidden) coupling activations —
+    # measured OOM at 8k kept x 4096 chains — while per-chunk pushes are a
+    # few hundred MB and reuse one compiled program.
     kept, C, d = out.samples.shape
-    theta = to_theta(out.samples.reshape(kept * C, d)).reshape(kept, C, d)
+    chunk = max(1, min(kept, (1 << 20) // max(C, 1)))  # ~1M rows per dispatch
+    push = jax.jit(to_theta)
+    parts = [
+        push(out.samples[i : i + chunk].reshape(-1, d)).reshape(-1, C, d)
+        for i in range(0, kept, chunk)
+    ]
+    theta = jnp.concatenate(parts, axis=0)
     return out._replace(samples=theta)

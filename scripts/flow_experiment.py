@@ -25,8 +25,12 @@ dispatch, readback barriers); run on an otherwise idle machine.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import jax
 import jax.numpy as jnp
@@ -113,10 +117,15 @@ def main(out_path: str = "artifacts/flow_r3.json") -> None:
     print("advi done:", rec["advi_full_rank"], file=sys.stderr)
 
     # 3. Flow: SMC pretrain -> mass-covering MLE + PSIS
+    # max_stages: at 1e-3 noise the adaptive SMC schedule spans ~6 decades
+    # of lambda — 64 stages measured INSUFFICIENT (flow_fit_pipeline now
+    # raises on an unfinished schedule instead of silently distilling the
+    # hot population, which produced ~470x-too-wide fits in the first run)
     t0 = time.perf_counter()
     flow_res, _, _, flow_wall = run_flow_vi_inversion(
         pipe, "rom_nn", n_couplings=6, hidden=32,
         pretrain_particles=4096, pretrain_steps=3000,
+        n_mutations=8, max_stages=256,
         theta_true=theta_true, data=data,
         key=jax.random.PRNGKey(9), metrics=log,
     )
@@ -139,7 +148,7 @@ def main(out_path: str = "artifacts/flow_r3.json") -> None:
     # 4. NeuTra-pCN: exact posterior in the flow frame, single-chain cost
     neutra = run_neutra_inversion(
         pipe, flow_res, data, "rom_nn", theta_true=theta_true,
-        n_chains=N_CHAINS, n_steps=10_000, n_burn=2_000,
+        n_chains=N_CHAINS, n_steps=10_000, n_burn=2_000, thin=4,
         key=jax.random.PRNGKey(11), metrics=log,
     )
     ns = np.asarray(neutra.result.samples).reshape(-1, 5)

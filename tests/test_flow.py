@@ -143,11 +143,12 @@ def test_reverse_kl_collapses_forward_kl_covers():
     assert 0.4 < g1 < 0.6 and 0.4 < g2 < 0.6
 
     # (c) reverse-KL refinement from the covering fit re-collapses — a slow
-    # leak, complete by ~2000 steps at lr 0.01 (measured; 500 steps only
-    # drifts the split, which is why no "short polish" default is safe)
+    # leak whose onset varies with the warm start (500-2000 steps only
+    # drift the split, which is why no "short polish" default is safe);
+    # complete by 8000 steps at lr 0.01 on every (warm start, seed) tried
     res_ref = run_flow_vi(
         misfit, prior, jax.random.PRNGKey(5),
-        n_couplings=6, hidden=32, n_steps=2000, n_mc=128, lr=0.01,
+        n_couplings=6, hidden=32, n_steps=8000, n_mc=128, lr=0.01,
         anneal_steps=0, batched=True, params=res_mle.params,
     )
     h1, h2 = mode_fracs(flow_sample(res_ref, jax.random.PRNGKey(6), (8000,)))
@@ -248,6 +249,53 @@ def test_neutra_identity_flow_is_plain_whitened_kernel():
     assert float(jnp.max(jnp.abs(base.chol - jnp.eye(4, dtype=base.chol.dtype)))) == 0.0
 
 
+def test_flow_mle_survives_degenerate_population():
+    """The Liu-West smoothing kernel makes MLE safe on ATOM populations:
+    a resampled SMC population at tight noise can carry only dozens of
+    unique points, and exact MLE on atoms is degenerate — measured (f32,
+    the fin posterior's anisotropy): 32 unique points tiled to 4096 drove
+    the sample std up to 1.8e4x truth without the kernel; with it the fit
+    stays at ~1x with zero covariance bias by construction."""
+    mean = jnp.array([0.5845, -0.4843, -0.1081, -0.0761, -0.5730], jnp.float32)
+    std = jnp.array([0.0118, 0.1007, 0.3028, 0.5778, 0.0664], jnp.float32)
+    prior = GaussianPrior.iid(5, sigma=0.6, dtype=jnp.float32)
+    uniq = mean + std * jax.random.normal(jax.random.PRNGKey(0), (32, 5), jnp.float32)
+    pts = jnp.tile(uniq, (128, 1))
+    res = fit_flow_mle(
+        pts, prior, jax.random.PRNGKey(1),
+        n_couplings=6, hidden=32, n_steps=3000, n_batch=256, lr=0.01,
+    )
+    th = np.asarray(flow_sample(res, jax.random.PRNGKey(2), (8192,)))
+    ratio = th.std(0) / np.asarray(uniq).std(0)
+    assert np.all(ratio < 2.0) and np.all(ratio > 0.5), ratio
+    # and the fit tracks the POPULATION moments (truth to MC error of 32)
+    assert np.abs(th.mean(0) - np.asarray(uniq).mean(0)).max() < 0.3
+
+
+def test_flow_psis_base_scale_widening_rescues_underdispersed_fit():
+    """base_scale > 1 (defensive IS): a flow fit trained on UNDER-dispersed
+    particles under-covers the posterior tails and k-hat flags it; the same
+    fit certified through a base-widened proposal passes the gate AND its
+    corrected mean matches the truth — exactly the production move the fin
+    experiment needed (artifacts/flow_r3.json, k-hat 0.811)."""
+    misfit, prior, mu, Cpost = _linear_gaussian(d=4, seed=9)
+    # particles deliberately 0.65x too narrow around the true mean
+    L = jnp.asarray(np.linalg.cholesky(Cpost))
+    eps = jax.random.normal(jax.random.PRNGKey(0), (4096, 4), jnp.float64)
+    pts = jnp.asarray(mu) + 0.65 * eps @ L.T
+    res = fit_flow_mle(pts, prior, jax.random.PRNGKey(1), n_steps=2000)
+    cert_narrow = flow_psis_certify(
+        misfit, prior, res, jax.random.PRNGKey(2), n_draws=4096, batched=True
+    )
+    cert_wide = flow_psis_certify(
+        misfit, prior, res, jax.random.PRNGKey(2), n_draws=4096,
+        batched=True, base_scale=1.8,
+    )
+    assert cert_wide.k_hat < cert_narrow.k_hat
+    assert cert_wide.reliable, (cert_narrow.k_hat, cert_wide.k_hat)
+    np.testing.assert_allclose(cert_wide.mean, mu, atol=0.06)
+
+
 def test_flow_mle_respects_weights():
     """Weighted MLE: an importance-weighted population (e.g. an SMC one)
     reproduces the WEIGHTED mass split, not the raw particle count's."""
@@ -319,3 +367,40 @@ def test_api_flow_pipeline_end_to_end():
     assert float(jnp.max(inv.rhat)) < 1.2
     post_mean = np.asarray(inv.result.samples).reshape(-1, 5).mean(0)
     np.testing.assert_allclose(post_mean, cert.mean, atol=0.2)
+
+
+def test_ff_flow_pipeline_end_to_end():
+    """run_flow_vi_inversion_ff + psis_certify_flow_ff + the NeuTra ff
+    route: the flow layer extends to the full-field (RFF coefficient)
+    stack with the same contracts — a d=8 smoke at an easy noise level."""
+    from bayesianinferencedl_tpu.api_full_field import (
+        build_full_field_pipeline, psis_certify_flow_ff,
+        run_flow_vi_inversion_ff, run_neutra_inversion_ff,
+    )
+
+    pipe = build_full_field_pipeline(
+        resolution=1, dtype=jnp.float64, n_features=8, n_snapshots=24,
+        basis_size=6, k_basis_size=16, n_train=96, surrogate_hidden=(16,),
+        surrogate_steps=300, cg_tol=1e-10, cg_maxiter=2000, use_pallas=False,
+    )
+    res, z_true, data, wall = run_flow_vi_inversion_ff(
+        pipe, "rom_nn", noise_sigma=1e-2, n_couplings=4, hidden=16,
+        pretrain_particles=1024, pretrain_steps=1200,
+        key=jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(res.theta_mean)).all()
+    assert res.theta_mean.shape == (8,)
+    cert = psis_certify_flow_ff(
+        pipe, res, data, "rom_nn", noise_sigma=1e-2, n_draws=2048,
+        key=jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(cert.k_hat)
+    inv = run_neutra_inversion_ff(
+        pipe, res, data, "rom_nn", noise_sigma=1e-2, z_true=z_true,
+        n_chains=32, n_steps=600, n_burn=300, key=jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(np.asarray(inv.result.samples)).all()
+    assert float(jnp.max(inv.rhat)) < 1.3
+    # NeuTra's posterior mean agrees with the flow fit's at this easy noise
+    nm = np.asarray(inv.result.samples).reshape(-1, 8).mean(0)
+    assert float(np.abs(nm - np.asarray(res.theta_mean)).mean()) < 0.3
