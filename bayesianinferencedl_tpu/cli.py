@@ -701,6 +701,34 @@ def cmd_evidence(args) -> None:
     }))
 
 
+def cmd_select_ell(args) -> None:
+    """Prior hyperparameter selection by model evidence
+    (api_full_field.select_correlation_length): the RFF prior's correlation
+    length chosen by exact-FOM SMC Bayes factors on the same observations.
+    Pools --n-datasets independent experiments (log Z summed) — required
+    for identifiability with the fin's 5 scalar observations."""
+    from bayesianinferencedl_tpu.api_full_field import select_correlation_length
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    obs = None
+    if args.data:
+        obs = jnp.asarray(np.load(args.data)["data"])
+    out = select_correlation_length(
+        args.ells,
+        resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
+        sigma=args.sigma, n_features=args.n_features,
+        noise_sigma=args.noise, ell_true=args.ell_true, data=obs,
+        n_datasets=args.n_datasets, n_particles=args.particles,
+        n_groups=args.groups, n_mutations=args.mutations,
+        max_stages=args.max_stages, cg_maxiter=_cg_maxiter(args),
+        seed=args.seed, metrics=log,
+    )
+    rec = {k: out[k] for k in ("ells", "log_z", "log_z_std", "posterior", "ell_map")}
+    rec["n_datasets"] = args.n_datasets if obs is None else int(np.atleast_2d(np.asarray(out["data"])).shape[0])
+    print(json.dumps(rec))
+
+
 def cmd_evidence_ff(args) -> None:
     """Model evidence for the full-field (nodal k) model by adaptive
     tempered SMC — the Bayes-factor instrument on RFF-coefficient space
@@ -1378,6 +1406,39 @@ def main(argv=None) -> None:
     )
     p.add_argument("--shard", action="store_true", help="island SMC over the device mesh")
     p.set_defaults(fn=cmd_evidence_ff)
+
+    p = sub.add_parser(
+        "select-ell",
+        help="choose the full-field prior's correlation length by model "
+        "evidence (exact-FOM SMC per candidate; Bayes factors over ell)",
+    )
+    _add_common(p)
+    p.add_argument(
+        "--ells", type=float, nargs="+", required=True,
+        help="candidate correlation lengths",
+    )
+    p.add_argument("--n-features", type=int, default=64)
+    p.add_argument("--sigma", type=float, default=0.5)
+    p.add_argument("--noise", type=float, default=1e-2)
+    p.add_argument(
+        "--ell-true", type=float, default=None,
+        help="simulate observations from this ell (omit with --data)",
+    )
+    p.add_argument(
+        "--n-datasets", type=int, default=1,
+        help="independent simulated experiments pooled (log Z summed) — "
+        "one 5-obs dataset cannot identify ell; see "
+        "api_full_field.select_correlation_length",
+    )
+    p.add_argument(
+        "--data", type=str, default=None,
+        help="observation npz (key 'data', shape (n_obs,) or (M, n_obs))",
+    )
+    p.add_argument("--particles", type=int, default=4096)
+    p.add_argument("--groups", type=int, default=8)
+    p.add_argument("--mutations", type=int, default=5)
+    p.add_argument("--max-stages", type=int, default=128)
+    p.set_defaults(fn=cmd_select_ell)
 
     args = ap.parse_args(argv)
     args.fn(args)

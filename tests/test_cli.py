@@ -179,6 +179,27 @@ def test_cli_vi_flow_neutra():
     assert rec["mean_abs_err"] < 1.0
 
 
+def test_cli_select_ell_json():
+    """`select-ell`: the evidence-based prior-hyperparameter sweep parses,
+    runs the forward_only builds + per-candidate SMC evidence, and emits
+    the pooled verdict (machinery smoke — identifiability needs pooled
+    datasets, pinned in tests/test_ell_selection.py)."""
+    out = _run([
+        "select-ell", "--resolution", "1", "--n-features", "8",
+        "--ells", "0.5", "2.0", "--ell-true", "1.0", "--noise", "1e-2",
+        "--particles", "256", "--groups", "2", "--n-datasets", "2",
+    ], timeout=900)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["ells"] == [0.5, 2.0]
+    assert len(rec["log_z"]) == 2 and all(
+        isinstance(v, float) for v in rec["log_z"]
+    )
+    assert abs(sum(rec["posterior"]) - 1.0) < 1e-6
+    assert rec["ell_map"] in rec["ells"]
+    assert rec["n_datasets"] == 2
+
+
 def test_cli_map_and_eki_psis_gates():
     """--psis on `map` and `eki`: the Laplace fit and the moment-matched
     ensemble Gaussian each get the k-hat verdict plus a cross-checkable
