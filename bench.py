@@ -296,6 +296,62 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - env-dependent
         vi_block = {"error": str(e)[:300]}
 
+    # --- normalizing flow + NeuTra on the MULTIMODAL headline data ----------
+    # the non-Gaussian approximation layer where it matters: same 1e-3
+    # observations as the PT headline. SMC -> mass-covering MLE flow
+    # (infer/flow.py), PSIS certification, then single-temperature
+    # flow-preconditioned pCN — exact, converging where plain pCN strands
+    # (fail-soft like the other optional blocks)
+    try:
+        from bayesianinferencedl_tpu.api import (
+            psis_certify_flow, run_flow_vi_inversion, run_neutra_inversion,
+        )
+
+        pt_mean = inv.result.samples.mean(axis=(0, 1))
+        pt_std = inv.result.samples.reshape(-1, 5).std(axis=0)
+        t0 = time.perf_counter()
+        res_fl, _, _, _ = run_flow_vi_inversion(
+            pipe, "rom_nn", n_couplings=6, hidden=32,
+            pretrain_particles=4096, pretrain_steps=3000, n_mutations=8,
+            max_stages=256, theta_true=inv.theta_true, data=inv.data,
+            key=jax.random.PRNGKey(62),
+        )
+        flow_wall = time.perf_counter() - t0
+        cert_fl = psis_certify_flow(
+            pipe, res_fl, inv.data, "rom_nn", n_draws=8192,
+            key=jax.random.PRNGKey(63),
+        )
+        inv_nt = run_neutra_inversion(
+            pipe, res_fl, inv.data, "rom_nn", theta_true=inv.theta_true,
+            n_chains=N_CHAINS, n_steps=10_000, n_burn=2_000, thin=4,
+            key=jax.random.PRNGKey(64),
+        )
+        nt_samp = inv_nt.result.samples.reshape(-1, 5)
+        flow_block = {
+            "regime": "MULTIMODAL (the 1e-3 headline data): SMC -> mass-covering MLE flow -> NeuTra (docs/SAMPLERS.md)",
+            "fit_wall_seconds": round(flow_wall, 2),
+            "fit_mean_abs_err_vs_pt": round(float(jnp.mean(jnp.abs(res_fl.theta_mean - pt_mean))), 4),
+            "psis_k_hat": round(cert_fl.k_hat, 3),
+            "psis_reliable": bool(cert_fl.reliable),
+            "psis_corrected_mean_abs_err_vs_pt": round(float(jnp.mean(jnp.abs(jnp.asarray(cert_fl.mean) - pt_mean))), 4),
+            "psis_log_evidence": round(cert_fl.log_evidence, 3),
+            "pt_stepping_stone_log_evidence": (
+                round(inv.log_evidence, 3) if inv.log_evidence is not None else None
+            ),
+            "neutra": {
+                "sampler": "single-temperature flow-preconditioned pCN (exact; plain pCN strands at R-hat ~2 on this posterior)",
+                "rhat_split_max": round(float(jnp.max(inv_nt.rhat)), 4),
+                "ess_bulk_min": round(float(jnp.min(inv_nt.ess)), 1),
+                "ess_per_sec": round(inv_nt.ess_per_sec, 2),
+                "samples_per_sec": round(inv_nt.samples_per_sec, 1),
+                "accept_rate": round(float(jnp.mean(inv_nt.result.accept_rate)), 3),
+                "mean_abs_err_vs_pt": round(float(jnp.mean(jnp.abs(nt_samp.mean(0) - pt_mean))), 4),
+                "std_ratio_vs_pt": [round(float(v), 3) for v in (nt_samp.std(0) / pt_std)],
+            },
+        }
+    except Exception as e:  # pragma: no cover - env-dependent
+        flow_block = {"error": str(e)[:300]}
+
     # --- delayed acceptance: the EXACT full-order posterior -----------------
     # rom_nn subchains (S=8) + one batched Pallas FOM correction per outer
     # step; same artifacts, unimodal 1e-2-noise regime (the multimodal 1e-3
@@ -412,6 +468,7 @@ def main() -> None:
             ),
             "eki": eki_block,
             "vi": vi_block,
+            "flow_neutra": flow_block,
             "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
             "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),
             "fom_solves_per_sec_pallas_b4096": round(fom_sps_pallas_peak, 2),
