@@ -163,6 +163,25 @@ def psis_correct_draws(
     log_p = -phi64 - 0.5 * np.sum(w_prior * w_prior, axis=1)
     log_w_raw = log_p - np.asarray(log_q, np.float64)
 
+    # Non-finite weights (a NaN/overflowed forward at an extreme proposal
+    # draw — seen when a degenerate flow fit reaches unphysical parameter
+    # space) would propagate NaN through the max-subtraction and poison
+    # every output. Zero those draws out (-inf log weight: the posterior
+    # density where the forward cannot even be evaluated is treated as 0)
+    # and VOID the certificate — a proposal with mass where the model is
+    # non-evaluable does not cover the posterior, whatever the fitted tail
+    # shape says.
+    bad = ~np.isfinite(log_w_raw)
+    n_bad = int(bad.sum())
+    if n_bad == log_w_raw.size:
+        d = th.shape[1]
+        return PSISResult(
+            mean=np.full(d, np.nan), cov=np.full((d, d), np.nan),
+            k_hat=np.inf, ess=0.0, log_weights=log_w_raw, samples=theta,
+            reliable=False, log_evidence=-np.inf,
+        )
+    log_w_raw = np.where(bad, -np.inf, log_w_raw)
+
     # evidence from the RAW weights (unbiased in Z): the target above is
     # exp(-Phi) times the UNNORMALIZED prior density; dividing by the prior
     # normalization |det prior.chol| (the (2 pi)^{d/2} cancels against q's)
@@ -182,7 +201,8 @@ def psis_correct_draws(
     ess = float(1.0 / np.sum(w * w))
     return PSISResult(
         mean=mean, cov=cov, k_hat=float(k_hat), ess=ess,
-        log_weights=log_w, samples=theta, reliable=bool(k_hat < 0.7),
+        log_weights=log_w, samples=theta,
+        reliable=bool(k_hat < 0.7) and n_bad == 0,
         log_evidence=log_evidence,
     )
 

@@ -174,3 +174,44 @@ def test_psis_sharded_sweep_matches_single_device():
     np.testing.assert_allclose(r8.mean, r1.mean, atol=1e-8)
     np.testing.assert_allclose(r8.k_hat, r1.k_hat, atol=1e-8)
     np.testing.assert_allclose(r8.log_evidence, r1.log_evidence, atol=1e-8)
+
+
+def test_psis_nonfinite_forward_voids_certificate():
+    """A proposal with mass where the forward is non-evaluable (NaN misfit —
+    the degenerate-flow failure seen in a bench run): the NaN draws get zero
+    weight instead of poisoning every output, the moments stay finite and
+    close to the evaluable posterior, and the certificate is VOIDED
+    (reliable=False) regardless of the fitted tail shape."""
+    from bayesianinferencedl_tpu.infer.psis import psis_correct_draws
+
+    misfit, prior, mu, Cpost, aux = _linear_gaussian()
+
+    def misfit_nan(th):
+        phi = misfit(th)
+        return jnp.where(jnp.max(jnp.abs(th), axis=-1) > 4.0, jnp.nan, phi)
+
+    # exact-posterior proposal, widened enough that a few draws cross the
+    # |theta| > 4 cliff
+    L = np.linalg.cholesky(Cpost)
+    key = jax.random.PRNGKey(3)
+    z = jax.random.normal(key, (4096, 5), jnp.float64)
+    theta = jnp.asarray(mu) + 3.0 * (z @ jnp.asarray(L).T)
+    log_q = -0.5 * jnp.sum(z * z, axis=-1) - jnp.log(
+        jnp.prod(jnp.abs(jnp.diag(jnp.asarray(L)))) * 3.0**5
+    )
+    res = psis_correct_draws(misfit_nan, prior, theta, log_q, batched=True)
+    n_nan = int(jnp.sum(jnp.isnan(misfit_nan(theta))))
+    assert n_nan > 0  # the scenario actually exercises the cliff
+    assert np.isfinite(res.mean).all() and np.isfinite(res.cov).all()
+    assert np.isfinite(res.log_evidence)
+    assert not res.reliable
+    np.testing.assert_allclose(res.mean, mu, atol=0.1)
+
+    # all draws non-evaluable: honest degenerate result, not a crash
+    res_all = psis_correct_draws(
+        lambda th: jnp.full(th.shape[:-1], jnp.nan), prior, theta, log_q,
+        batched=True,
+    )
+    assert not res_all.reliable
+    assert res_all.ess == 0.0
+    assert res_all.log_evidence == -np.inf
