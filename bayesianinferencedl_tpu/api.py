@@ -2155,6 +2155,85 @@ def run_vi_inversion(
     return res, theta_true, data, wall
 
 
+def run_svgd_inversion(
+    pipe: Pipeline,
+    likelihood: str = "rom_nn",
+    *,
+    n_particles: int = 512,
+    n_steps: int = 800,
+    lr: float = 0.05,
+    anneal_steps: Optional[int] = None,
+    theta_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics=None,
+):
+    """Particle-transport posterior approximation (SVGD, infer/svgd.py):
+    transport n_particles prior draws along the kernelized Stein direction —
+    gradient-based like ADVI but nonparametric: the terminal ensemble can be
+    skewed or (annealed) multi-basin without committing to a density family.
+    Same data contract as run_inversion / run_eki_inversion (data=None
+    simulates from theta_true or a prior draw). Each step is one batched
+    differentiable forward+reverse over all particles plus two (J, J) x
+    (J, d) MXU matmuls. Returns (SVGDResult, theta_true, data,
+    wall_seconds).
+
+    Honest contract (docs/SAMPLERS.md): biased at finite J (kernel repulsion
+    under-fills tails as d/J grows) and no evaluable density, so no PSIS
+    gate applies directly — certify the moment-matched Gaussian if needed
+    (the eki --psis route). For certified posteriors run the MCMC kernels.
+    mesh= shards the particle axis over ICI; the (J, d) ensemble
+    all-gathers per step (parallel/sharding.sharded_svgd)."""
+    from bayesianinferencedl_tpu.infer.svgd import run_svgd
+
+    log = metrics
+    cfg = pipe.config.mcmc
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    k_true, k_noise, k_run = jax.random.split(key, 3)
+    dtype = pipe.prior.mean.dtype
+    to_theta = pipe.prior.to_theta
+    if data is not None:
+        data = jnp.asarray(data, dtype)
+        if theta_true is None:
+            theta_true = pipe.prior.mean
+    else:
+        if theta_true is None:
+            theta_true = pipe.prior.sample(k_true)
+        y_true = pipe.fin.forward(jnp.exp(to_theta(theta_true)))
+        data = y_true + cfg.noise_sigma * jax.random.normal(
+            k_noise, y_true.shape, dtype
+        )
+
+    fwd_bl_theta = pipe.batched_forward_fn(likelihood, differentiable=True)
+    fwd_bl = lambda xs: fwd_bl_theta(to_theta(xs))  # to_theta is elementwise
+    misfit_b = gaussian_misfit(fwd_bl, data, cfg.noise_sigma)
+    t0 = time.perf_counter()
+    if mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import sharded_svgd
+
+        res = sharded_svgd(
+            mesh, misfit_b, pipe.prior, k_run,
+            n_particles=n_particles, n_steps=n_steps, lr=lr,
+            anneal_steps=anneal_steps, batched=True,
+        )
+    else:
+        res = run_svgd(
+            misfit_b, pipe.prior, k_run,
+            n_particles=n_particles, n_steps=n_steps, lr=lr,
+            anneal_steps=anneal_steps, batched=True,
+        )
+    jax.block_until_ready(res.mean)
+    wall = time.perf_counter() - t0
+    if log is not None:
+        log.log(
+            "svgd", likelihood=likelihood, n_particles=n_particles,
+            n_steps=n_steps, n_forward=res.n_forward,
+            misfit_final=float(res.misfit_trace[-1]), wall_seconds=wall,
+        )
+    return res, theta_true, data, wall
+
+
 def psis_certify(
     pipe: Pipeline,
     q_mean: jax.Array,

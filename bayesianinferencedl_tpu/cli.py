@@ -603,6 +603,81 @@ def cmd_vi(args) -> None:
     print(json.dumps(rec))
 
 
+def cmd_svgd(args) -> None:
+    """Particle-transport posterior approximation (api.run_svgd_inversion /
+    infer/svgd.py SVGD): gradient-based like `vi` but nonparametric — J
+    interacting particles follow the kernelized Stein direction, so the
+    terminal ensemble can be skewed or (annealed) multi-basin without
+    committing to a density family. Biased at finite J; see
+    docs/SAMPLERS.md."""
+    from bayesianinferencedl_tpu.api import build_pipeline, run_svgd_inversion
+    from bayesianinferencedl_tpu.config import (
+        FEMConfig, MCMCConfig, MeshConfig, PipelineConfig, ROMConfig, SurrogateConfig,
+    )
+    from bayesianinferencedl_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(args.metrics, run_config=vars(args))
+    cfg = PipelineConfig(
+        mesh=MeshConfig(resolution=args.resolution),
+        fem=FEMConfig(biot=args.biot, cg_tol=1e-10 if args.dtype == "float64" else 1e-7, cg_maxiter=_cg_maxiter(args)),
+        rom=ROMConfig(
+            n_snapshots=args.n_snapshots, basis_size=args.r, seed=args.seed,
+            online_precision=args.online_precision,
+        ),
+        surrogate=SurrogateConfig(n_train=args.n_train, epochs=args.epochs, seed=args.seed),
+        mcmc=MCMCConfig(noise_sigma=args.noise, likelihood=args.likelihood, seed=args.seed),
+        prior=_prior_config(args),
+    )
+    pipe = build_pipeline(cfg, dtype=_dtype(args), metrics=log)
+    obs = None
+    if getattr(args, "data", None):
+        obs = jnp.asarray(np.load(args.data)["data"])
+    res, theta_true, data, wall = run_svgd_inversion(
+        pipe, args.likelihood, n_particles=args.particles,
+        n_steps=args.steps, lr=args.lr,
+        anneal_steps=args.anneal if args.anneal >= 0 else None, data=obs,
+        key=jax.random.PRNGKey(args.seed), metrics=log,
+    )
+    to_theta = pipe.prior.to_theta
+    th_p = jax.vmap(to_theta)(res.particles)
+    mean_log_k = np.asarray(jnp.mean(th_p, axis=0))
+    tr = np.asarray(res.misfit_trace)
+    rec = {
+        "likelihood": args.likelihood,
+        "n_particles": args.particles,
+        "n_steps": args.steps,
+        "n_forward_evals": res.n_forward,
+        "wall_seconds": round(wall, 3),
+        "posterior_mean_log_k": mean_log_k.tolist(),
+        "posterior_std_log_k": np.asarray(jnp.std(th_p, axis=0)).tolist(),
+        "theta_true": np.asarray(to_theta(theta_true)).tolist(),
+        "mean_abs_err": round(float(np.abs(mean_log_k - np.asarray(to_theta(theta_true))).mean()), 5),
+        "misfit_first_last": [round(float(tr[0]), 2), round(float(tr[-1]), 2)],
+    }
+    if getattr(args, "psis", 0):
+        # certify the moment-matched Gaussian of the terminal ensemble
+        # (SVGD has no evaluable density — the eki --psis route)
+        from bayesianinferencedl_tpu.api import psis_certify
+
+        ens = np.asarray(res.particles, np.float64)
+        q_mean = jnp.asarray(ens.mean(axis=0), pipe.prior.mean.dtype)
+        cov = np.cov(ens.T) + 1e-12 * np.eye(ens.shape[1])
+        q_chol = jnp.asarray(np.linalg.cholesky(cov), pipe.prior.mean.dtype)
+        cert = psis_certify(
+            pipe, q_mean, q_chol, data, args.likelihood,
+            n_draws=args.psis, key=jax.random.PRNGKey(args.seed + 2),
+        )
+        rec["psis"] = {
+            "n_draws": args.psis,
+            "k_hat": round(cert.k_hat, 3),
+            "reliable": cert.reliable,
+            "ess": round(cert.ess, 1),
+            "corrected_mean_working": cert.mean.tolist(),
+            "log_evidence": round(cert.log_evidence, 4),
+        }
+    print(json.dumps(rec))
+
+
 def cmd_sbc_ff(args) -> None:
     """Simulation-based calibration of the FULL-FIELD sampler stack
     (api_full_field.run_sbc_check_ff): J synthetic 64-dim RFF inversions,
@@ -1047,6 +1122,7 @@ def main(argv=None) -> None:
         ("sbc", cmd_sbc),
         ("eki", cmd_eki),
         ("vi", cmd_vi),
+        ("svgd", cmd_svgd),
     ]:
         p = sub.add_parser(name)
         _add_common(p)
@@ -1140,6 +1216,27 @@ def main(argv=None) -> None:
                 "(defensive importance sampling, flow_sample base_scale): "
                 "the move when k-hat sits just above the 0.7 gate from "
                 "mild under-dispersion (flow branch only)",
+            )
+        elif name == "svgd":
+            p.add_argument("--noise", type=float, default=1e-2)
+            p.add_argument("--likelihood", choices=["fom", "rom", "rom_nn"], default="rom_nn")
+            p.add_argument("--particles", type=int, default=512, help="ensemble size J")
+            p.add_argument("--steps", type=int, default=800, help="Stein/Adam transport steps")
+            p.add_argument("--lr", type=float, default=0.05)
+            p.add_argument(
+                "--anneal", type=int, default=-1, metavar="N",
+                help="likelihood ramp length (default steps//2; 0 disables "
+                "— classic SVGD, can collapse on multimodal targets)",
+            )
+            p.add_argument(
+                "--data", type=str, default=None,
+                help="observation npz (key 'data'): external measurements",
+            )
+            p.add_argument(
+                "--psis", type=int, default=0, metavar="K",
+                help="certify the moment-matched ensemble Gaussian by "
+                "Pareto-smoothed importance sampling with K draws "
+                "(infer/psis.py k-hat gate + corrected mean)",
             )
         elif name == "sbc":
             p.add_argument("--noise", type=float, default=1e-2)

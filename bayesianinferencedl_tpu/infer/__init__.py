@@ -21,6 +21,7 @@ from bayesianinferencedl_tpu.infer.mala import run_mala, run_mala_segmented  # n
 from bayesianinferencedl_tpu.infer.hmc import run_hmc, run_hmc_segmented  # noqa: F401
 from bayesianinferencedl_tpu.infer.lis import LIS, build_lis, run_lis_pcn  # noqa: F401
 from bayesianinferencedl_tpu.infer.smc import SMCResult, run_smc  # noqa: F401
+from bayesianinferencedl_tpu.infer.svgd import SVGDResult, run_svgd  # noqa: F401
 from bayesianinferencedl_tpu.infer.flow import (  # noqa: F401
     CouplingFlow, FlowVIResult, fit_flow_mle, flow_psis_certify, flow_sample,
     neutra_misfit, run_flow_vi, run_neutra_pcn,

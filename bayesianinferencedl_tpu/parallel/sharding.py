@@ -1289,3 +1289,89 @@ def sharded_flow_vi(
     c = th - mean
     cov = jnp.dot(c.T, c, precision=hi) / (n_summary - 1)
     return res._replace(theta_mean=mean, theta_cov=cov)
+
+
+def sharded_svgd(
+    mesh: Mesh,
+    misfit_fn: Callable,
+    prior: GaussianPrior,
+    key: jax.Array,
+    *,
+    n_particles: int = 512,
+    n_steps: int = 800,
+    lr: float = 0.05,
+    lr_decay: float = 0.05,
+    anneal_steps=None,
+    batched: bool = False,
+    theta0=None,
+    ref=None,
+    segment=None,
+):
+    """SVGD (infer/svgd.py) with the PARTICLE axis sharded over the mesh:
+    each device runs the differentiable forward+reverse pass (the physics —
+    where the FLOPs are) on its n_particles/n_devices block, then the tiny
+    (J, d) ensemble and its scores all-gather over ICI so every device forms
+    the identical full-ensemble Stein direction and keeps its own rows. Two
+    all-gathers per step on a J x d array — bytes, not megabytes — so the
+    interaction term costs nothing next to the forward sweep. Arithmetic
+    matches run_svgd exactly (pinned in tests/test_svgd.py).
+
+    Returns the same SVGDResult contract as run_svgd."""
+    from bayesianinferencedl_tpu.infer.mala import _inv_chol
+    from bayesianinferencedl_tpu.infer.svgd import SVGDResult, _svgd_segment
+    from bayesianinferencedl_tpu.models.surrogate import AdamState, adam_init
+
+    if n_particles % mesh.size:
+        raise ValueError(
+            f"n_particles={n_particles} must divide by mesh size {mesh.size}"
+        )
+    axis = mesh.axis_names[0]
+    hi = jax.lax.Precision.HIGHEST
+    d = prior.dim
+    ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
+    dtype = ref_mean.dtype
+    if anneal_steps is None:
+        anneal_steps = n_steps // 2
+
+    if theta0 is None:
+        Y = jax.random.normal(key, (n_particles, d), dtype)
+    else:
+        Y = jnp.dot(theta0 - ref_mean, _inv_chol(ref_chol).T, precision=hi)
+    opt = adam_init(Y)
+
+    seg = int(segment) if segment else n_steps
+
+    def make_local(this, done):
+        def local(Y_shard, o_shard):
+            return _svgd_segment(
+                misfit_fn, prior, ref_mean, ref_chol, Y_shard, o_shard,
+                jnp.asarray(done, jnp.int32),
+                n_steps=this, n_total=n_steps,
+                anneal_steps=int(anneal_steps), lr=lr, lr_decay=lr_decay,
+                batched=batched, axis_name=axis, j_total=n_particles,
+            )
+        return local
+
+    traces = []
+    done = 0
+    while done < n_steps:
+        this = min(seg, n_steps - done)
+        # Adam state: particle-sharded moments, replicated scalar step count
+        opt_spec = AdamState(step=P(), mu=P(axis), nu=P(axis))
+        f = jax.shard_map(
+            make_local(this, done), mesh=mesh,
+            in_specs=(P(axis), opt_spec), out_specs=(P(axis), opt_spec, P()),
+            check_vma=False,
+        )
+        Y, opt, tr = f(Y, opt)
+        traces.append(tr)
+        done += this
+
+    particles = ref_mean + jnp.dot(Y, ref_chol.T, precision=hi)
+    return SVGDResult(
+        particles=particles,
+        mean=jnp.mean(particles, axis=0),
+        std=jnp.std(particles, axis=0),
+        misfit_trace=jnp.concatenate(traces),
+        n_forward=n_particles * n_steps,
+    )

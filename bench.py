@@ -296,6 +296,44 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - env-dependent
         vi_block = {"error": str(e)[:300]}
 
+    # --- particle-transport SVGD (annealed) ---------------------------------
+    # the nonparametric gradient-based member of the approximation layer
+    # (infer/svgd.py), scored against the same pCN reference; the moment-
+    # matched Gaussian is PSIS-certified (SVGD has no evaluable density)
+    try:
+        import numpy as np
+
+        from bayesianinferencedl_tpu.api import psis_certify, run_svgd_inversion
+
+        pipe_st = dataclasses.replace(pipe, config=cfg_st)
+        run_svgd_inversion(pipe_st, "rom_nn", n_particles=512, n_steps=800,
+                           data=inv_st.data, key=jax.random.PRNGKey(62))
+        t0 = time.perf_counter()
+        res_sv, _, _, _ = run_svgd_inversion(
+            pipe_st, "rom_nn", n_particles=512, n_steps=800,
+            data=inv_st.data, key=jax.random.PRNGKey(63),
+        )
+        svgd_wall = time.perf_counter() - t0
+        ens = np.asarray(res_sv.particles, np.float64)
+        cov_sv = np.cov(ens.T) + 1e-12 * np.eye(ens.shape[1])
+        cert_sv = psis_certify(
+            pipe_st, jnp.asarray(ens.mean(0), jnp.float32),
+            jnp.asarray(np.linalg.cholesky(cov_sv), jnp.float32),
+            inv_st.data, "rom_nn", n_draws=4096, key=jax.random.PRNGKey(64),
+        )
+        svgd_block = {
+            "regime": "unimodal (noise 1e-2) — posterior APPROXIMATION; docs/SAMPLERS.md",
+            "n_particles": 512,
+            "n_forward_evals": res_sv.n_forward,
+            "wall_seconds": round(svgd_wall, 3),
+            "mean_abs_err_vs_pcn": round(float(jnp.mean(jnp.abs(
+                res_sv.mean - inv_st.result.samples.mean(axis=(0, 1))))), 4),
+            "psis_k_hat_moment_matched": round(cert_sv.k_hat, 3),
+            "psis_reliable": bool(cert_sv.reliable),
+        }
+    except Exception as e:  # pragma: no cover - env-dependent
+        svgd_block = {"error": str(e)[:300]}
+
     # --- normalizing flow + NeuTra on the MULTIMODAL headline data ----------
     # the non-Gaussian approximation layer where it matters: same 1e-3
     # observations as the PT headline. SMC -> mass-covering MLE flow
@@ -468,6 +506,7 @@ def main() -> None:
             ),
             "eki": eki_block,
             "vi": vi_block,
+            "svgd": svgd_block,
             "flow_neutra": flow_block,
             "fom_solves_per_sec_xla": round(fom_sps_xla, 2),
             "fom_solves_per_sec_pallas": round(fom_sps_pallas, 2),

@@ -137,6 +137,26 @@ def test_cli_vi_json():
     assert rec["mean_abs_err"] < 1.0
 
 
+def test_cli_svgd_json():
+    """`svgd` transports the particle ensemble end-to-end on a tiny
+    pipeline: valid JSON, finite posterior moments, and a data misfit that
+    dropped over the transport (infer/svgd.py honest contract)."""
+    out = _run([
+        "svgd", "--resolution", "1", "--n-snapshots", "32", "--r", "10",
+        "--n-train", "64", "--epochs", "20", "--noise", "1e-2",
+        "--particles", "64", "--steps", "300",
+    ])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rec["n_particles"] == 64
+    assert len(rec["posterior_mean_log_k"]) == 5
+    assert all(s > 0 for s in rec["posterior_std_log_k"])
+    assert rec["n_forward_evals"] == 300 * 64
+    first, last = rec["misfit_first_last"]
+    assert last < first
+    assert rec["mean_abs_err"] < 1.0
+
+
 def test_cli_vi_psis_gate():
     """`vi --psis K` appends the PSIS certification block: k-hat, the
     usability verdict, and the importance-corrected mean (a near-Gaussian
