@@ -1267,6 +1267,77 @@ def run_vi_inversion_ff(
     return res, z_true, data, wall
 
 
+def run_svgd_inversion_ff(
+    pipe: FullFieldPipeline,
+    likelihood: str = "rom_nn",
+    *,
+    noise_sigma: float = 1e-3,
+    n_particles: int = 512,
+    n_steps: int = 800,
+    lr: float = 0.05,
+    anneal_steps: Optional[int] = None,
+    z_true: Optional[jax.Array] = None,
+    data: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Particle-transport approximation of the full-field posterior (SVGD,
+    infer/svgd.py; same contract as api.run_svgd_inversion): nonparametric
+    and gradient-based — at d=64 the kernelized repulsion's variance
+    underestimation grows with d/J, so read spreads as lower bounds (module
+    docstring; the Gaussian-family alternative is run_vi_inversion_ff).
+    Annealing is on by default — this model's default noise_sigma=1e-3 is
+    the measured multimodal regime (artifacts/ff_modality_r3.json).
+    Returns (SVGDResult, z_true, data, wall_seconds)."""
+    from bayesianinferencedl_tpu.infer.svgd import run_svgd
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_true, k_noise, k_run = jax.random.split(key, 3)
+    dtype = pipe.prior.mean.dtype
+    if data is not None:
+        data = jnp.asarray(data, dtype)
+        if z_true is None:
+            z_true = jnp.zeros_like(pipe.prior.mean)
+    else:
+        if z_true is None:
+            z_true = pipe.prior.sample(k_true)
+        y_true = pipe.op.observe(
+            solve_fom(pipe.op, pipe.conductivity(z_true), tol=pipe.cg_tol,
+                      maxiter=pipe.cg_maxiter)
+        )
+        data = y_true + noise_sigma * jax.random.normal(k_noise, y_true.shape, dtype)
+
+    import time as _t
+
+    fwd_bl = pipe.batched_forward_fn(likelihood, differentiable=True)
+    misfit_b = gaussian_misfit(fwd_bl, data, noise_sigma)
+    t0 = _t.perf_counter()
+    if mesh is not None:
+        from bayesianinferencedl_tpu.parallel.sharding import sharded_svgd
+
+        res = sharded_svgd(
+            mesh, misfit_b, pipe.prior, k_run,
+            n_particles=n_particles, n_steps=n_steps, lr=lr,
+            anneal_steps=anneal_steps, batched=True,
+        )
+    else:
+        res = run_svgd(
+            misfit_b, pipe.prior, k_run,
+            n_particles=n_particles, n_steps=n_steps, lr=lr,
+            anneal_steps=anneal_steps, batched=True,
+        )
+    jax.block_until_ready(res.mean)
+    wall = _t.perf_counter() - t0
+    if metrics is not None:
+        metrics.log(
+            "svgd_ff", likelihood=likelihood, n_particles=n_particles,
+            n_steps=n_steps, n_forward=res.n_forward,
+            misfit_final=float(res.misfit_trace[-1]), wall_seconds=wall,
+        )
+    return res, z_true, data, wall
+
+
 def psis_certify_ff(
     pipe: FullFieldPipeline,
     q_mean: jax.Array,

@@ -68,6 +68,15 @@ def readme_block(art, src):
             f"{v['wall_seconds']} s; PSIS k-hat {v['psis_k_hat']} "
             f"({'passes' if v['psis_reliable'] else 'FAILS'} the gate)",
         ))
+    sv = d.get("svgd", {"error": "absent"})
+    if "error" not in sv:
+        rows.append((
+            "Annealed SVGD (particle-transport approximation, unimodal 1e-2 regime)",
+            f"mean within {sv['mean_abs_err_vs_pcn']} of the pCN reference in "
+            f"{sv['wall_seconds']} s ({sv['n_particles']} particles); "
+            f"moment-matched PSIS k-hat {sv['psis_k_hat_moment_matched']} "
+            f"({'passes' if sv['psis_reliable'] else 'FAILS'} the gate)",
+        ))
     f = d.get("flow_neutra", {"error": "absent"})
     if "error" not in f:
         rows.append((
