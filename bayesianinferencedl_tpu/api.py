@@ -2166,6 +2166,7 @@ def run_svgd_inversion(
     theta_true: Optional[jax.Array] = None,
     data: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
+    segment: Optional[int] = None,
     mesh=None,
     metrics=None,
 ):
@@ -2184,8 +2185,19 @@ def run_svgd_inversion(
     gate applies directly — certify the moment-matched Gaussian if needed
     (the eki --psis route). For certified posteriors run the MCMC kernels.
     mesh= shards the particle axis over ICI; the (J, d) ensemble
-    all-gathers per step (parallel/sharding.sharded_svgd)."""
+    all-gathers per step (parallel/sharding.sharded_svgd).
+
+    segment: scan chunk size (None = likelihood-aware auto). The fom
+    likelihood pays J differentiable CG forward+adjoint solves per step —
+    one unsegmented n_steps-scan XLA program trips the ~60 s single-program
+    watchdog (CLAUDE.md rule 2) — so fom auto-segments at 100 steps,
+    mirroring the samplers' segment defaults; the fused rom/rom_nn routes
+    run unsegmented. Segmentation never changes the trajectory
+    (infer/svgd.py step-index threading)."""
     from bayesianinferencedl_tpu.infer.svgd import run_svgd
+
+    if segment is None and likelihood == "fom":
+        segment = 100
 
     log = metrics
     cfg = pipe.config.mcmc
@@ -2215,13 +2227,13 @@ def run_svgd_inversion(
         res = sharded_svgd(
             mesh, misfit_b, pipe.prior, k_run,
             n_particles=n_particles, n_steps=n_steps, lr=lr,
-            anneal_steps=anneal_steps, batched=True,
+            anneal_steps=anneal_steps, batched=True, segment=segment,
         )
     else:
         res = run_svgd(
             misfit_b, pipe.prior, k_run,
             n_particles=n_particles, n_steps=n_steps, lr=lr,
-            anneal_steps=anneal_steps, batched=True,
+            anneal_steps=anneal_steps, batched=True, segment=segment,
         )
     jax.block_until_ready(res.mean)
     wall = time.perf_counter() - t0

@@ -1279,6 +1279,7 @@ def run_svgd_inversion_ff(
     z_true: Optional[jax.Array] = None,
     data: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
+    segment: Optional[int] = None,
     mesh=None,
     metrics: Optional[MetricsLogger] = None,
 ):
@@ -1289,8 +1290,15 @@ def run_svgd_inversion_ff(
     docstring; the Gaussian-family alternative is run_vi_inversion_ff).
     Annealing is on by default — this model's default noise_sigma=1e-3 is
     the measured multimodal regime (artifacts/ff_modality_r3.json).
-    Returns (SVGDResult, z_true, data, wall_seconds)."""
+    segment: scan chunk size (None = likelihood-aware auto: the fom route
+    auto-segments at 100 steps for the ~60 s watchdog, CLAUDE.md rule 2;
+    the fused rom/rom_nn routes run unsegmented — same rationale as
+    api.run_svgd_inversion). Returns (SVGDResult, z_true, data,
+    wall_seconds)."""
     from bayesianinferencedl_tpu.infer.svgd import run_svgd
+
+    if segment is None and likelihood == "fom":
+        segment = 100
 
     key = key if key is not None else jax.random.PRNGKey(0)
     k_true, k_noise, k_run = jax.random.split(key, 3)
@@ -1319,13 +1327,13 @@ def run_svgd_inversion_ff(
         res = sharded_svgd(
             mesh, misfit_b, pipe.prior, k_run,
             n_particles=n_particles, n_steps=n_steps, lr=lr,
-            anneal_steps=anneal_steps, batched=True,
+            anneal_steps=anneal_steps, batched=True, segment=segment,
         )
     else:
         res = run_svgd(
             misfit_b, pipe.prior, k_run,
             n_particles=n_particles, n_steps=n_steps, lr=lr,
-            anneal_steps=anneal_steps, batched=True,
+            anneal_steps=anneal_steps, batched=True, segment=segment,
         )
     jax.block_until_ready(res.mean)
     wall = _t.perf_counter() - t0

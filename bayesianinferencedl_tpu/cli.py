@@ -637,6 +637,7 @@ def cmd_svgd(args) -> None:
         n_steps=args.steps, lr=args.lr,
         anneal_steps=args.anneal if args.anneal >= 0 else None, data=obs,
         key=jax.random.PRNGKey(args.seed), metrics=log,
+        segment=args.segment if args.segment > 0 else None,
     )
     to_theta = pipe.prior.to_theta
     th_p = jax.vmap(to_theta)(res.particles)
@@ -1237,6 +1238,12 @@ def main(argv=None) -> None:
                 help="certify the moment-matched ensemble Gaussian by "
                 "Pareto-smoothed importance sampling with K draws "
                 "(infer/psis.py k-hat gate + corrected mean)",
+            )
+            p.add_argument(
+                "--segment", type=int, default=0, metavar="S",
+                help="scan chunk size (0 = likelihood-aware auto: fom "
+                "segments at 100 steps for the ~60 s single-program "
+                "watchdog, rom/rom_nn run unsegmented)",
             )
         elif name == "sbc":
             p.add_argument("--noise", type=float, default=1e-2)

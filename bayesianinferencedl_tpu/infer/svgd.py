@@ -195,6 +195,9 @@ def run_svgd(
         from bayesianinferencedl_tpu.infer.mala import _inv_chol
 
         Y = jnp.dot(theta0 - ref_mean, _inv_chol(ref_chol).T, precision=hi)
+    # J comes from the ACTUAL ensemble: a supplied theta0 overrides
+    # n_particles, and n_forward must count what actually ran (ADVICE r3)
+    n_particles = int(Y.shape[0])
     opt = adam_init(Y)
 
     seg = int(segment) if segment else n_steps

@@ -1321,6 +1321,10 @@ def sharded_svgd(
     from bayesianinferencedl_tpu.infer.svgd import SVGDResult, _svgd_segment
     from bayesianinferencedl_tpu.models.surrogate import AdamState, adam_init
 
+    # J comes from the ACTUAL ensemble: a supplied theta0 overrides
+    # n_particles, so validate and account against its row count (ADVICE r3)
+    if theta0 is not None:
+        n_particles = int(theta0.shape[0])
     if n_particles % mesh.size:
         raise ValueError(
             f"n_particles={n_particles} must divide by mesh size {mesh.size}"
