@@ -438,7 +438,7 @@ def build_pipeline(
     # variant left the holdout corrected error at the raw solver-error
     # level), so the deployed solver must sit at ~Galerkin accuracy and the
     # NN corrects what remains.
-    rom_pcg_iters = max(15, (3 * cfg.rom.basis_size) // 4)
+    rom_pcg_iters = cfg.rom.online_iters or max(15, (3 * cfg.rom.basis_size) // 4)
     rom_fwd = rom.fast_forward(P0, rom_pcg_iters, rom_prec)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(
@@ -502,6 +502,120 @@ def build_pipeline(
     )
 
 
+def _run_segmented_checkpointed(
+    prefix: str,
+    spec: dict,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    n_burn: int,
+    segment: int,
+    ckpt_path: str,
+    resume: bool,
+    metrics: Optional[MetricsLogger],
+):
+    """Generic disk-checkpointed segmented chain driver (SURVEY.md §5
+    'Failure detection / elastic recovery') — the ONE skeleton behind all
+    seven production runners (pcn/mala/hmc/da_pcn/mlda/pt_pcn/pt_da;
+    VERDICT r3 weak-5 collapsed their near-clone loops into this).
+
+    The run splits into ``segment``-step chunks; after each chunk the full
+    sampler state plus RNG key and accumulated accept accounting is written
+    to one npz (``spec['pack']`` defines the exact per-runner tuple layout,
+    so existing checkpoint files stay loadable), and the chunk's post-burn
+    samples to a sidecar npz. A killed run restarted with the same
+    arguments reloads the last checkpoint and continues with the identical
+    RNG stream — one ``jax.random.split`` per segment — so the surviving
+    samples are bit-identical to an uninterrupted run's corresponding
+    segments (tests/test_resume.py, every runner).
+
+    spec contract (all callables close over the sampler's own arguments):
+      init()                  -> carry dict (sampler state + accumulators)
+      pack(carry, key)        -> checkpoint tuple (legacy layout, key included)
+      unpack(tuple)           -> (carry, key)
+      step(carry, sub, this, burn, t0) -> (segment result, carry')
+      accum(carry, res, kept) -> carry' (accept/level/swap accounting)
+      finalize(carry, res, samples, phis, acc_steps, n_segments) -> Result
+      log_accept(res)         -> dict logged with each checkpoint event
+      empty_shape             -> one sample row's shape, e.g. (C, d)
+      dtype                   -> dtype of the empty sample/phi fallbacks
+      legacy_load(path, carry, key) -> (tuple, meta)  [optional: adapts a
+          checkpoint written before newer leaves existed — the pre-round-2
+          5-leaf pCN format lives here, handled ONCE for every runner]
+    """
+    import os
+
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    log = metrics or MetricsLogger()
+    carry = spec["init"]()
+    dtype = spec["dtype"]
+    step_done = 0
+    acc_steps = 0
+    n_segments = 0
+    chunks: list = []
+    chunk_steps: list = []
+    if resume and os.path.exists(ckpt_path):
+        try:
+            tup, meta = load_checkpoint(ckpt_path, spec["pack"](carry, key))
+        except KeyError:
+            if "legacy_load" not in spec:
+                raise
+            tup, meta = spec["legacy_load"](ckpt_path, carry, key)
+        carry, key = spec["unpack"](tup)
+        step_done = int(meta["step"])
+        acc_steps = int(meta.get("accept_steps", 0))
+        n_segments = int(meta.get("n_segments", 0))
+        chunk_steps = list(meta.get("chunk_steps", []))
+        # reload the sample chunks the dead run already persisted
+        for s in chunk_steps:
+            z = np.load(f"{ckpt_path}.samples_{s}.npz")
+            chunks.append((z["samples"], z["phis"]))
+        log.log(f"{prefix}chain_resume", step=step_done, chunks=len(chunks))
+
+    res = None
+    while step_done < n_steps:
+        this = min(segment, n_steps - step_done)
+        key, sub = jax.random.split(key)
+        burn = min(max(n_burn - step_done, 0), this)
+        res, carry = spec["step"](carry, sub, this, burn, step_done)
+        step_done += this
+        n_segments += 1
+        # each segment's accept_rate covers only its own post-burn steps —
+        # accumulate counts so the returned rate covers the whole run
+        kept = this - burn
+        if kept > 0:
+            carry = spec["accum"](carry, res, kept)
+            acc_steps += kept
+        if res.samples.shape[0] > 0:
+            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
+            np.savez_compressed(
+                f"{ckpt_path}.samples_{step_done}.npz",
+                samples=np.asarray(res.samples),
+                phis=np.asarray(res.phi_trace),
+            )
+            chunk_steps.append(step_done)
+        save_checkpoint(
+            ckpt_path,
+            spec["pack"](carry, key),
+            meta={
+                "step": step_done, "chunk_steps": chunk_steps,
+                "accept_steps": acc_steps, "n_segments": n_segments,
+            },
+        )
+        log.log(f"{prefix}chain_checkpoint", step=step_done, **spec["log_accept"](res))
+
+    samples = (
+        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0,) + tuple(spec["empty_shape"]), dtype)
+    )
+    phis = (
+        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
+        if chunks else jnp.zeros((0,) + tuple(spec["empty_shape"][:-1]), dtype)
+    )
+    return spec["finalize"](carry, res, samples, phis, acc_steps, n_segments)
+
+
 def run_pcn_checkpointed(
     misfit_fn,
     prior: GaussianPrior,
@@ -524,88 +638,53 @@ def run_pcn_checkpointed(
     counter) is written to one npz. A killed run restarted with the same
     arguments reloads the last checkpoint and continues with the identical
     RNG stream, so the surviving samples are bit-identical to an uninterrupted
-    run's corresponding segments.
+    run's corresponding segments. Pre-round-2 5-leaf checkpoints (no
+    accept-count leaf) still load, with zeroed accept accounting.
     """
-    import os
-
     from bayesianinferencedl_tpu.infer.pcn import PCNResult, pcn_init, run_pcn
-    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint
 
-    log = metrics or MetricsLogger()
-    state = pcn_init(misfit_fn, theta0)
-    betas = jnp.full(state.phi.shape, beta, state.theta.dtype)
-    step_done = 0
-    chunks = []
-    acc_steps = 0
-    acc_counts = jnp.zeros_like(state.phi)
-    exemplar = (state, betas, key, acc_counts)
-    chunk_steps: list = []
-    if resume and os.path.exists(ckpt_path):
-        try:
-            (state, betas, key, acc_counts), meta = load_checkpoint(ckpt_path, exemplar)
-        except KeyError:
-            # checkpoint written before the accept-count leaf existed (the
-            # pre-round-2 5-leaf format): load the old structure and resume
-            # with zeroed accept accounting
-            (state, betas, key), meta = load_checkpoint(ckpt_path, (state, betas, key))
-            acc_counts = jnp.zeros_like(state.phi)
-        step_done = int(meta["step"])
-        acc_steps = int(meta.get("accept_steps", 0))
-        chunk_steps = list(meta.get("chunk_steps", []))
-        # reload the sample chunks the dead run already persisted
-        for s in chunk_steps:
-            z = np.load(f"{ckpt_path}.samples_{s}.npz")
-            chunks.append((z["samples"], z["phis"]))
-        log.log("chain_resume", step=step_done, chunks=len(chunks))
+    state0 = pcn_init(misfit_fn, theta0)
+    dtype = state0.theta.dtype
 
-    res = None
-    while step_done < n_steps:
-        this = min(segment, n_steps - step_done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - step_done, 0), this)
+    def step(c, sub, this, burn, t0):
         res = run_pcn(
-            misfit_fn, prior, state.theta, sub,
-            n_steps=this, n_burn=burn, beta=betas, thin=1, adapt=True,
-            adapt_t0=jnp.asarray(step_done, state.theta.dtype),
+            misfit_fn, prior, c["state"].theta, sub,
+            n_steps=this, n_burn=burn, beta=c["betas"], thin=1, adapt=True,
+            adapt_t0=jnp.asarray(t0, dtype),
         )
-        state, betas = res.state, res.beta  # adapted per-chain betas persist
-        step_done += this
-        # each segment's accept_rate covers only its own post-burn steps —
-        # accumulate counts so the returned rate covers the whole run
-        kept = this - burn
-        if kept > 0:
-            acc_counts = acc_counts + res.accept_rate * kept
-            acc_steps += kept
-        if res.samples.shape[0] > 0:
-            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
-            np.savez_compressed(
-                f"{ckpt_path}.samples_{step_done}.npz",
-                samples=np.asarray(res.samples),
-                phis=np.asarray(res.phi_trace),
-            )
-            chunk_steps.append(step_done)
-        save_checkpoint(
-            ckpt_path,
-            (state, betas, key, acc_counts),
-            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
-        )
-        log.log("chain_checkpoint", step=step_done, accept=float(jnp.mean(res.accept_rate)))
+        # adapted per-chain betas persist across segments
+        return res, {**c, "state": res.state, "betas": res.beta}
 
-    C, d = state.theta.shape
-    samples = (
-        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C, d), state.theta.dtype)
-    )
-    phis = (
-        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C), state.theta.dtype)
-    )
-    return PCNResult(
-        state=state,
-        samples=samples,
-        phi_trace=phis,
-        accept_rate=acc_counts / max(acc_steps, 1),
-        beta=betas,
+    def legacy_load(path, c, k):
+        # checkpoint written before the accept-count leaf existed (the
+        # pre-round-2 5-leaf format): load the old structure and resume
+        # with zeroed accept accounting
+        (state, betas, k2), meta = load_checkpoint(path, (c["state"], c["betas"], k))
+        return (state, betas, k2, jnp.zeros_like(state.phi)), meta
+
+    spec = {
+        "dtype": dtype,
+        "empty_shape": tuple(state0.theta.shape),
+        "init": lambda: {
+            "state": state0,
+            "betas": jnp.full(state0.phi.shape, beta, dtype),
+            "acc": jnp.zeros_like(state0.phi),
+        },
+        "pack": lambda c, k: (c["state"], c["betas"], k, c["acc"]),
+        "unpack": lambda t: ({"state": t[0], "betas": t[1], "acc": t[3]}, t[2]),
+        "step": step,
+        "accum": lambda c, res, kept: {**c, "acc": c["acc"] + res.accept_rate * kept},
+        "log_accept": lambda res: {"accept": float(jnp.mean(res.accept_rate))},
+        "legacy_load": legacy_load,
+        "finalize": lambda c, res, samples, phis, acc_steps, n_seg: PCNResult(
+            state=c["state"], samples=samples, phi_trace=phis,
+            accept_rate=c["acc"] / max(acc_steps, 1), beta=c["betas"],
+        ),
+    }
+    return _run_segmented_checkpointed(
+        "", spec, key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        ckpt_path=ckpt_path, resume=resume, metrics=metrics,
     )
 
 
@@ -694,86 +773,47 @@ def _gradient_checkpointed(
     resume: bool,
     metrics: Optional[MetricsLogger],
 ):
-    """Shared disk-checkpoint driver for the whitened-frame gradient
-    samplers (mala/hmc — both return MALAResult and re-whiten from carried
-    working-coordinate thetas, so only (theta, h, key, accept counts) hit
-    the disk)."""
-    import os
-
+    """Spec builder for the whitened-frame gradient samplers (mala/hmc —
+    both return MALAResult and re-whiten from carried working-coordinate
+    thetas, so only (theta, h, key, accept counts) hit the disk)."""
     from bayesianinferencedl_tpu.infer.mala import MALAResult
-    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    log = metrics or MetricsLogger()
     hi = jax.lax.Precision.HIGHEST
     ref_mean, ref_chol = ref if ref is not None else (prior.mean, prior.chol)
     dtype = theta0.dtype
-    theta = theta0
-    hs = jnp.full(theta0.shape[:-1], step, dtype)
-    acc_counts = jnp.zeros(theta0.shape[:-1], jnp.float32)
-    step_done = 0
-    acc_steps = 0
-    chunks: list = []
-    chunk_steps: list = []
-    exemplar = (theta, hs, key, acc_counts)
-    if resume and os.path.exists(ckpt_path):
-        (theta, hs, key, acc_counts), meta = load_checkpoint(ckpt_path, exemplar)
-        step_done = int(meta["step"])
-        acc_steps = int(meta.get("accept_steps", 0))
-        chunk_steps = list(meta.get("chunk_steps", []))
-        for s in chunk_steps:
-            z = np.load(f"{ckpt_path}.samples_{s}.npz")
-            chunks.append((z["samples"], z["phis"]))
-        log.log(f"{tag}_chain_resume", step=step_done, chunks=len(chunks))
 
-    res = None
-    while step_done < n_steps:
-        this = min(segment, n_steps - step_done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - step_done, 0), this)
+    def kstep(c, sub, this, burn, t0):
         res = run_fn(
-            misfit_fn, prior, theta, sub,
-            n_steps=this, n_burn=burn, step=hs, thin=1, adapt=True,
-            batched=batched, adapt_t0=jnp.asarray(step_done, dtype), ref=ref,
+            misfit_fn, prior, c["theta"], sub,
+            n_steps=this, n_burn=burn, step=c["hs"], thin=1, adapt=True,
+            batched=batched, adapt_t0=jnp.asarray(t0, dtype), ref=ref,
             **run_kw,
         )
         theta = ref_mean + jnp.dot(res.state.y, ref_chol.T, precision=hi)
-        hs = res.step
-        step_done += this
-        kept = this - burn
-        if kept > 0:
-            acc_counts = acc_counts + res.accept_rate * kept
-            acc_steps += kept
-        if res.samples.shape[0] > 0:
-            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
-            np.savez_compressed(
-                f"{ckpt_path}.samples_{step_done}.npz",
-                samples=np.asarray(res.samples),
-                phis=np.asarray(res.phi_trace),
-            )
-            chunk_steps.append(step_done)
-        save_checkpoint(
-            ckpt_path,
-            (theta, hs, key, acc_counts),
-            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
-        )
-        log.log(f"{tag}_chain_checkpoint", step=step_done,
-                accept=float(jnp.mean(res.accept_rate)))
+        return res, {**c, "theta": theta, "hs": res.step}
 
-    C, d = theta.shape
-    samples = (
-        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C, d), dtype)
-    )
-    phis = (
-        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C), dtype)
-    )
-    return MALAResult(
-        state=res.state if res is not None else None,
-        samples=samples,
-        phi_trace=phis,
-        accept_rate=acc_counts / max(acc_steps, 1),
-        step=hs,
+    spec = {
+        "dtype": dtype,
+        "empty_shape": tuple(theta0.shape),
+        "init": lambda: {
+            "theta": theta0,
+            "hs": jnp.full(theta0.shape[:-1], step, dtype),
+            "acc": jnp.zeros(theta0.shape[:-1], jnp.float32),
+        },
+        "pack": lambda c, k: (c["theta"], c["hs"], k, c["acc"]),
+        "unpack": lambda t: ({"theta": t[0], "hs": t[1], "acc": t[3]}, t[2]),
+        "step": kstep,
+        "accum": lambda c, res, kept: {**c, "acc": c["acc"] + res.accept_rate * kept},
+        "log_accept": lambda res: {"accept": float(jnp.mean(res.accept_rate))},
+        "finalize": lambda c, res, samples, phis, acc_steps, n_seg: MALAResult(
+            state=res.state if res is not None else None,
+            samples=samples, phi_trace=phis,
+            accept_rate=c["acc"] / max(acc_steps, 1), step=c["hs"],
+        ),
+    }
+    return _run_segmented_checkpointed(
+        f"{tag}_", spec, key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        ckpt_path=ckpt_path, resume=resume, metrics=metrics,
     )
 
 
@@ -804,87 +844,59 @@ def run_da_checkpointed(
     A killed run restarted with the same arguments reloads the last
     checkpoint and continues with the identical RNG stream, so the surviving
     samples are bit-identical to an uninterrupted run's segments."""
-    import os
-
     from bayesianinferencedl_tpu.infer.delayed_acceptance import (
         DAResult, da_init, run_da_pcn,
     )
-    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    log = metrics or MetricsLogger()
-    state = da_init(
+    state0 = da_init(
         misfit_fine, misfit_coarse, theta0,
         batched_fine=batched_fine, batched_coarse=batched_coarse,
     )
-    betas = jnp.full(state.phi_f.shape, beta, state.theta.dtype)
-    acc_out = jnp.zeros_like(state.phi_f)
-    acc_in = jnp.zeros_like(state.phi_f)
-    step_done = 0
-    acc_steps = 0
-    chunks = []
-    chunk_steps: list = []
-    exemplar = (state, betas, key, acc_out, acc_in)
-    if resume and os.path.exists(ckpt_path):
-        (state, betas, key, acc_out, acc_in), meta = load_checkpoint(ckpt_path, exemplar)
-        step_done = int(meta["step"])
-        acc_steps = int(meta.get("accept_steps", 0))
-        chunk_steps = list(meta.get("chunk_steps", []))
-        for s in chunk_steps:
-            z = np.load(f"{ckpt_path}.samples_{s}.npz")
-            chunks.append((z["samples"], z["phis"]))
-        log.log("da_chain_resume", step=step_done, chunks=len(chunks))
+    dtype = state0.theta.dtype
 
-    res = None
-    while step_done < n_steps:
-        this = min(segment, n_steps - step_done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - step_done, 0), this)
+    def step(c, sub, this, burn, t0):
         res = run_da_pcn(
-            misfit_fine, misfit_coarse, prior, state.theta, sub,
-            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            misfit_fine, misfit_coarse, prior, c["state"].theta, sub,
+            n_steps=this, n_burn=burn, beta=c["betas"], subchain=subchain,
             adapt=True, batched_fine=batched_fine, batched_coarse=batched_coarse,
-            adapt_t0=jnp.asarray(step_done, state.theta.dtype), inner=inner,
+            adapt_t0=jnp.asarray(t0, dtype), inner=inner,
         )
-        state, betas = res.state, res.beta
-        step_done += this
-        kept = this - burn
-        if kept > 0:
-            acc_out = acc_out + res.accept_rate * kept
-            acc_in = acc_in + res.inner_accept_rate * (kept * subchain)
-            acc_steps += kept
-        if res.samples.shape[0] > 0:
-            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
-            np.savez_compressed(
-                f"{ckpt_path}.samples_{step_done}.npz",
-                samples=np.asarray(res.samples),
-                phis=np.asarray(res.phi_trace),
-            )
-            chunk_steps.append(step_done)
-        save_checkpoint(
-            ckpt_path,
-            (state, betas, key, acc_out, acc_in),
-            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
-        )
-        log.log("da_chain_checkpoint", step=step_done,
-                outer_accept=float(jnp.mean(res.accept_rate)))
+        return res, {**c, "state": res.state, "betas": res.beta}
 
-    C, d = state.theta.shape
-    samples = (
-        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C, d), state.theta.dtype)
-    )
-    phis = (
-        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C), state.theta.dtype)
-    )
-    return DAResult(
-        state=state,
-        samples=samples,
-        phi_trace=phis,
-        accept_rate=acc_out / max(acc_steps, 1),
-        inner_accept_rate=acc_in / max(acc_steps * subchain, 1),
-        beta=betas,
-        n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+    def accum(c, res, kept):
+        return {
+            **c,
+            "acc_out": c["acc_out"] + res.accept_rate * kept,
+            "acc_in": c["acc_in"] + res.inner_accept_rate * (kept * subchain),
+        }
+
+    spec = {
+        "dtype": dtype,
+        "empty_shape": tuple(state0.theta.shape),
+        "init": lambda: {
+            "state": state0,
+            "betas": jnp.full(state0.phi_f.shape, beta, dtype),
+            "acc_out": jnp.zeros_like(state0.phi_f),
+            "acc_in": jnp.zeros_like(state0.phi_f),
+        },
+        "pack": lambda c, k: (c["state"], c["betas"], k, c["acc_out"], c["acc_in"]),
+        "unpack": lambda t: (
+            {"state": t[0], "betas": t[1], "acc_out": t[3], "acc_in": t[4]}, t[2]
+        ),
+        "step": step,
+        "accum": accum,
+        "log_accept": lambda res: {"outer_accept": float(jnp.mean(res.accept_rate))},
+        "finalize": lambda c, res, samples, phis, acc_steps, n_seg: DAResult(
+            state=c["state"], samples=samples, phi_trace=phis,
+            accept_rate=c["acc_out"] / max(acc_steps, 1),
+            inner_accept_rate=c["acc_in"] / max(acc_steps * subchain, 1),
+            beta=c["betas"],
+            n_fine_evals=n_steps + (n_steps + segment - 1) // segment,
+        ),
+    }
+    return _run_segmented_checkpointed(
+        "da_", spec, key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        ckpt_path=ckpt_path, resume=resume, metrics=metrics,
     )
 
 
@@ -915,84 +927,56 @@ def run_mlda_checkpointed(
     surviving samples are bit-identical to an uninterrupted run's segments
     (every rung's misfits are recomputed deterministically from the carried
     theta at segment start, exactly as the segmented driver does)."""
-    import os
-
     from bayesianinferencedl_tpu.infer.mlda import MLDAResult, run_mlda
-    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    log = metrics or MetricsLogger()
     n_levels = len(misfits)
     C = theta0.shape[0]
-    theta = theta0
-    betas = jnp.full((C,), beta, theta0.dtype)
-    acc_out = jnp.zeros((C,), jnp.float32)
-    acc_lvl = jnp.zeros((n_levels, C), jnp.float32)
-    step_done = 0
-    acc_steps = 0
-    chunks = []
-    chunk_steps: list = []
-    exemplar = (theta, betas, key, acc_out, acc_lvl)
-    if resume and os.path.exists(ckpt_path):
-        (theta, betas, key, acc_out, acc_lvl), meta = load_checkpoint(ckpt_path, exemplar)
-        step_done = int(meta["step"])
-        acc_steps = int(meta.get("accept_steps", 0))
-        chunk_steps = list(meta.get("chunk_steps", []))
-        for s in chunk_steps:
-            z = np.load(f"{ckpt_path}.samples_{s}.npz")
-            chunks.append((z["samples"], z["phis"]))
-        log.log("mlda_chain_resume", step=step_done, chunks=len(chunks))
+    dtype = theta0.dtype
 
-    res = None
-    while step_done < n_steps:
-        this = min(segment, n_steps - step_done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - step_done, 0), this)
+    def step(c, sub, this, burn, t0):
         res = run_mlda(
-            misfits, prior, theta, sub,
-            n_steps=this, n_burn=burn, beta=betas, subchains=subchains,
+            misfits, prior, c["theta"], sub,
+            n_steps=this, n_burn=burn, beta=c["betas"], subchains=subchains,
             adapt=True, batched=batched,
-            adapt_t0=jnp.asarray(step_done, theta.dtype), inner=inner,
+            adapt_t0=jnp.asarray(t0, dtype), inner=inner,
         )
-        theta, betas = res.state.theta, res.beta
-        step_done += this
-        kept = this - burn
-        if kept > 0:
-            acc_out = acc_out + res.accept_rate * kept
-            acc_lvl = acc_lvl + res.level_rates * kept
-            acc_steps += kept
-        if res.samples.shape[0] > 0:
-            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
-            np.savez_compressed(
-                f"{ckpt_path}.samples_{step_done}.npz",
-                samples=np.asarray(res.samples),
-                phis=np.asarray(res.phi_trace),
-            )
-            chunk_steps.append(step_done)
-        save_checkpoint(
-            ckpt_path,
-            (theta, betas, key, acc_out, acc_lvl),
-            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
-        )
-        log.log("mlda_chain_checkpoint", step=step_done,
-                outer_accept=float(jnp.mean(res.accept_rate)))
+        return res, {**c, "theta": res.state.theta, "betas": res.beta}
 
-    d = theta.shape[-1]
-    samples = (
-        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C, d), theta.dtype)
-    )
-    phis = (
-        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, C), theta.dtype)
-    )
-    return MLDAResult(
-        state=res.state if res is not None else None,
-        samples=samples,
-        phi_trace=phis,
-        accept_rate=acc_out / max(acc_steps, 1),
-        level_rates=acc_lvl / max(acc_steps, 1),
-        beta=betas,
-        evals_per_step=res.evals_per_step if res is not None else (),
+    def accum(c, res, kept):
+        return {
+            **c,
+            "acc_out": c["acc_out"] + res.accept_rate * kept,
+            "acc_lvl": c["acc_lvl"] + res.level_rates * kept,
+        }
+
+    spec = {
+        "dtype": dtype,
+        "empty_shape": tuple(theta0.shape),
+        "init": lambda: {
+            "theta": theta0,
+            "betas": jnp.full((C,), beta, dtype),
+            "acc_out": jnp.zeros((C,), jnp.float32),
+            "acc_lvl": jnp.zeros((n_levels, C), jnp.float32),
+        },
+        "pack": lambda c, k: (c["theta"], c["betas"], k, c["acc_out"], c["acc_lvl"]),
+        "unpack": lambda t: (
+            {"theta": t[0], "betas": t[1], "acc_out": t[3], "acc_lvl": t[4]}, t[2]
+        ),
+        "step": step,
+        "accum": accum,
+        "log_accept": lambda res: {"outer_accept": float(jnp.mean(res.accept_rate))},
+        "finalize": lambda c, res, samples, phis, acc_steps, n_seg: MLDAResult(
+            state=res.state if res is not None else None,
+            samples=samples, phi_trace=phis,
+            accept_rate=c["acc_out"] / max(acc_steps, 1),
+            level_rates=c["acc_lvl"] / max(acc_steps, 1),
+            beta=c["betas"],
+            evals_per_step=res.evals_per_step if res is not None else (),
+        ),
+    }
+    return _run_segmented_checkpointed(
+        "mlda_", spec, key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        ckpt_path=ckpt_path, resume=resume, metrics=metrics,
     )
 
 
@@ -1022,100 +1006,78 @@ def run_pt_checkpointed(
     samples are bit-identical to an uninterrupted run's segments.
 
     segment must be even (exact swap accounting — infer/tempering.py)."""
-    import os
-
     from bayesianinferencedl_tpu.infer.tempering import (
         PTResult, geometric_ladder, run_pt_pcn,
     )
-    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     if segment % 2:
         raise ValueError(f"segment must be even for exact swap accounting, got {segment}")
-    log = metrics or MetricsLogger()
     G, d = theta0.shape
     K = n_temps
     dtype = theta0.dtype
-    theta = jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0  # materialize
-    betas = jnp.full((K, G), beta, dtype)
-    lambdas = jnp.broadcast_to(geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)) + 0.0
-    acc_counts = jnp.zeros((K, G), dtype)
-    phi_counts = jnp.zeros((K, G), dtype)
-    phi2_counts = jnp.zeros((K, G), dtype)
-    ss_counts = jnp.zeros((max(K - 1, 0), G), dtype)
-    swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
-    step_done = 0
-    acc_steps = 0
-    chunks: list = []
-    chunk_steps: list = []
-    exemplar = (theta, betas, lambdas, key, acc_counts, phi_counts, phi2_counts,
-                ss_counts, swap_counts)
-    if resume and os.path.exists(ckpt_path):
-        (theta, betas, lambdas, key, acc_counts, phi_counts, phi2_counts,
-         ss_counts, swap_counts), meta = load_checkpoint(ckpt_path, exemplar)
-        step_done = int(meta["step"])
-        acc_steps = int(meta.get("accept_steps", 0))
-        chunk_steps = list(meta.get("chunk_steps", []))
-        for s in chunk_steps:
-            z = np.load(f"{ckpt_path}.samples_{s}.npz")
-            chunks.append((z["samples"], z["phis"]))
-        log.log("pt_chain_resume", step=step_done, chunks=len(chunks))
 
-    res = None
-    while step_done < n_steps:
-        this = min(segment, n_steps - step_done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - step_done, 0), this)
+    def step(c, sub, this, burn, t0):
         res = run_pt_pcn(
-            misfit_fn, prior, theta, sub,
-            n_steps=this, n_burn=burn, beta=betas, n_temps=K,
+            misfit_fn, prior, c["theta"], sub,
+            n_steps=this, n_burn=burn, beta=c["betas"], n_temps=K,
             lambda_min=lambda_min, adapt=True, batched=batched,
-            adapt_t0=jnp.asarray(step_done, dtype),
-            adapt_ladder=adapt_ladder, ladder=lambdas,
+            adapt_t0=jnp.asarray(t0, dtype),
+            adapt_ladder=adapt_ladder, ladder=c["lambdas"],
         )
-        theta, betas, lambdas = res.theta, res.beta, res.lambdas
-        step_done += this
-        kept = this - burn
-        if kept > 0:
-            acc_counts = acc_counts + res.accept_rate.astype(dtype) * kept
-            phi_counts = phi_counts + res.phi_level_mean * kept
-            phi2_counts = phi2_counts + res.phi2_level_mean * kept
-            ss_counts = ss_counts + res.ss_level_mean * kept
-            swap_counts = swap_counts + res.swap_rate * max(kept / 2, 1)
-            acc_steps += kept
-            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
-            np.savez_compressed(
-                f"{ckpt_path}.samples_{step_done}.npz",
-                samples=np.asarray(res.samples), phis=np.asarray(res.phi_trace),
-            )
-            chunk_steps.append(step_done)
-        save_checkpoint(
-            ckpt_path,
-            (theta, betas, lambdas, key, acc_counts, phi_counts, phi2_counts,
-             ss_counts, swap_counts),
-            meta={"step": step_done, "chunk_steps": chunk_steps, "accept_steps": acc_steps},
-        )
-        log.log("pt_chain_checkpoint", step=step_done,
-                accept_cold=float(jnp.mean(res.accept_rate[-1])))
+        return res, {**c, "theta": res.theta, "betas": res.beta, "lambdas": res.lambdas}
 
-    samples = (
-        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, G, d), dtype)
-    )
-    phis = (
-        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, G), dtype)
-    )
-    return PTResult(
-        samples=samples,
-        phi_trace=phis,
-        accept_rate=(acc_counts / max(acc_steps, 1)).astype(jnp.float32),
-        swap_rate=swap_counts / max(acc_steps / 2, 1),
-        beta=betas,
-        theta=theta,
-        lambdas=lambdas,
-        phi_level_mean=phi_counts / max(acc_steps, 1),
-        phi2_level_mean=phi2_counts / max(acc_steps, 1),
-        ss_level_mean=ss_counts / max(acc_steps, 1),
+    def accum(c, res, kept):
+        return {
+            **c,
+            "acc": c["acc"] + res.accept_rate.astype(dtype) * kept,
+            "phi": c["phi"] + res.phi_level_mean * kept,
+            "phi2": c["phi2"] + res.phi2_level_mean * kept,
+            "ss": c["ss"] + res.ss_level_mean * kept,
+            "swap": c["swap"] + res.swap_rate * max(kept / 2, 1),
+        }
+
+    spec = {
+        "dtype": dtype,
+        "empty_shape": (G, d),
+        "init": lambda: {
+            "theta": jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0,  # materialize
+            "betas": jnp.full((K, G), beta, dtype),
+            "lambdas": jnp.broadcast_to(
+                geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)
+            ) + 0.0,
+            "acc": jnp.zeros((K, G), dtype),
+            "phi": jnp.zeros((K, G), dtype),
+            "phi2": jnp.zeros((K, G), dtype),
+            "ss": jnp.zeros((max(K - 1, 0), G), dtype),
+            "swap": jnp.zeros((max(K - 1, 0),), dtype),
+        },
+        "pack": lambda c, k: (
+            c["theta"], c["betas"], c["lambdas"], k, c["acc"], c["phi"],
+            c["phi2"], c["ss"], c["swap"],
+        ),
+        "unpack": lambda t: (
+            {"theta": t[0], "betas": t[1], "lambdas": t[2], "acc": t[4],
+             "phi": t[5], "phi2": t[6], "ss": t[7], "swap": t[8]}, t[3]
+        ),
+        "step": step,
+        "accum": accum,
+        "log_accept": lambda res: {"accept_cold": float(jnp.mean(res.accept_rate[-1]))},
+        "finalize": lambda c, res, samples, phis, acc_steps, n_seg: PTResult(
+            samples=samples,
+            phi_trace=phis,
+            accept_rate=(c["acc"] / max(acc_steps, 1)).astype(jnp.float32),
+            swap_rate=c["swap"] / max(acc_steps / 2, 1),
+            beta=c["betas"],
+            theta=c["theta"],
+            lambdas=c["lambdas"],
+            phi_level_mean=c["phi"] / max(acc_steps, 1),
+            phi2_level_mean=c["phi2"] / max(acc_steps, 1),
+            ss_level_mean=c["ss"] / max(acc_steps, 1),
+        ),
+    }
+    return _run_segmented_checkpointed(
+        "pt_", spec, key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        ckpt_path=ckpt_path, resume=resume, metrics=metrics,
     )
 
 
@@ -1143,110 +1105,87 @@ def run_pt_da_checkpointed(
     resume — kill/resume safety for the exact-FOM-posterior multimodal runs
     (e.g. artifacts/ptda_fom_1e3noise.json, 545 s — VERDICT r2 item 4).
     n_steps/n_burn count OUTER steps; segment must be even."""
-    import os
-
     from bayesianinferencedl_tpu.infer.tempering import (
         PTDAResult, geometric_ladder, run_pt_da,
     )
-    from bayesianinferencedl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     if segment % 2:
         raise ValueError(f"segment must be even for exact swap accounting, got {segment}")
-    log = metrics or MetricsLogger()
     G, d = theta0.shape
     K = n_temps
     dtype = theta0.dtype
-    theta = jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0
-    betas = jnp.full((K, G), beta, dtype)
-    lambdas = jnp.broadcast_to(geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)) + 0.0
-    acc_out = jnp.zeros((K, G), dtype)
-    acc_in = jnp.zeros((K, G), dtype)
-    phi_counts = jnp.zeros((K, G), dtype)
-    phi2_counts = jnp.zeros((K, G), dtype)
-    ss_counts = jnp.zeros((max(K - 1, 0), G), dtype)
-    swap_counts = jnp.zeros((max(K - 1, 0),), dtype)
-    step_done = 0
-    acc_steps = 0
-    n_segments = 0
-    chunks: list = []
-    chunk_steps: list = []
-    exemplar = (theta, betas, lambdas, key, acc_out, acc_in, phi_counts,
-                phi2_counts, ss_counts, swap_counts)
-    if resume and os.path.exists(ckpt_path):
-        (theta, betas, lambdas, key, acc_out, acc_in, phi_counts, phi2_counts,
-         ss_counts, swap_counts), meta = load_checkpoint(ckpt_path, exemplar)
-        step_done = int(meta["step"])
-        acc_steps = int(meta.get("accept_steps", 0))
-        n_segments = int(meta.get("n_segments", 0))
-        chunk_steps = list(meta.get("chunk_steps", []))
-        for s in chunk_steps:
-            z = np.load(f"{ckpt_path}.samples_{s}.npz")
-            chunks.append((z["samples"], z["phis"]))
-        log.log("ptda_chain_resume", step=step_done, chunks=len(chunks))
 
-    res = None
-    while step_done < n_steps:
-        this = min(segment, n_steps - step_done)
-        key, sub = jax.random.split(key)
-        burn = min(max(n_burn - step_done, 0), this)
+    def step(c, sub, this, burn, t0):
         res = run_pt_da(
-            misfit_fine, misfit_coarse, prior, theta, sub,
-            n_steps=this, n_burn=burn, beta=betas, subchain=subchain,
+            misfit_fine, misfit_coarse, prior, c["theta"], sub,
+            n_steps=this, n_burn=burn, beta=c["betas"], subchain=subchain,
             n_temps=K, lambda_min=lambda_min, adapt=True, batched=batched,
-            adapt_t0=jnp.asarray(step_done, dtype),
-            adapt_ladder=adapt_ladder, ladder=lambdas,
+            adapt_t0=jnp.asarray(t0, dtype),
+            adapt_ladder=adapt_ladder, ladder=c["lambdas"],
         )
-        theta, betas, lambdas = res.theta, res.beta, res.lambdas
-        step_done += this
-        n_segments += 1
-        kept = this - burn
-        if kept > 0:
-            acc_out = acc_out + res.accept_rate.astype(dtype) * kept
-            acc_in = acc_in + res.inner_accept_rate.astype(dtype) * (kept * subchain)
-            phi_counts = phi_counts + res.phi_level_mean * kept
-            phi2_counts = phi2_counts + res.phi2_level_mean * kept
-            ss_counts = ss_counts + res.ss_level_mean * kept
-            swap_counts = swap_counts + res.swap_rate * max(kept / 2, 1)
-            acc_steps += kept
-            chunks.append((np.asarray(res.samples), np.asarray(res.phi_trace)))
-            np.savez_compressed(
-                f"{ckpt_path}.samples_{step_done}.npz",
-                samples=np.asarray(res.samples), phis=np.asarray(res.phi_trace),
-            )
-            chunk_steps.append(step_done)
-        save_checkpoint(
-            ckpt_path,
-            (theta, betas, lambdas, key, acc_out, acc_in, phi_counts,
-             phi2_counts, ss_counts, swap_counts),
-            meta={
-                "step": step_done, "chunk_steps": chunk_steps,
-                "accept_steps": acc_steps, "n_segments": n_segments,
-            },
-        )
-        log.log("ptda_chain_checkpoint", step=step_done,
-                outer_accept_cold=float(jnp.mean(res.accept_rate[-1])))
+        return res, {**c, "theta": res.theta, "betas": res.beta, "lambdas": res.lambdas}
 
-    samples = (
-        jnp.asarray(np.concatenate([c[0] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, G, d), dtype)
-    )
-    phis = (
-        jnp.asarray(np.concatenate([c[1] for c in chunks], axis=0))
-        if chunks else jnp.zeros((0, G), dtype)
-    )
-    return PTDAResult(
-        samples=samples,
-        phi_trace=phis,
-        accept_rate=(acc_out / max(acc_steps, 1)).astype(jnp.float32),
-        inner_accept_rate=(acc_in / max(acc_steps * subchain, 1)).astype(jnp.float32),
-        swap_rate=swap_counts / max(acc_steps / 2, 1),
-        beta=betas,
-        theta=theta,
-        n_fine_evals=n_steps + n_segments,
-        lambdas=lambdas,
-        phi_level_mean=phi_counts / max(acc_steps, 1),
-        phi2_level_mean=phi2_counts / max(acc_steps, 1),
-        ss_level_mean=ss_counts / max(acc_steps, 1),
+    def accum(c, res, kept):
+        return {
+            **c,
+            "acc_out": c["acc_out"] + res.accept_rate.astype(dtype) * kept,
+            "acc_in": c["acc_in"] + res.inner_accept_rate.astype(dtype) * (kept * subchain),
+            "phi": c["phi"] + res.phi_level_mean * kept,
+            "phi2": c["phi2"] + res.phi2_level_mean * kept,
+            "ss": c["ss"] + res.ss_level_mean * kept,
+            "swap": c["swap"] + res.swap_rate * max(kept / 2, 1),
+        }
+
+    spec = {
+        "dtype": dtype,
+        "empty_shape": (G, d),
+        "init": lambda: {
+            "theta": jnp.broadcast_to(theta0[None], (K, G, d)) + 0.0,
+            "betas": jnp.full((K, G), beta, dtype),
+            "lambdas": jnp.broadcast_to(
+                geometric_ladder(K, lambda_min, dtype)[:, None], (K, G)
+            ) + 0.0,
+            "acc_out": jnp.zeros((K, G), dtype),
+            "acc_in": jnp.zeros((K, G), dtype),
+            "phi": jnp.zeros((K, G), dtype),
+            "phi2": jnp.zeros((K, G), dtype),
+            "ss": jnp.zeros((max(K - 1, 0), G), dtype),
+            "swap": jnp.zeros((max(K - 1, 0),), dtype),
+        },
+        "pack": lambda c, k: (
+            c["theta"], c["betas"], c["lambdas"], k, c["acc_out"], c["acc_in"],
+            c["phi"], c["phi2"], c["ss"], c["swap"],
+        ),
+        "unpack": lambda t: (
+            {"theta": t[0], "betas": t[1], "lambdas": t[2], "acc_out": t[4],
+             "acc_in": t[5], "phi": t[6], "phi2": t[7], "ss": t[8],
+             "swap": t[9]}, t[3]
+        ),
+        "step": step,
+        "accum": accum,
+        "log_accept": lambda res: {
+            "outer_accept_cold": float(jnp.mean(res.accept_rate[-1]))
+        },
+        "finalize": lambda c, res, samples, phis, acc_steps, n_seg: PTDAResult(
+            samples=samples,
+            phi_trace=phis,
+            accept_rate=(c["acc_out"] / max(acc_steps, 1)).astype(jnp.float32),
+            inner_accept_rate=(
+                c["acc_in"] / max(acc_steps * subchain, 1)
+            ).astype(jnp.float32),
+            swap_rate=c["swap"] / max(acc_steps / 2, 1),
+            beta=c["betas"],
+            theta=c["theta"],
+            n_fine_evals=n_steps + n_seg,
+            lambdas=c["lambdas"],
+            phi_level_mean=c["phi"] / max(acc_steps, 1),
+            phi2_level_mean=c["phi2"] / max(acc_steps, 1),
+            ss_level_mean=c["ss"] / max(acc_steps, 1),
+        ),
+    }
+    return _run_segmented_checkpointed(
+        "ptda_", spec, key, n_steps=n_steps, n_burn=n_burn, segment=segment,
+        ckpt_path=ckpt_path, resume=resume, metrics=metrics,
     )
 
 

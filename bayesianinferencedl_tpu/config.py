@@ -70,6 +70,13 @@ class ROMConfig:
     method: str = "pod"  # "pod" | "greedy"
     greedy_candidates: int = 256
     online_precision: str = "highest"  # "highest" | "high" | "fast"
+    # deployed reduced-PCG iteration count; 0 = auto max(15, 3r/4) — the
+    # measured ~Galerkin-accuracy point (api.build_pipeline). Non-zero
+    # values are for the accuracy-vs-speed frontier sweep
+    # (scripts/iter_frontier.py): the surrogate trains on whatever path is
+    # deployed, so under-converged solves leave k-rough error the NN cannot
+    # learn.
+    online_iters: int = 0
     seed: int = 0
 
     def to_dict(self):

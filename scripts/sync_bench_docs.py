@@ -15,6 +15,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def provenance(src):
+    """One honest line naming the artifact and its capture status (VERDICT r3
+    item 5): driver-captured records are BENCH_r*.json wrappers with an rc;
+    anything else is a LOCAL builder measurement and says so."""
+    import datetime
+
+    path = os.path.join(REPO, src)
+    date = datetime.date.fromtimestamp(os.path.getmtime(path)).isoformat()
+    m = re.match(r"BENCH_r0*(\d+)\.json$", os.path.basename(src))
+    if m:
+        with open(path) as f:
+            rc = json.load(f).get("rc")
+        status = f"DRIVER-captured round-{int(m.group(1))} record (rc={rc})"
+    else:
+        status = (
+            "LOCAL builder-run artifact, not a driver capture — the round-3 "
+            "driver bench timed out (BENCH_r03.json rc=124, nothing recorded); "
+            "bench.py is now incremental+budget-aware so later driver rounds "
+            "re-verify these numbers"
+        )
+    return f"Source: `{src}`, captured {date} — {status}."
+
+
 def fmt_m(x):
     if x >= 1e6:
         return f"{x / 1e6:.1f}M"
@@ -94,7 +117,8 @@ def readme_block(art, src):
         for r, v in ((k[3:], v) for k, v in d["resolution_scaling"].items())
     ]
     lines = [
-        f"All numbers below are the driver-style bench artifact `{src}`",
+        provenance(src),
+        "All numbers below are that artifact's measurements",
         "(single v5e chip, fresh-input timing + forced readback; diagnostics are",
         "rank-normalized split R̂ / combined-chain bulk ESS — Vehtari et al. 2021).",
         "",
@@ -152,7 +176,8 @@ def baseline_block(art, src):
          "✅" if d["corrected_rel_err"] < d["rom_rel_err"] else "❌"),
     ]
     lines = [
-        f"Generated from `{src}` (see README for methodology).",
+        provenance(src),
+        "(See README for methodology.)",
         "",
         "| Metric | Measured | Gate | Status |",
         "|---|---|---|---|",
