@@ -153,6 +153,7 @@ def build_full_field_pipeline(
     n_snapshots: int = 256,
     basis_size: int = 40,
     k_basis_size: int = 40,
+    basis: str = "pod",
     n_train: int = 1024,
     surrogate_hidden=(128, 128),
     surrogate_steps: int = 3000,
@@ -169,8 +170,20 @@ def build_full_field_pipeline(
     POD, projection, or NN training — rom/surrogate are None): the exact-FOM
     forward, prior, and deflated fused solver only. Build cost drops from
     minutes to seconds — the right pipeline for likelihood='fom' evidence
-    sweeps (select_correlation_length runs one per candidate ell)."""
+    sweeps (select_correlation_length runs one per candidate ell).
+
+    basis: "pod" (default) or "greedy" — residual-indicator greedy selection
+    of the state basis over the snapshot set (rom/nonaffine.py
+    greedy_basis_nonaffine; SURVEY §2a-5/A.3). Same solve budget either way
+    (greedy selects among the already-solved snapshots); measured POD-vs-
+    greedy rel-err at equal r: artifacts/greedy_ff_r4.json. The k basis W
+    stays POD — the affinization error is controlled by span(W) coverage of
+    the prior's fields, a compression problem POD is optimal for, not an
+    approximation-by-solutions problem."""
     from bayesianinferencedl_tpu.api import _online_precision
+
+    if basis not in ("pod", "greedy"):
+        raise ValueError(f"basis must be 'pod' or 'greedy', got {basis!r}")
 
     # resolve up front: a typo'd tier must fail in milliseconds, not after
     # the snapshot sweep / POD / projection have already run
@@ -273,8 +286,16 @@ def build_full_field_pipeline(
         S = solver(ks)
         S.block_until_ready()
     with log.timer("pod"):
-        V, _ = pod_basis_host(np.asarray(S), basis_size)
         W, _ = pod_basis_host(np.asarray(ks), k_basis_size)
+        if basis == "greedy":
+            from bayesianinferencedl_tpu.rom.nonaffine import greedy_basis_nonaffine
+
+            V, sel, ind = greedy_basis_nonaffine(
+                op, G_host, np.asarray(ks), np.asarray(S), W, basis_size
+            )
+            log.log("greedy_basis", r=V.shape[1], indicator_final=float(ind[-1]))
+        else:
+            V, _ = pod_basis_host(np.asarray(S), basis_size)
     with log.timer("project_rom"):
         rom = AffinizedReducedOperator.project_host(op, G_host, V, W, dtype=dtype)
     c_ref = jnp.asarray(np.asarray(jax.vmap(rom.coeffs)(ks)).mean(axis=0), dtype)

@@ -694,6 +694,7 @@ def cmd_sbc_ff(args) -> None:
         resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
         ell=args.ell, sigma=args.sigma, n_features=args.n_features,
         n_snapshots=args.n_snapshots, basis_size=args.r, k_basis_size=args.k_basis,
+        basis=args.basis,
         n_train=args.n_train, surrogate_steps=args.epochs * 10, seed=args.seed,
         metrics=log,
     )
@@ -819,6 +820,7 @@ def cmd_evidence_ff(args) -> None:
         resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
         ell=args.ell, sigma=args.sigma, n_features=args.n_features,
         n_snapshots=args.n_snapshots, basis_size=args.r, k_basis_size=args.k_basis,
+        basis=args.basis,
         n_train=args.n_train, surrogate_steps=args.epochs * 10, seed=args.seed,
         metrics=log,
     )
@@ -996,6 +998,7 @@ def cmd_invert_ff(args) -> None:
         resolution=args.resolution, biot=args.biot, dtype=_dtype(args),
         ell=args.ell, sigma=args.sigma, n_features=args.n_features,
         n_snapshots=args.n_snapshots, basis_size=args.r, k_basis_size=args.k_basis,
+        basis=args.basis,
         n_train=args.n_train, surrogate_steps=args.epochs * 10, seed=args.seed,
         metrics=log,
     )
@@ -1381,6 +1384,12 @@ def main(argv=None) -> None:
     p.add_argument("--n-snapshots", type=int, default=256)
     p.add_argument("--r", type=int, default=40)
     p.add_argument("--k-basis", type=int, default=40)
+    p.add_argument(
+        "--basis", choices=["pod", "greedy"], default="pod",
+        help="state-basis builder: POD (default) or residual-indicator "
+        "greedy selection over the snapshot set (rom/nonaffine.py; "
+        "measured comparison artifacts/greedy_ff_r4.json)",
+    )
     p.add_argument("--n-features", type=int, default=64)
     p.add_argument("--ell", type=float, default=1.0)
     p.add_argument("--sigma", type=float, default=0.5)
@@ -1466,6 +1475,12 @@ def main(argv=None) -> None:
     p.add_argument("--n-snapshots", type=int, default=256)
     p.add_argument("--r", type=int, default=40)
     p.add_argument("--k-basis", type=int, default=40)
+    p.add_argument(
+        "--basis", choices=["pod", "greedy"], default="pod",
+        help="state-basis builder: POD (default) or residual-indicator "
+        "greedy selection over the snapshot set (rom/nonaffine.py; "
+        "measured comparison artifacts/greedy_ff_r4.json)",
+    )
     p.add_argument("--n-features", type=int, default=64)
     p.add_argument("--ell", type=float, default=1.0)
     p.add_argument("--sigma", type=float, default=0.5)
@@ -1493,6 +1508,12 @@ def main(argv=None) -> None:
     p.add_argument("--n-snapshots", type=int, default=256)
     p.add_argument("--r", type=int, default=40)
     p.add_argument("--k-basis", type=int, default=40)
+    p.add_argument(
+        "--basis", choices=["pod", "greedy"], default="pod",
+        help="state-basis builder: POD (default) or residual-indicator "
+        "greedy selection over the snapshot set (rom/nonaffine.py; "
+        "measured comparison artifacts/greedy_ff_r4.json)",
+    )
     p.add_argument("--n-features", type=int, default=64)
     p.add_argument("--ell", type=float, default=1.0)
     p.add_argument("--sigma", type=float, default=0.5)

@@ -48,6 +48,91 @@ def _stencil_apply_host(vals: np.ndarray, offsets: np.ndarray, U: np.ndarray) ->
     return out
 
 
+def _project_f64(op, G_host: np.ndarray, V: np.ndarray, W: np.ndarray):
+    """float64 host projection core shared by project_host and the greedy
+    builder: (Ahat (m_k, r, r), Mhat (r, r), Fhat (r,), Bhat (n_obs, r))."""
+    offsets = np.asarray(op.offsets)
+    m_k = W.shape[1]
+    Ahat = np.zeros((m_k, V.shape[1], V.shape[1]))
+    for q in range(m_k):
+        vals_q = _nodal_vals_host(G_host, offsets, W[:, q])
+        Ahat[q] = V.T @ _stencil_apply_host(vals_q, offsets, V)
+    ext = np.asarray(op.base.ext_mass, np.float64)
+    MV = _stencil_apply_host(ext, offsets, V)
+    return (
+        Ahat,
+        V.T @ MV,
+        V.T @ np.asarray(op.F_root, np.float64),
+        np.asarray(op.qoi, np.float64) @ V,
+    )
+
+
+def greedy_basis_nonaffine(
+    op,
+    G_host: np.ndarray,
+    ks: np.ndarray,  # (N, n) candidate conductivity fields
+    S: np.ndarray,  # (N, n) their FOM solutions (the POD path solves all N anyway)
+    W: np.ndarray,  # (n, m_k) conductivity basis (fixed during state-basis greedy)
+    r: int,
+    *,
+    seed_index: int = 0,
+):
+    """Greedy state-basis selection for the affinized full-field ROM
+    (SURVEY.md §2a-5 / A.3 'greedy alternative'; the five-param analog is
+    rom/greedy.py).
+
+    The candidate snapshots are already solved — the POD path pays one
+    batched FOM sweep for all N — so greedy here is a SELECTION rule, not
+    an extra solve loop: each iteration projects the affinized operator
+    onto the current basis (exact f64 host projection via _project_f64),
+    sweeps the full-space residual-norm error indicator over every
+    candidate field, and admits the worst-approximated candidate's
+    solution, f64-QR-re-orthonormalized. All host f64 (TPU dense linalg is
+    off the table per CLAUDE.md rule 5; the candidate stencil values are
+    V-independent and precomputed once).
+
+    Returns (V (n, r) float64 orthonormal, selected indices, indicator
+    trace). Measured POD-vs-greedy comparison at equal r:
+    artifacts/greedy_ff_r4.json (scripts/greedy_ff_compare.py)."""
+    offsets = np.asarray(op.offsets)
+    biot = float(op.base.biot)
+    ks64 = np.asarray(ks, np.float64)
+    S64 = np.asarray(S, np.float64)
+    N = ks64.shape[0]
+    W64 = np.asarray(W, np.float64)
+    F = np.asarray(op.F_root, np.float64)
+    ext = np.asarray(op.base.ext_mass, np.float64)
+    # candidate operator values (stiffness + Robin mass) are V-independent
+    vals_all = np.stack(
+        [_nodal_vals_host(G_host, offsets, ks64[i]) + biot * ext for i in range(N)]
+    )
+    C_all = ks64 @ W64  # (N, m_k) affinization coefficients
+
+    sel = [int(seed_index)]
+    indicators = [float(np.linalg.norm(F))]  # the r=0 residual is F itself
+    while len(sel) < r:
+        V, _ = np.linalg.qr(S64[np.asarray(sel)].T)
+        Ahat, Mhat, Fhat, _ = _project_f64(op, G_host, V, W64)
+        A = np.tensordot(C_all, Ahat, axes=1) + biot * Mhat  # (N, r_i, r_i)
+        rhs = np.broadcast_to(Fhat, (N, Fhat.shape[0]))[..., None]  # column vecs
+        u_r = np.linalg.solve(A, rhs)[..., 0]
+        lifted = u_r @ V.T  # (N, n)
+        ind = np.empty(N)
+        for i in range(N):
+            Ax = _stencil_apply_host(vals_all[i], offsets, lifted[i][:, None])[:, 0]
+            ind[i] = np.linalg.norm(F - Ax)
+        # never re-select: a noise-floored indicator can re-pick a candidate
+        # already in span(V), degenerating the basis (rom/greedy.py rule)
+        ind[np.asarray(sel)] = -np.inf
+        j = int(np.argmax(ind))
+        if ind[j] < 1e-12 * indicators[0]:
+            break  # every candidate represented; basis saturated
+        sel.append(j)
+        indicators.append(float(ind[j]))
+    V, _ = np.linalg.qr(S64[np.asarray(sel)].T)
+    return V, np.asarray(sel), np.asarray(indicators)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["W", "Ahat", "Mhat", "Fhat", "Bhat", "V"],
@@ -82,22 +167,15 @@ class AffinizedReducedOperator:
     ) -> "AffinizedReducedOperator":
         """Exact float64 offline projection. op: NodalStencilOperator (for
         offsets / boundary mass / loads via its host-compatible arrays)."""
-        offsets = np.asarray(op.offsets)
         V = np.asarray(V, np.float64)
         W = np.asarray(W, np.float64)
-        m_k = W.shape[1]
-        Ahat = np.zeros((m_k, V.shape[1], V.shape[1]))
-        for q in range(m_k):
-            vals_q = _nodal_vals_host(G_host, offsets, W[:, q])
-            Ahat[q] = V.T @ _stencil_apply_host(vals_q, offsets, V)
-        ext = np.asarray(op.base.ext_mass, np.float64)
-        MV = _stencil_apply_host(ext, offsets, V)
+        Ahat, Mhat, Fhat, Bhat = _project_f64(op, G_host, V, W)
         return cls(
             W=jnp.asarray(W, dtype),
             Ahat=jnp.asarray(Ahat, dtype),
-            Mhat=jnp.asarray(V.T @ MV, dtype),
-            Fhat=jnp.asarray(V.T @ np.asarray(op.F_root, np.float64), dtype),
-            Bhat=jnp.asarray(np.asarray(op.qoi, np.float64) @ V, dtype),
+            Mhat=jnp.asarray(Mhat, dtype),
+            Fhat=jnp.asarray(Fhat, dtype),
+            Bhat=jnp.asarray(Bhat, dtype),
             V=jnp.asarray(V, dtype),
             biot=float(op.base.biot),
         )

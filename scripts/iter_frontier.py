@@ -16,14 +16,21 @@ deploys (api.build_pipeline round-2 advisor rule); ROMConfig.online_iters
 is the knob. Runs on the real TPU; writes artifacts/iter_frontier_r4.json,
 whose "summary" section bench.py embeds next to the headline.
 
-Usage: timeout 1800 python scripts/iter_frontier.py
+The artifact is written INCREMENTALLY (after the reference and after every
+variant) and the script RESUMES from it: a timeout costs only the variant in
+flight, never the finished ones (the bench.py lesson, VERDICT r3 item 1).
+
+Usage: timeout 3300 python scripts/iter_frontier.py
 """
 from __future__ import annotations
 
 import dataclasses
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +71,14 @@ def post_stats(samples):
     return flat.mean(axis=0), flat.std(axis=0)
 
 
+PATH = os.path.join(REPO, "artifacts", "iter_frontier_r4.json")
+
+
+def _save(out):
+    with open(PATH, "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main() -> None:
     t_start = time.perf_counter()
     out = {
@@ -71,6 +86,13 @@ def main() -> None:
                       "on the multimodal 1e-3-noise fin posterior",
         "reference": None, "variants": [], "summary": None,
     }
+    if os.path.exists(PATH):
+        prev = json.load(open(PATH))
+        if prev.get("reference"):
+            out["reference"] = prev["reference"]
+            out["variants"] = prev.get("variants", [])
+            print(f"[frontier] resuming: reference + {len(out['variants'])} variants "
+                  "from existing artifact (same fixed seeds)", flush=True)
 
     # fixed observations shared by every variant: simulate once with the FOM
     log0 = MetricsLogger()
@@ -84,6 +106,12 @@ def main() -> None:
 
     # the exact full-order posterior on this data: tempered delayed
     # acceptance (rom_nn subchains + FOM correction), 800 outer steps
+    if out["reference"] is not None:
+        ref_mean = np.asarray(out["reference"]["post_mean"], np.float64)
+        ref_std = np.asarray(out["reference"]["post_std"], np.float64)
+        inv_ref = None
+    else:
+        inv_ref = True
     cfg_ref = dataclasses.replace(
         variant_cfg(30, 5),
         mcmc=dataclasses.replace(
@@ -91,30 +119,37 @@ def main() -> None:
             likelihood="fom", sampler="pt_da_pcn", subchain=8,
         ),
     )
-    inv_ref = run_inversion(
-        dataclasses.replace(pipe30, config=cfg_ref),
-        theta_true=theta_true, data=data, key=jax.random.PRNGKey(77),
-    )
-    ref_mean, ref_std = post_stats(inv_ref.result.samples)
-    out["reference"] = {
-        "sampler": "pt_da_pcn x5 (exact FOM posterior; rom_nn subchains x8)",
-        "n_chains": 1024, "n_outer_steps": 800,
-        "wall_seconds": round(inv_ref.wall_seconds, 1),
-        "rhat_split_max": round(float(jnp.max(inv_ref.rhat)), 4),
-        "ess_bulk_min": round(float(jnp.min(inv_ref.ess)), 1),
-        "post_mean": [round(float(v), 4) for v in ref_mean],
-        "post_std": [round(float(v), 4) for v in ref_std],
-        "theta_true": [round(float(v), 4) for v in np.asarray(theta_true)],
-        "mean_abs_err_vs_truth": round(float(np.abs(ref_mean - np.asarray(theta_true, np.float64)).mean()), 4),
-    }
-    print(f"[frontier] reference done in {inv_ref.wall_seconds:.0f}s "
-          f"rhat={out['reference']['rhat_split_max']}", flush=True)
+    if inv_ref is None:
+        pass
+    else:
+        inv_ref = run_inversion(
+            dataclasses.replace(pipe30, config=cfg_ref),
+            theta_true=theta_true, data=data, key=jax.random.PRNGKey(77),
+        )
+        ref_mean, ref_std = post_stats(inv_ref.result.samples)
+        out["reference"] = {
+            "sampler": "pt_da_pcn x5 (exact FOM posterior; rom_nn subchains x8)",
+            "n_chains": 1024, "n_outer_steps": 800,
+            "wall_seconds": round(inv_ref.wall_seconds, 1),
+            "rhat_split_max": round(float(jnp.max(inv_ref.rhat)), 4),
+            "ess_bulk_min": round(float(jnp.min(inv_ref.ess)), 1),
+            "post_mean": [round(float(v), 4) for v in ref_mean],
+            "post_std": [round(float(v), 4) for v in ref_std],
+            "theta_true": [round(float(v), 4) for v in np.asarray(theta_true)],
+            "mean_abs_err_vs_truth": round(float(np.abs(ref_mean - np.asarray(theta_true, np.float64)).mean()), 4),
+        }
+        _save(out)
+        print(f"[frontier] reference done in {inv_ref.wall_seconds:.0f}s "
+              f"rhat={out['reference']['rhat_split_max']}", flush=True)
 
     # sweep: iters at the headline 5-level ladder, plus ladder depth at the
     # deployed 30-iter point
     grid = [(15, 5), (20, 5), (30, 5), (30, 4), (30, 3)]
+    done = {(v["online_iters"], v["n_temps"]) for v in out["variants"]}
     pipes = {30: pipe30}
     for iters, temps in grid:
+        if (iters, temps) in done:
+            continue
         if iters not in pipes:
             log_v = MetricsLogger()
             pipes[iters] = build_pipeline(variant_cfg(iters, temps),
@@ -142,6 +177,7 @@ def main() -> None:
             ],
         }
         out["variants"].append(rec)
+        _save(out)
         print(f"[frontier] iters={iters} temps={temps}: "
               f"{rec['samples_per_sec']:.0f} samp/s, rhat {rec['rhat_split_max']}, "
               f"err vs exact {rec['post_mean_abs_err_vs_exact_fom']}", flush=True)
@@ -168,10 +204,8 @@ def main() -> None:
         "wall_seconds_total": round(time.perf_counter() - t_start, 1),
         "timing": "fresh-key runs, device-to-host readback (CLAUDE.md rule)",
     }
-    path = os.path.join(REPO, "artifacts", "iter_frontier_r4.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"[frontier] wrote {path} in {out['provenance']['wall_seconds_total']}s",
+    _save(out)
+    print(f"[frontier] wrote {PATH} in {out['provenance']['wall_seconds_total']}s",
           flush=True)
 
 

@@ -48,7 +48,7 @@ def fmt_m(x):
 
 def readme_block(art, src):
     d = art["detail"]
-    rl = d["roofline"]
+    rl = d.get("roofline", {})
     rows = [
         ("Batched FOM solves (fused Pallas deflated-CG, lane-tiled, whole CG in VMEM)",
          f"**{fmt_m(d['fom_solves_per_sec_pallas_b4096'])} solves/s** at batch 4096; "
@@ -114,7 +114,7 @@ def readme_block(art, src):
         (f"Resolution scaling — res{r} ({v['n_dof']:,} dof, layout {v.get('layout', '?')})",
          f"{fmt_m(v['fom_solves_per_sec_pallas'])} FOM solves/s"
          + (f" ({v['speedup_vs_r02']}x round-2)" if "speedup_vs_r02" in v else ""))
-        for r, v in ((k[3:], v) for k, v in d["resolution_scaling"].items())
+        for r, v in ((k[3:], v) for k, v in d.get("resolution_scaling", {}).items())
     ]
     lines = [
         provenance(src),
@@ -126,6 +126,8 @@ def readme_block(art, src):
         "|---|---|",
     ]
     lines += [f"| {a} | {b} |" for a, b in rows + res_rows]
+    if rl.get("pcg_kernel_tflops") is None:
+        return "\n".join(lines)
     lines += [
         "",
         f"Roofline (same artifact): fused-CG kernel {rl['pcg_kernel_tflops']} Tflop/s "
@@ -168,7 +170,7 @@ def baseline_block(art, src):
          "; ".join(
              f"res{k[3:]}: {fmt_m(v['fom_solves_per_sec_pallas'])}/s"
              + (f" ({v['speedup_vs_r02']}x r2)" if "speedup_vs_r02" in v else "")
-             for k, v in d["resolution_scaling"].items()),
+             for k, v in d.get("resolution_scaling", {}).items()) or "(not captured)",
          "no batching cliff at res>=8", "✅ sublane layout"),
         ("ROM / corrected rel-err" + (" (holdout)" if "rel_err_eval" in d else ""),
          f"{d['rom_rel_err']:.2e} / {d['corrected_rel_err']:.2e}",
