@@ -73,8 +73,10 @@ class Pipeline:
     # observation noise — it DOMINATED the corrected model's holdout error
     # and the NN cannot learn it), 25 leave a 6e-4 p100 tail, 30 reach
     # p99 1.0e-5 / max 4.3e-5 ~ the Galerkin error (2.5e-5). build_pipeline
-    # sets max(15, 3r/4); this field default only covers hand-built
-    # Pipelines at the legacy r<=20 scale.
+    # sets max(15, r/2) — the measured posterior-accuracy knee
+    # (artifacts/iter_frontier_r4.json: 20 iters @ r=40 matches 30 to MC
+    # error vs the exact-FOM posterior at 1.42x throughput); this field
+    # default only covers hand-built Pipelines at the legacy r<=20 scale.
     rom_pcg_iters: int = 15
     # None = full-f32 (HIGHEST); lax.Precision.DEFAULT = bf16 turbo mode
     # (see ROMConfig.online_precision)
@@ -432,13 +434,17 @@ def build_pipeline(
     # surrogate learns (and corrects) the exact forward the chains evaluate
     # (round-2 advisor finding). Also the only option for f64-on-TPU
     # validation (TPU f64 has matmuls but no dense linalg).
-    # Iteration count scales with the basis size (see the Pipeline field
-    # comment for the r=40 measurement): under-converged solves contribute
-    # k-ROUGH error the surrogate provably cannot learn (measured: every NN
-    # variant left the holdout corrected error at the raw solver-error
-    # level), so the deployed solver must sit at ~Galerkin accuracy and the
-    # NN corrects what remains.
-    rom_pcg_iters = cfg.rom.online_iters or max(15, (3 * cfg.rom.basis_size) // 4)
+    # Iteration count scales with the basis size: under-converged solves
+    # contribute k-ROUGH error the surrogate provably cannot learn
+    # (measured: every NN variant left the holdout corrected error at the
+    # raw solver-error level), so the deployed solver must sit near
+    # Galerkin accuracy and the NN corrects what remains. The round-4
+    # frontier sweep (artifacts/iter_frontier_r4.json — posterior mean
+    # error vs the exact-FOM pt_da posterior on fixed multimodal 1e-3
+    # data) pinned the knee at r/2: 20 iters @ r=40 matches 30's accuracy
+    # (0.0012 vs 0.0011) at 1.42x the chain throughput, while 15 iters is
+    # 10x off (0.013). Deployed default = the measured knee.
+    rom_pcg_iters = cfg.rom.online_iters or max(15, cfg.rom.basis_size // 2)
     rom_fwd = rom.fast_forward(P0, rom_pcg_iters, rom_prec)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(

@@ -70,8 +70,9 @@ class ROMConfig:
     method: str = "pod"  # "pod" | "greedy"
     greedy_candidates: int = 256
     online_precision: str = "highest"  # "highest" | "high" | "fast"
-    # deployed reduced-PCG iteration count; 0 = auto max(15, 3r/4) — the
-    # measured ~Galerkin-accuracy point (api.build_pipeline). Non-zero
+    # deployed reduced-PCG iteration count; 0 = auto max(15, r/2) — the
+    # measured posterior-accuracy knee (api.build_pipeline;
+    # artifacts/iter_frontier_r4.json). Non-zero
     # values are for the accuracy-vs-speed frontier sweep
     # (scripts/iter_frontier.py): the surrogate trains on whatever path is
     # deployed, so under-converged solves leave k-rough error the NN cannot

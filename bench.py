@@ -215,12 +215,12 @@ def main() -> None:
         # 1.9x chain throughput over full-f32 with the surrogate trained on
         # the same path (posterior means agree to MC error, R-hat gate
         # unchanged). docs/DESIGN.md §4. Deployed iteration count is
-        # max(15, 3r/4) = 30 here: the round-3 holdout audit measured
-        # 15-iter solver error at 1.7e-3 — 2x the observation noise and
-        # unlearnable by the NN (k-rough) — vs Galerkin 2.5e-5; 30 iters
-        # restore ~Galerkin accuracy (api.py build_pipeline; the measured
-        # 15/20/30-iter accuracy-vs-speed frontier is
-        # artifacts/iter_frontier_r4.json, summarized in detail below).
+        # max(15, r/2) = 20 here — the measured accuracy-vs-speed knee
+        # (artifacts/iter_frontier_r4.json, summarized in detail below):
+        # posterior mean error vs the exact-FOM pt_da posterior is 0.0012
+        # at 20 iters vs 0.0011 at 30 (MC floor) and 0.013 at 15 (the
+        # k-rough solver error the NN provably cannot learn), at 1.42x
+        # 30-iter chain throughput (api.py build_pipeline).
         rom=ROMConfig(n_snapshots=SZ["n_snapshots"], basis_size=SZ["r"], online_precision="high"),
         surrogate=SurrogateConfig(hidden=(64, 64), n_train=SZ["n_train"], epochs=SZ["epochs"]),
         mcmc=MCMCConfig(
