@@ -7,6 +7,7 @@ set -u
 cd "$(dirname "$0")/.."
 fails=()
 for f in tests/test_*.py; do
+  echo "[run_tests] $f"
   if ! timeout 1200 python -m pytest "$f" -q "$@"; then
     echo "[run_tests] retrying $f"
     timeout 1200 python -m pytest "$f" -q "$@" || fails+=("$f")
