@@ -22,7 +22,11 @@ the very end):
   recorded as ``{"skipped": "budget"}`` and the bench moves on. Blocks are
   ordered headline-first: pipeline build -> FOM/ROM+NN solve rates -> PT
   headline -> resolution scaling -> the sampler/approximation layer, most
-  expensive last.
+  expensive last. Per-block cost estimates are the ROUND-4 MEASURED walls
+  (artifacts/bench_r4_local.json detail.blocks; tunnel variance runs
+  ~+-25-40%, so the 900 s default covers the VERDICT-required rows —
+  headline+R-hat, FOM xla/pallas/b4096, rom_nn, res8/16 — even on a slow
+  tunnel day; BIDL_BENCH_BUDGET_S=2400 captures every block).
 - Per-block wall clock + status stream to stderr and land in
   ``detail.blocks``, so a timeout is diagnosable from the tail alone.
 
@@ -246,7 +250,7 @@ def main() -> None:
         em.detail["corrected_rel_err"] = log.summary().get("holdout_rel_err", {}).get("corrected")
         em.detail["rel_err_eval"] = "holdout (128 fresh draws; train-set figures in the metrics log)"
 
-    em.run("build_pipeline", 240, b_build, required=True)
+    em.run("build_pipeline", 280, b_build, required=True)
     pipe = st["pipe"]
 
     # --- forward solves/sec: FOM via XLA AND via the fused Pallas kernel ----
@@ -296,7 +300,7 @@ def main() -> None:
             "pcg_hbm_avoided_x_peak": round(pcg_hbm_avoided / rl.V5E_HBM_BYTES_PER_S, 2),
         })
 
-    em.run("fom_solves", 150, b_fom_solves)
+    em.run("fom_solves", 100, b_fom_solves)
 
     # --- corrected-forward (ROM+NN) evals/sec -------------------------------
     def b_rom_nn():
@@ -309,7 +313,7 @@ def main() -> None:
         )
         em.detail["rom_nn_solves_per_sec"] = round(big.shape[0] / dt, 2)
 
-    em.run("rom_nn_solves", 60, b_rom_nn)
+    em.run("rom_nn_solves", 20, b_rom_nn)
 
     # --- the headline: parallel-tempered pCN, fused ROM+NN likelihood -------
     def b_pt_headline():
@@ -369,7 +373,7 @@ def main() -> None:
         except Exception:
             pass
 
-    em.run("pt_headline", 180, b_pt_headline, required=True)
+    em.run("pt_headline", 290, b_pt_headline, required=True)
     inv = st["inv"]
 
     # --- resolution scaling of the deflated Pallas kernel (VERDICT r2 #1) ---
@@ -415,7 +419,7 @@ def main() -> None:
             em.detail["resolution_scaling"] = res_scaling
             em.emit()  # res8 lands even if res16's compile blows the clock
 
-    em.run("resolution_scaling", 240, b_res_scaling)
+    em.run("resolution_scaling", 195, b_res_scaling)
 
     # --- single-temperature pCN throughput (unimodal 1e-2 regime) -----------
     # the raw chain-step rate of the fused ROM+NN likelihood without the
@@ -448,7 +452,7 @@ def main() -> None:
             "rhat_ok": bool(rhat_st < 1.01),
         }
 
-    em.run("pcn_single_temp", 90, b_single_temp)
+    em.run("pcn_single_temp", 265, b_single_temp)
 
     # --- effective-sample rate with the Laplace-proposal sampler ------------
     # benched at 1e-2 noise, where the posterior is unimodal and the
@@ -470,7 +474,7 @@ def main() -> None:
             "rhat_split_max": round(float(jnp.max(inv_mh.rhat)), 4),
         }
 
-    em.run("laplace_mh", 90, b_laplace_mh)
+    em.run("laplace_mh", 150, b_laplace_mh)
 
     # --- gradient-based sampler: Laplace-preconditioned MALA ----------------
     # same unimodal 1e-2 config as laplace_mh for comparability; each step is
@@ -490,7 +494,7 @@ def main() -> None:
             "accept_rate": round(float(jnp.mean(inv_mala.result.accept_rate)), 3),
         }
 
-    em.run("mala_lap", 90, b_mala)
+    em.run("mala_lap", 205, b_mala)
 
     # --- delayed acceptance: the EXACT full-order posterior -----------------
     # rom_nn subchains (S=8) + one batched Pallas FOM correction per outer
@@ -526,7 +530,7 @@ def main() -> None:
             },
         }
 
-    em.run("da_fom", 150, b_da_fom)
+    em.run("da_fom", 260, b_da_fom)
 
     # --- derivative-free EKI: the fast first look (unimodal 1e-2 regime) ----
     # scored against the single-temperature pCN posterior on the SAME data
@@ -550,7 +554,7 @@ def main() -> None:
         }
 
     if "inv_st" in st:
-        em.run("eki", 60, b_eki)
+        em.run("eki", 20, b_eki)
 
     # --- gradient-based VI (full-rank ADVI) + PSIS certification ------------
     # the same data as the pCN reference; the k-hat gate makes the
@@ -586,7 +590,7 @@ def main() -> None:
         }
 
     if "inv_st" in st:
-        em.run("vi_advi", 120, b_vi)
+        em.run("vi_advi", 130, b_vi)
 
     # --- particle-transport SVGD (annealed) ---------------------------------
     # the nonparametric gradient-based member of the approximation layer
@@ -629,7 +633,7 @@ def main() -> None:
         }
 
     if "inv_st" in st:
-        em.run("svgd", 120, b_svgd)
+        em.run("svgd", 160, b_svgd)
 
     # --- normalizing flow + NeuTra on the MULTIMODAL headline data ----------
     # the non-Gaussian approximation layer where it matters: same 1e-3
@@ -686,7 +690,7 @@ def main() -> None:
             },
         }
 
-    em.run("flow_neutra", 300, b_flow)
+    em.run("flow_neutra", 450, b_flow)
 
     _log(f"bench complete: {_elapsed():.1f}s of {BUDGET_S:.0f}s budget")
     em.emit()
