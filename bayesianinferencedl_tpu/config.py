@@ -71,12 +71,14 @@ class ROMConfig:
     greedy_candidates: int = 256
     online_precision: str = "highest"  # "highest" | "high" | "fast"
     # deployed reduced-PCG iteration count; 0 = auto max(15, r/2) — the
-    # measured posterior-accuracy knee (api.build_pipeline;
-    # artifacts/iter_frontier_r4.json). Non-zero
-    # values are for the accuracy-vs-speed frontier sweep
-    # (scripts/iter_frontier.py): the surrogate trains on whatever path is
-    # deployed, so under-converged solves leave k-rough error the NN cannot
-    # learn.
+    # measured posterior-accuracy knee at the production 1e-3 noise
+    # (api.build_pipeline; artifacts/iter_frontier_r4.json). The knee
+    # trades corrected-forward headroom for throughput: at r=40 the
+    # 20-iter holdout corrected error is ~4e-4 (vs 8.8e-5 at 30 iters) —
+    # still under the 1e-3 noise floor, but for tighter instruments
+    # (noise < ~5e-4) set online_iters=3r/4 explicitly. The surrogate
+    # trains on whatever path is deployed, so under-converged solves leave
+    # k-rough error the NN cannot learn (scripts/iter_frontier.py).
     online_iters: int = 0
     seed: int = 0
 
