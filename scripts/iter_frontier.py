@@ -155,9 +155,6 @@ def main() -> None:
             pipes[iters] = build_pipeline(variant_cfg(iters, temps),
                                           dtype=jnp.float32, metrics=log_v)
         pipe = dataclasses.replace(pipes[iters], config=variant_cfg(iters, temps))
-        hold = None
-        # holdout corrected rel-err of this pipeline's surrogate (the
-        # accuracy mechanism: under-converged solves leave k-rough error)
         inv = run_inversion(pipe, theta_true=theta_true, data=data,
                             key=jax.random.PRNGKey(42))
         mean_v, std_v = post_stats(inv.result.samples)
