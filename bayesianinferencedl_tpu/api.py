@@ -445,6 +445,25 @@ def build_pipeline(
     # (0.0012 vs 0.0011) at 1.42x the chain throughput, while 15 iters is
     # 10x off (0.013). Deployed default = the measured knee.
     rom_pcg_iters = cfg.rom.online_iters or max(15, cfg.rom.basis_size // 2)
+    # The r/2 knee was measured at 1e-3 observation noise, where the 20-iter
+    # corrected holdout error (~4e-4 at r=40) sits under the noise floor.
+    # For tighter instruments that margin is gone — the auto default bumps
+    # itself to 3r/4 and says so (advisor r4: the caveat lived only in a
+    # ROMConfig comment; a user with noise < 5e-4 silently got a surrogate
+    # whose correction bought ~10% over the raw ROM).
+    if not cfg.rom.online_iters and cfg.mcmc.noise_sigma < 5e-4:
+        import warnings
+
+        rom_pcg_iters = max(rom_pcg_iters, 3 * cfg.rom.basis_size // 4)
+        warnings.warn(
+            f"noise_sigma={cfg.mcmc.noise_sigma:g} < 5e-4: the auto online_iters "
+            f"knee (r/2) leaves solver error above the noise floor; bumping the "
+            f"deployed reduced-PCG iteration count to 3r/4 = {rom_pcg_iters}. "
+            "Set ROMConfig.online_iters explicitly to override.",
+            stacklevel=2,
+        )
+        log.log("online_iters_bumped", value=rom_pcg_iters,
+                reason=f"noise_sigma {cfg.mcmc.noise_sigma:g} < 5e-4")
     rom_fwd = rom.fast_forward(P0, rom_pcg_iters, rom_prec)
     with log.timer("error_dataset"):
         ds = generate_error_dataset(

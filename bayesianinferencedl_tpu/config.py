@@ -75,10 +75,12 @@ class ROMConfig:
     # (api.build_pipeline; artifacts/iter_frontier_r4.json). The knee
     # trades corrected-forward headroom for throughput: at r=40 the
     # 20-iter holdout corrected error is ~4e-4 (vs 8.8e-5 at 30 iters) —
-    # still under the 1e-3 noise floor, but for tighter instruments
-    # (noise < ~5e-4) set online_iters=3r/4 explicitly. The surrogate
-    # trains on whatever path is deployed, so under-converged solves leave
-    # k-rough error the NN cannot learn (scripts/iter_frontier.py).
+    # still under the 1e-3 noise floor. For tighter instruments
+    # (mcmc.noise_sigma < 5e-4) build_pipeline auto-bumps the 0-default to
+    # 3r/4 with a warning (advisor r4); set online_iters explicitly to
+    # override. The surrogate trains on whatever path is deployed, so
+    # under-converged solves leave k-rough error the NN cannot learn
+    # (scripts/iter_frontier.py).
     online_iters: int = 0
     seed: int = 0
 

@@ -11,12 +11,25 @@ convergence evidence (VERDICT.md round-1 item 2).
 
 INCREMENTAL + BUDGET-AWARE (VERDICT r3 item 1 — round 3's driver capture
 timed out with zero output because the old bench printed exactly once, at
-the very end):
+the very end) + COMPACT (VERDICT r4 item 1 — round 4's driver capture was
+rc=0 but unparsed: the full-record line had grown to ~6.2 KB while the
+driver parses only the LAST 2000 characters of stdout):
 
-- After EVERY completed block the CURRENT full result is printed as one
-  JSON line (stdout, flushed). The driver parses the LAST line, so a
-  timeout now yields everything measured up to that point instead of
-  nothing. Lines before the PT headline carry ``"partial": true``.
+- After EVERY completed block a COMPACT summary line (hard-capped at
+  1800 chars, self-trimming — see Emitter.compact) is printed to stdout,
+  and the FULL record is written to ``artifacts/bench_full_latest.json``.
+  The driver parses the last stdout line; humans and sync_bench_docs.py
+  read the full artifact. Lines before the PT headline carry
+  ``"partial": true``.
+- CARRY-FORWARD (VERDICT r4 item 3): blocks skipped by the budget (or
+  failed fail-soft) pull their rows from the newest local full artifact,
+  tagged ``"source": "carry:<path>"`` in the full record and listed under
+  ``carry`` in the compact line — a budget-limited run records every
+  layer with explicit provenance instead of silent gaps.
+- PIPELINE CACHE (VERDICT r4 item 3): the offline build (basis + NN
+  training, ~274 s in r4) is cached in
+  ``artifacts/bench_pipeline_cache.npz`` keyed by the exact PipelineConfig;
+  a cache hit reclaims ~4 min of the driver budget for measurement.
 - A wall-clock budget (env ``BIDL_BENCH_BUDGET_S``, default 900 s) gates
   every block: a block whose cost estimate exceeds the remaining budget is
   recorded as ``{"skipped": "budget"}`` and the bench moves on. Blocks are
@@ -98,8 +111,46 @@ def _timed(fn, *args, fresh=None, reps=3):
     return out, best
 
 
+ART_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+FULL_RECORD_PATH = os.path.join(ART_DIR, "bench_full_latest.json")
+# newest complete local artifact — the carry-forward source for blocks the
+# budget skips (override with BIDL_BENCH_CARRY=path or "" to disable)
+CARRY_SRC = os.environ.get(
+    "BIDL_BENCH_CARRY", os.path.join(ART_DIR, "bench_r4_local.json")
+)
+
+# block name -> the detail keys that block owns (for carry-forward)
+BLOCK_DETAIL_KEYS = {
+    "build_pipeline": ("rom_rel_err", "corrected_rel_err", "rel_err_eval"),
+    "fom_solves": (
+        "fom_solves_per_sec_xla",
+        "fom_solves_per_sec_pallas",
+        "fom_solves_per_sec_pallas_b4096",
+    ),
+    "rom_nn_solves": ("rom_nn_solves_per_sec",),
+    "resolution_scaling": ("resolution_scaling",),
+    "pcn_single_temp": ("pcn_single_temp",),
+    "laplace_mh": ("laplace_mh",),
+    "mala_lap": ("mala_lap",),
+    "da_fom": ("da_fom_exact",),
+    "eki": ("eki",),
+    "vi_advi": ("vi",),
+    "svgd": ("svgd",),
+    "flow_neutra": ("flow_neutra",),
+}
+
+# compact-line keys dropped (in order) if the line would exceed the cap
+COMPACT_DROP_ORDER = (
+    "approx", "blocks", "roofline", "res", "single_temp", "carry",
+)
+COMPACT_MAX_CHARS = 1800  # driver captures the last 2000 chars of stdout
+
+
 class Emitter:
-    """Owns the result dict; re-prints the full JSON line after each block."""
+    """Owns the result dict. After each block: writes the FULL record to
+    artifacts/bench_full_latest.json and prints a COMPACT (<=1800 char,
+    self-trimming) summary line to stdout — the driver parses only the
+    last ~2000 stdout chars (VERDICT r4 item 1; BENCH_r04 parsed=null)."""
 
     def __init__(self):
         self.detail = {
@@ -111,9 +162,31 @@ class Emitter:
         self.unit = "solves/sec"
         self.vs_baseline = None
         self.partial = True
+        self.carried = set()  # cumulative across emits
+        try:
+            with open(CARRY_SRC) as f:
+                self.carry_detail = json.load(f).get("detail", {})
+        except Exception:
+            self.carry_detail = {}
 
-    def emit(self):
-        self.detail["bench_elapsed_s"] = round(_elapsed(), 1)
+    def _apply_carries(self):
+        """For every block that ended skipped/failed, fill its detail keys
+        from the carry artifact (full record gets the values + a source
+        tag; the compact line lists the block under ``carry``)."""
+        for name, status in self.detail["blocks"].items():
+            if "skipped" not in status and "error" not in status:
+                continue
+            for key in BLOCK_DETAIL_KEYS.get(name, ()):
+                if key in self.detail or key not in self.carry_detail:
+                    continue
+                val = self.carry_detail[key]
+                if isinstance(val, dict):
+                    val = {**val, "source": f"carry:{os.path.relpath(CARRY_SRC, os.path.dirname(ART_DIR))}"}
+                self.detail[key] = val
+                self.carried.add(key)
+        return self.carried
+
+    def full_record(self):
         out = {
             "metric": self.metric,
             "value": self.value,
@@ -123,7 +196,137 @@ class Emitter:
         }
         if self.partial:
             out["partial"] = True
-        print(json.dumps(out), flush=True)
+        return out
+
+    def compact(self, carried):
+        """The stdout line: headline + the VERDICT-required rows, trimmed
+        to COMPACT_MAX_CHARS by dropping optional sections."""
+        d = self.detail
+
+        def sub(src, keymap):
+            if not isinstance(src, dict):
+                return None
+            out = {new: src[old] for new, old in keymap.items() if old in src}
+            return out or None
+
+        cd = {
+            "budget_s": BUDGET_S,
+            "elapsed_s": d.get("bench_elapsed_s"),
+            "backend": d.get("backend"),
+            "full_record": "artifacts/bench_full_latest.json",
+        }
+        if d.get("smoke"):
+            cd["smoke"] = True
+        for k in ("rom_rel_err", "corrected_rel_err"):
+            if d.get(k) is not None:
+                cd[k] = d[k]
+        for new, old in (
+            ("fom_xla", "fom_solves_per_sec_xla"),
+            ("fom_pallas_b256", "fom_solves_per_sec_pallas"),
+            ("fom_pallas_b4096", "fom_solves_per_sec_pallas_b4096"),
+            ("rom_nn", "rom_nn_solves_per_sec"),
+        ):
+            if old in d:
+                cd[new] = d[old]
+        if "rhat_split_max" in d:  # PT headline landed
+            cd["headline"] = {
+                "deployed": d.get("deployed_config"),
+                "rhat_split_max": d.get("rhat_split_max"),
+                "rhat_ok": d.get("rhat_ok"),
+                "ess_bulk_min": d.get("ess_bulk_min"),
+                "ess_per_sec": d.get("ess_per_sec"),
+                "wall_s_10k_steps": d.get("wall_seconds_10k_steps"),
+                "accept_cold": d.get("accept_rate_cold"),
+            }
+        rs = d.get("resolution_scaling") or {}
+        res = {
+            k: v.get("fom_solves_per_sec_pallas")
+            for k, v in rs.items() if isinstance(v, dict)
+        }
+        if res:
+            cd["res"] = res
+        st = sub(d.get("pcn_single_temp"), {
+            "sps": "samples_per_sec", "ess_s": "ess_per_sec",
+            "rhat": "rhat_split_max", "gate": "rhat_gate", "ok": "rhat_ok",
+            "steps": "n_steps",
+        })
+        if st:
+            cd["single_temp"] = st
+        approx = {}
+        for name, src, keymap in (
+            ("laplace_mh", d.get("laplace_mh"), {"ess_s": "ess_per_sec", "rhat": "rhat_split_max"}),
+            ("mala_lap", d.get("mala_lap"), {"ess_s": "ess_per_sec", "rhat": "rhat_split_max"}),
+            ("da_fom", d.get("da_fom_exact"), {"ess_s": "ess_per_sec", "accept": "outer_accept", "rhat": "rhat_split_max"}),
+            ("eki", d.get("eki"), {"err": "mean_abs_err_vs_pcn", "wall_s": "wall_seconds"}),
+            ("vi", d.get("vi"), {"khat": "psis_k_hat", "err": "mean_abs_err_vs_pcn"}),
+            ("svgd", d.get("svgd"), {"khat": "psis_k_hat_moment_matched", "err": "mean_abs_err_vs_pcn"}),
+            ("flow_neutra", d.get("flow_neutra"), {"khat": "psis_k_hat"}),
+        ):
+            row = sub(src, keymap)
+            if row is not None:
+                approx[name] = row
+        fn = d.get("flow_neutra") or {}
+        if isinstance(fn.get("neutra"), dict) and "flow_neutra" in approx:
+            approx["flow_neutra"]["nt_rhat"] = fn["neutra"].get("rhat_split_max")
+            approx["flow_neutra"]["nt_ess_s"] = fn["neutra"].get("ess_per_sec")
+        if approx:
+            cd["approx"] = approx
+        rl_ = d.get("roofline") or {}
+        roof = sub(rl_, {
+            "pcg_tflops": "pcg_kernel_tflops",
+            "pcg_pct_vpu": "pcg_kernel_pct_vpu_peak",
+            "chain_pct_mxu": "chain_step_pct_f32_mxu_peak",
+        })
+        if roof:
+            cd["roofline"] = roof
+        blocks = {}
+        for name, status in self.detail["blocks"].items():
+            if "error" in status:
+                blocks[name] = "err"
+            elif "skipped" in status:
+                blocks[name] = "carry" if any(
+                    k in carried for k in BLOCK_DETAIL_KEYS.get(name, ())
+                ) else "skip"
+            else:
+                blocks[name] = f"{status['seconds']:.0f}s"
+        cd["blocks"] = blocks
+        if carried:
+            cd["carry"] = {
+                "keys": sorted(set(carried)),
+                "src": os.path.basename(CARRY_SRC),
+            }
+        out = {
+            "metric": self.metric,
+            "value": self.value,
+            "unit": self.unit,
+            "vs_baseline": self.vs_baseline,
+            "detail": cd,
+        }
+        if self.partial:
+            out["partial"] = True
+        line = json.dumps(out)
+        for drop in COMPACT_DROP_ORDER:
+            if len(line) <= COMPACT_MAX_CHARS:
+                break
+            cd.pop(drop, None)
+            line = json.dumps(out)
+        if len(line) > COMPACT_MAX_CHARS:  # last resort — never exceed cap
+            out["detail"] = {"truncated": True, "full_record": cd["full_record"]}
+            line = json.dumps(out)
+        return line
+
+    def emit(self):
+        self.detail["bench_elapsed_s"] = round(_elapsed(), 1)
+        carried = self._apply_carries()
+        try:
+            os.makedirs(ART_DIR, exist_ok=True)
+            tmp = FULL_RECORD_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.full_record(), f, indent=1)
+            os.replace(tmp, FULL_RECORD_PATH)
+        except Exception as e:  # pragma: no cover - disk full etc.
+            _log(f"full-record write failed: {e}")
+        print(self.compact(carried), flush=True)
 
     def run(self, name: str, est_s: float, fn, *, required: bool = False) -> bool:
         """Run one block under the budget. Returns True iff it completed.
@@ -153,6 +356,13 @@ class Emitter:
             ok = False
         self.emit()
         return ok
+
+    def skip(self, name: str, reason: str):
+        """Record an explicitly-skipped block (advisor r4: dependency-gated
+        blocks must self-document their absence like every other omission)."""
+        _log(f"SKIP {name}: {reason}")
+        self.detail["blocks"][name] = {"skipped": reason}
+        self.emit()
 
 
 def main() -> None:
@@ -192,7 +402,7 @@ def main() -> None:
         "n_snapshots": 256, "r": 40, "n_train": 1024, "epochs": 300,
         "pt_steps": 15_000, "pt_burn": 2_000,
         "fom_batch": 256, "fom_batch_big": 4096,
-        "st_chains": 8192, "st_steps": 10_000, "st_burn": 2_000,
+        "st_chains": 8192, "st_steps": 30_000, "st_burn": 6_000,
         "da_chains": 1024, "da_steps": 500, "da_burn": 150,
         "eki_ens": 1024, "vi_steps": 3000, "vi_mc": 32, "psis_draws": 4096,
         "svgd_particles": 512, "svgd_steps": 800,
@@ -244,13 +454,60 @@ def main() -> None:
         return sample_log_uniform(jax.random.PRNGKey(seed), n).astype(jnp.float32)
 
     # --- pipeline build (required by every other block) ---------------------
+    # Cached (VERDICT r4 item 3): the offline build burned 274 s (~30% of
+    # the 900 s driver budget) in r4. Pipeline.save/load round-trips every
+    # offline artifact; the cache key is the exact PipelineConfig dict, so
+    # any size/precision change rebuilds. Holdout figures ride a sidecar.
+    from bayesianinferencedl_tpu.api import Pipeline
+
+    CACHE = os.path.join(ART_DIR, "bench_pipeline_cache.npz")
+
     def b_build():
+        want = cfg.to_dict()
+        if os.path.exists(CACHE) and os.path.exists(CACHE + ".meta.json"):
+            try:
+                with open(CACHE + ".meta.json") as f:
+                    side = json.load(f)
+                if side.get("config") == want:
+                    pipe_c = Pipeline.load(CACHE, dtype=jnp.float32)
+                    st["pipe"] = pipe_c
+                    em.detail["rom_rel_err"] = side["rom_rel_err"]
+                    em.detail["corrected_rel_err"] = side["corrected_rel_err"]
+                    em.detail["rel_err_eval"] = side["rel_err_eval"] + (
+                        " [cached build: artifacts/bench_pipeline_cache.npz, "
+                        f"built {side.get('built')} in {side.get('build_seconds')}s]"
+                    )
+                    em.detail["build_pipeline_cached"] = True
+                    _log("pipeline cache HIT (config match)")
+                    return
+                _log("pipeline cache STALE (config changed) — rebuilding")
+            except Exception as e:
+                _log(f"pipeline cache unreadable ({e}) — rebuilding")
+        t0 = time.perf_counter()
         st["pipe"] = build_pipeline(cfg, dtype=jnp.float32, metrics=log)
+        build_s = round(time.perf_counter() - t0, 1)
         em.detail["rom_rel_err"] = log.summary().get("holdout_rel_err", {}).get("rom")
         em.detail["corrected_rel_err"] = log.summary().get("holdout_rel_err", {}).get("corrected")
         em.detail["rel_err_eval"] = "holdout (128 fresh draws; train-set figures in the metrics log)"
+        if not SMOKE:
+            try:
+                import datetime
 
-    em.run("build_pipeline", 280, b_build, required=True)
+                st["pipe"].save(CACHE)
+                with open(CACHE + ".meta.json", "w") as f:
+                    json.dump({
+                        "config": want,
+                        "rom_rel_err": em.detail["rom_rel_err"],
+                        "corrected_rel_err": em.detail["corrected_rel_err"],
+                        "rel_err_eval": em.detail["rel_err_eval"],
+                        "build_seconds": build_s,
+                        "built": datetime.date.today().isoformat(),
+                    }, f, indent=1)
+                _log(f"pipeline cache SAVED ({build_s}s build)")
+            except Exception as e:
+                _log(f"pipeline cache save failed: {e}")
+
+    em.run("build_pipeline", 30 if os.path.exists(CACHE) else 280, b_build, required=True)
     pipe = st["pipe"]
 
     # --- forward solves/sec: FOM via XLA AND via the fused Pallas kernel ----
@@ -335,6 +592,16 @@ def main() -> None:
         em.vs_baseline = round(inv.samples_per_sec / north_star_rate, 2)
         em.partial = False
         em.detail.update({
+            # VERDICT r4 item 2/8: this block measures the pipeline AS
+            # SHIPPED — build_pipeline's deployed default of max(15, r/2)
+            # online reduced-PCG iterations (= 20 at r=40, the r4 measured
+            # accuracy knee). Rounds 2-4 headlines were measured at the
+            # older 30-iter default; the frontier table predicts ~1.42x.
+            "deployed_config": (
+                f"{pipe.rom_pcg_iters} online reduced-PCG iters (bf16x3), "
+                f"adaptive {N_TEMPS}-level ladder — r2-r4 headlines measured "
+                "the pre-96cea77 30-iter default"
+            ),
             "sampler": f"pt_pcn x{N_TEMPS} temps, adaptive ladder (exact on the multimodal posterior)",
             "ladder_final_mean": [
                 round(float(l), 4)
@@ -424,10 +691,11 @@ def main() -> None:
     # --- single-temperature pCN throughput (unimodal 1e-2 regime) -----------
     # the raw chain-step rate of the fused ROM+NN likelihood without the
     # tempering ladder — benched where single-temp pCN actually converges.
-    # 10k steps (up from r3's 3k, which left split-R-hat at 1.075 — above
-    # the repo's own 1.01 convergence gate, VERDICT r3 weak-3): the chain
-    # step is ~3 s of sampling at this rate, so the longer run costs
-    # nothing and the headline number now carries its own clean gate.
+    # 30k steps (VERDICT r4 item 4: 3k left split-R-hat 1.075, 10k left
+    # 1.023 — still above the repo's own 1.01 gate; sampling at ~31M
+    # samples/s is ~8 s of the block's ~260 s wall, which is nearly all
+    # compile, so tripling the steps costs seconds and the number must
+    # finally pass its own gate or be demoted from the README headline).
     def b_single_temp():
         cfg_st = dataclasses.replace(
             cfg,
@@ -452,7 +720,7 @@ def main() -> None:
             "rhat_ok": bool(rhat_st < 1.01),
         }
 
-    em.run("pcn_single_temp", 265, b_single_temp)
+    em.run("pcn_single_temp", 270, b_single_temp)
 
     # --- effective-sample rate with the Laplace-proposal sampler ------------
     # benched at 1e-2 noise, where the posterior is unimodal and the
@@ -555,6 +823,8 @@ def main() -> None:
 
     if "inv_st" in st:
         em.run("eki", 20, b_eki)
+    else:  # advisor r4: dependency-gated omissions must self-document
+        em.skip("eki", "needs pcn_single_temp")
 
     # --- gradient-based VI (full-rank ADVI) + PSIS certification ------------
     # the same data as the pCN reference; the k-hat gate makes the
@@ -591,6 +861,8 @@ def main() -> None:
 
     if "inv_st" in st:
         em.run("vi_advi", 130, b_vi)
+    else:
+        em.skip("vi_advi", "needs pcn_single_temp")
 
     # --- particle-transport SVGD (annealed) ---------------------------------
     # the nonparametric gradient-based member of the approximation layer
@@ -634,6 +906,8 @@ def main() -> None:
 
     if "inv_st" in st:
         em.run("svgd", 160, b_svgd)
+    else:
+        em.skip("svgd", "needs pcn_single_temp")
 
     # --- normalizing flow + NeuTra on the MULTIMODAL headline data ----------
     # the non-Gaussian approximation layer where it matters: same 1e-3
