@@ -187,7 +187,7 @@ def _jacobi_cg(matvec, psum, vals, F, x0, tol2_scale, *, maxiter: int,
     iteration counts grow like 1/h^2 — iterations drop several-fold for two
     small MXU matmuls per iteration.
     """
-    diag = vals[diag_slot]
+    diag = vals[diag_slot].astype(F.dtype)  # planes may be bf16 (see matvec)
     inv_diag = jnp.where(diag != 0.0, pl.reciprocal(jnp.where(diag != 0.0, diag, 1.0), approx=False), 0.0)
 
     def precond(r):
@@ -402,10 +402,14 @@ def _pcg_kernel_sublanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, 
     roll(vals[+o]*p, o) — same op count, 43% less vals VMEM/HBM (what fits
     the m=128 deflation basis at res16). offsets: the 3 POSITIVE offsets."""
     def matvec(vals, p):  # (S, n) symmetric stencil apply, lane-axis rolls
-        acc = vals[0] * p
+        # planes may arrive bf16 (planes_bf16 experiment — VERDICT r4
+        # missing-4): cast per use so products/accumulation stay in the CG
+        # state dtype (f32). Identity when planes are already f32.
+        f32 = lambda a: a.astype(p.dtype)
+        acc = f32(vals[0]) * p
         for j, o in enumerate(offsets):
-            acc += vals[1 + j] * pltpu.roll(p, -o % p.shape[1], 1)
-            acc += pltpu.roll(vals[1 + j] * p, o % p.shape[1], 1)
+            acc += f32(vals[1 + j]) * pltpu.roll(p, -o % p.shape[1], 1)
+            acc += pltpu.roll(f32(vals[1 + j]) * p, o % p.shape[1], 1)
         return acc
 
     def psum(a):  # per-sample inner product -> (S, 1)
@@ -440,7 +444,7 @@ def _pcg_kernel_sublanes(tol2_ref, vals_ref, F_ref, x0_ref, out_ref, it_ref, *, 
     it_ref[:] = jnp.full(it_ref.shape, it, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("maxiter", "tile", "offsets", "check_every", "chunk"))
+@partial(jax.jit, static_argnames=("maxiter", "tile", "offsets", "check_every", "chunk", "planes_bf16"))
 def pcg_stencil_batch_sublanes(
     vals_flat: jax.Array,  # (B, n, 7) flat per-sample diagonal values
     F_flat: jax.Array,  # (n,)
@@ -454,6 +458,7 @@ def pcg_stencil_batch_sublanes(
     Wt: jax.Array | None = None,  # (m, n) deflation basis (ops/deflation.py)
     Binv: jax.Array | None = None,  # (B, m, m) per-sample coarse inverses
     chunk: bool | None = None,  # None = auto by VMEM estimate
+    planes_bf16: bool = False,  # EXPERIMENT (VERDICT r4 missing-4): bf16 planes
 ):
     """Sublane-tiled fused PCG (see _pcg_kernel_sublanes). B must be a
     multiple of tile (solve_fom_stencil_pallas pads); tile a multiple of 8
@@ -482,6 +487,14 @@ def pcg_stencil_batch_sublanes(
     # reconstructs -o contributions by rolling); the output (n_tiles, S, n)
     # reshapes straight back
     vals_t = vals_flat[:, :, DIAG_SLOT:].reshape(n_tiles, tile, n, 4).transpose(0, 3, 1, 2)
+    if planes_bf16:
+        # bf16 diagonal planes + f32 CG state/accumulation: halves the vals
+        # VMEM residency (the binding budget at res>=8) at the cost of a
+        # ~bf16-mantissa (~4e-3) PERTURBATION OF THE OPERATOR ITSELF — CG
+        # then converges to the perturbed system's solution, so this is NOT
+        # tolerance-preserving. Measured res8 datapoint + writeup:
+        # artifacts/kernel_sweep_r5.json, docs/DESIGN.md §6.
+        vals_t = vals_t.astype(jnp.bfloat16)
     F_1n = F_flat[None, :]
     x0_t = None if x0_flat is None else x0_flat.reshape(n_tiles, tile, n)
 
@@ -735,6 +748,7 @@ def solve_fom_stencil_pallas(
     layout: str | None = None,
     deflation=None,
     coarse_inv: jax.Array | None = None,
+    planes_bf16: bool = False,
 ):
     """Batched FOM solve through the fused Pallas kernel.
 
@@ -812,8 +826,13 @@ def solve_fom_stencil_pallas(
         if pad_b:
             Binv = jnp.concatenate([Binv, jnp.repeat(Binv[:1], pad_b, 0)], 0)
     batch_fn = pcg_stencil_batch_lanes if layout == "lanes" else pcg_stencil_batch_sublanes
+    kw = {}
+    if layout == "sublanes" and planes_bf16:
+        # bf16-plane experiment (VERDICT r4 missing-4) — sublanes only; NOT
+        # tolerance-preserving (perturbs the operator by ~bf16 mantissa)
+        kw["planes_bf16"] = True
     u, iters = batch_fn(
         vals, op.F_root, x0, tol=tol, maxiter=maxiter, tile=sample_tile,
-        offsets=tuple(int(o) for o in op.offsets), Wt=Wt, Binv=Binv,
+        offsets=tuple(int(o) for o in op.offsets), Wt=Wt, Binv=Binv, **kw,
     )
     return u[:B], iters[:B]
