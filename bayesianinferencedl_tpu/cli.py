@@ -1297,7 +1297,7 @@ def main(argv=None) -> None:
                 "--adapt-ladder", action="store_true",
                 help="tune the PT ladder during burn-in (swap-rate targeting)",
             )
-            p.add_argument("--subchain", type=int, default=8, help="da_pcn inner steps per fine correction")
+            p.add_argument("--subchain", type=int, default=64, help="da_pcn inner steps per fine correction (r5 frontier deployment — config.MCMCConfig.subchain)")
             p.add_argument("--da-coarse", choices=["rom", "rom_nn"], default="rom_nn")
             p.add_argument(
                 "--da-inner", choices=["pcn", "mala"], default="pcn",
@@ -1412,7 +1412,7 @@ def main(argv=None) -> None:
         "--adapt-ladder", action="store_true",
         help="tune the PT ladder during burn-in (swap-rate targeting)",
     )
-    p.add_argument("--subchain", type=int, default=8)
+    p.add_argument("--subchain", type=int, default=64)
     p.add_argument(
         "--da-inner", choices=["pcn", "mala"], default="pcn",
         help="da_pcn subchain kernel (mala = gradient-informed)",

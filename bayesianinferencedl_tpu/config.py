@@ -199,7 +199,18 @@ class MCMCConfig:
     n_temps: int = 4
     lambda_min: float = 0.05
     adapt_ladder: bool = False
-    subchain: int = 8
+    # DA coarse steps per fine correction. 64 = the r5 measured deployment
+    # (artifacts/da_frontier_r5.json): one batched FOM correction costs
+    # ~75x a rom_nn subchain step, so longer subchains amortize it almost
+    # for free while DA stays EXACT for every S — ESS/s on the 1e-2 fin
+    # posterior: S=8 909, S=32 5.3k, S=64 9.1k (10.0x, deployed), S=128
+    # 15.9x, S=256 17.4x but ESS/kept already 0.90 (the one-ESS-per-outer-
+    # step ceiling) with coarse cost visible. S=64 keeps 1.6x headroom
+    # below the knee and half S=128's subchain drift exposure for weaker
+    # surrogates (outer acceptance was 0.998 throughout HERE because the
+    # NN-corrected ROM is accurate; a biased surrogate pays more drift per
+    # subchain step — see mlda_vs_da_r3.json for the weak-surrogate regime).
+    subchain: int = 64
     da_coarse: str = "rom_nn"
     # DA subchain kernel for da_pcn AND pt_da_pcn: "pcn" (random walk) or
     # "mala" (gradient-informed — better subchain decorrelation per fine

@@ -785,7 +785,10 @@ def main() -> None:
     em.run("mala_lap", 205, b_mala)
 
     # --- delayed acceptance: the EXACT full-order posterior -----------------
-    # rom_nn subchains (S=8) + one batched Pallas FOM correction per outer
+    # rom_nn subchains (the DEPLOYED default length — r5 frontier
+    # artifacts/da_frontier_r5.json: S=64 is 10x S=8's ESS/s because one
+    # batched FOM correction costs ~75x a coarse step; the config comment
+    # has the full ladder) + one batched Pallas FOM correction per outer
     # step; same artifacts, unimodal 1e-2-noise regime (the multimodal 1e-3
     # case needs the tempered variant — artifacts/ptda_fom_1e3noise.json)
     def b_da_fom():
@@ -794,12 +797,12 @@ def main() -> None:
             mcmc=dataclasses.replace(
                 cfg.mcmc, n_chains=SZ["da_chains"], n_steps=SZ["da_steps"],
                 n_burn=SZ["da_burn"], noise_sigma=1e-2,
-                likelihood="fom", sampler="da_pcn", subchain=8,
+                likelihood="fom", sampler="da_pcn",
             ),
         )
         inv_da = run_inversion(dataclasses.replace(pipe, config=cfg_da), metrics=log)
         em.detail["da_fom_exact"] = {
-            "sampler": "da_pcn (rom_nn subchains x8 + exact FOM correction)",
+            "sampler": f"da_pcn (rom_nn subchains x{cfg_da.mcmc.subchain} + exact FOM correction; deployed default, r5 frontier)",
             "ess_per_sec": round(inv_da.ess_per_sec, 2),
             "ess_bulk_min": round(float(jnp.min(inv_da.ess)), 1),
             "ess_tail_min": round(float(jnp.min(inv_da.ess_tail)), 1),

@@ -63,6 +63,9 @@ BASE = PipelineConfig(
 
 VARIANTS = [
     ("pcn", 8), ("pcn", 16), ("pcn", 32), ("pcn", 64), ("pcn", 128),
+    ("pcn", 256),  # the knee probe: ESS/kept hits 0.62 at S=128, so the
+    # one-ESS-per-outer-step ceiling (~24k ESS/s at this chain count)
+    # lands near S=256 — past it longer subchains only add coarse cost
     ("mala", 8), ("mala", 32), ("mala", 64),
 ]
 
