@@ -622,6 +622,11 @@ def run_full_field_inversion(
     noise_sigma: float = 1e-3,
     n_temps: int = 5,
     lambda_min: float = 0.02,
+    # conservative default: full-field surrogates carry more bias than the
+    # five-param pipeline's, and DA drift per outer step grows with S. When
+    # the measured outer acceptance sits near 1, raise toward 64 — the r5
+    # frontier (artifacts/da_frontier_r5.json) showed ESS/s scaling almost
+    # linearly in S until ESS/outer-step saturates (config.MCMCConfig).
     subchain: int = 8,
     mala_step: float = 0.1,
     hmc_leap: int = 8,

@@ -468,12 +468,27 @@ def main() -> None:
         # compare in JSON space: to_dict() holds tuples, the reloaded meta
         # holds lists — a raw == always misses (measured 2026-08-20)
         want = json.loads(json.dumps(cfg.to_dict()))
+
+        def build_key(cfgd):
+            # offline-build-relevant projection: the basis + surrogate only
+            # depend on mesh/fem/rom/surrogate/prior and mcmc.noise_sigma
+            # (the online_iters auto-bump, api.build_pipeline) — an mcmc
+            # sampler-knob change must NOT rebuild (the subchain default
+            # change cost one spurious 192 s rebuild, measured 2026-08-20)
+            key = {k: cfgd.get(k) for k in ("mesh", "fem", "rom", "surrogate", "prior")}
+            key["noise_sigma"] = (cfgd.get("mcmc") or {}).get("noise_sigma")
+            return key
+
         if os.path.exists(CACHE) and os.path.exists(CACHE + ".meta.json"):
             try:
                 with open(CACHE + ".meta.json") as f:
                     side = json.load(f)
-                if side.get("config") == want:
-                    pipe_c = Pipeline.load(CACHE, dtype=jnp.float32)
+                if build_key(side.get("config") or {}) == build_key(want):
+                    # the cached meta may carry a STALE mcmc section — pin
+                    # this bench's config onto the loaded pipeline
+                    pipe_c = dataclasses.replace(
+                        Pipeline.load(CACHE, dtype=jnp.float32), config=cfg
+                    )
                     st["pipe"] = pipe_c
                     em.detail["rom_rel_err"] = side["rom_rel_err"]
                     em.detail["corrected_rel_err"] = side["corrected_rel_err"]
