@@ -67,6 +67,11 @@ VARIANTS = [
     # one-ESS-per-outer-step ceiling (~24k ESS/s at this chain count)
     # lands near S=256 — past it longer subchains only add coarse cost
     ("mala", 8), ("mala", 32), ("mala", 64),
+    # chains scaling at the deployed S: the ESS/s ceiling is kept x chains
+    # per wall, and at 4096 chains the batched FOM correction rides the
+    # lane-tiled kernel at its b4096 peak (~29.6k solves/s) instead of the
+    # b1024 rate — absolute exact-FOM ESS/s should ~3x
+    ("pcn", 64, 4096), ("pcn", 128, 4096),
 ]
 
 
@@ -93,12 +98,15 @@ def main():
         pipe = build_pipeline(BASE, metrics=MetricsLogger())
         print(f"pipeline built in {time.time() - t0:.0f}s", flush=True)
 
-    for inner, S in VARIANTS:
-        name = f"{inner}_S{S}"
+    for variant in VARIANTS:
+        inner, S = variant[0], variant[1]
+        chains = variant[2] if len(variant) > 2 else BASE.mcmc.n_chains
+        name = f"{inner}_S{S}" + (f"_c{chains}" if len(variant) > 2 else "")
         if name in out["variants"]:
             continue
         cfg_v = dataclasses.replace(
-            BASE, mcmc=dataclasses.replace(BASE.mcmc, subchain=S, da_inner=inner)
+            BASE, mcmc=dataclasses.replace(
+                BASE.mcmc, subchain=S, da_inner=inner, n_chains=chains)
         )
         t0 = time.time()
         inv = run_inversion(dataclasses.replace(pipe, config=cfg_v),
@@ -112,6 +120,7 @@ def main():
         row = {
             "inner": inner,
             "subchain": S,
+            "n_chains": chains,
             "wall_seconds_incl_compile": round(wall, 1),
             "sampling_wall_seconds": round(inv.wall_seconds, 2),
             "outer_steps_per_sec": round(kept / inv.wall_seconds, 2),

@@ -1,56 +1,36 @@
 #!/bin/bash
-# Grouped test runner (VERDICT r4 item 7). CLAUDE.md rule 6b: one long
-# pytest process over the whole suite intermittently segfaults inside XLA
-# CPU backend_compile, so the suite cannot run as a single process — but
-# per-file processes paid ~5-9 min of repeated jax startup (~17 min total).
-# Middle ground: THREE sequential pytest processes (never concurrent — the
-# segfault worsens under concurrent CPU JAX), each with one retry. The two
-# slowest files (test_e2e ~8 min, test_cli ~6 min) anchor separate groups;
-# the rest is split round-robin. A group that fails twice reports its exit
-# code (139 = the known segfault; anything else is a real failure).
+# Per-file test runner with one retry (CLAUDE.md rule 6b: pytest processes
+# over the suite intermittently segfault inside XLA CPU backend_compile;
+# per-file processes with a retry are the sanctioned equivalent — same
+# coverage, ~17 min).
+#
+# MEASURED NEGATIVE (round 5, 2026-08-20): grouping files into 3 pytest
+# processes to amortize jax startup (VERDICT r4 item 7) is a LOSS on this
+# XLA CPU build, twice over: (a) in-process compile time degrades as a
+# process accumulates programs — group B ran 18 files in 1551 s vs the
+# same files' ~500 s per-file, 4602 s total for the suite vs ~1000 s —
+# and (b) the 6b segfault became DETERMINISTIC for group A's compile
+# sequence (died twice at the same test, tests/test_full_field_pipeline
+# run_sbc compile). Keep per-file isolation.
 # Usage: bash scripts/run_tests.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
-
-mapfile -t all < <(ls tests/test_*.py)
-g1=(tests/test_e2e.py)
-g2=(tests/test_cli.py)
-g3=()
-i=0
-for f in "${all[@]}"; do
-  [[ "$f" == tests/test_e2e.py || "$f" == tests/test_cli.py ]] && continue
-  case $((i % 3)) in
-    0) g1+=("$f") ;;
-    1) g2+=("$f") ;;
-    2) g3+=("$f") ;;
-  esac
-  i=$((i + 1))
-done
-
 t_start=$SECONDS
 fails=()
-run_group() {
-  local name=$1; shift
-  echo "[run_tests] group $name: $# files"
-  if ! timeout 2400 python -m pytest "$@" -q "${extra[@]}"; then
-    local rc=$?
-    echo "[run_tests] group $name failed (rc=$rc) — retrying once"
-    if ! timeout 2400 python -m pytest "$@" -q "${extra[@]}"; then
-      rc=$?
-      echo "[run_tests] group $name FAILED twice (rc=$rc)"
-      fails+=("$name(rc=$rc)")
-    fi
+for f in tests/test_*.py; do
+  echo "[run_tests] $f"
+  timeout 1200 python -m pytest "$f" -q "$@"
+  rc=$?
+  if [ "$rc" -ne 0 ]; then
+    echo "[run_tests] $f failed (rc=$rc) — retrying"
+    timeout 1200 python -m pytest "$f" -q "$@"
+    rc=$?
+    [ "$rc" -ne 0 ] && fails+=("$f(rc=$rc)")
   fi
-}
-
-extra=("$@")
-run_group A "${g1[@]}"
-run_group B "${g2[@]}"
-run_group C "${g3[@]}"
-
+done
 echo "[run_tests] wall: $((SECONDS - t_start))s"
 if [ ${#fails[@]} -gt 0 ]; then
-  echo "[run_tests] FAILED groups: ${fails[*]}"
+  echo "[run_tests] FAILED: ${fails[*]}"
   exit 1
 fi
-echo "[run_tests] all groups green"
+echo "[run_tests] all files green"
