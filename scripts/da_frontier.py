@@ -67,10 +67,11 @@ VARIANTS = [
     # one-ESS-per-outer-step ceiling (~24k ESS/s at this chain count)
     # lands near S=256 — past it longer subchains only add coarse cost
     ("mala", 8), ("mala", 32), ("mala", 64),
-    # chains scaling at the deployed S: the ESS/s ceiling is kept x chains
-    # per wall, and at 4096 chains the batched FOM correction rides the
-    # lane-tiled kernel at its b4096 peak (~29.6k solves/s) instead of the
-    # b1024 rate — absolute exact-FOM ESS/s should ~3x
+    # chains scaling at the deployed S — MEASURED NEGATIVE: batch
+    # efficiency saturates by 1024 chains (8 full lane tiles at res4), so
+    # 4x chains costs 4.8x wall for 4x ESS — 7.6k ESS/s at S=64/c4096 vs
+    # 9.1k at c1024, 13.2k at S=128/c4096 vs 14.5k at c1024. More chains
+    # buy total posterior draws, not ESS/s; 1024 stays the bench config.
     ("pcn", 64, 4096), ("pcn", 128, 4096),
 ]
 
