@@ -309,7 +309,7 @@ def load_artifact(src):
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "artifacts/bench_r4_local.json"
+    src = sys.argv[1] if len(sys.argv) > 1 else "artifacts/bench_r5_local.json"
     art = load_artifact(src)
     splice(os.path.join(REPO, "README.md"), readme_block(art, src))
     splice(os.path.join(REPO, "BASELINE.md"), baseline_block(art, src))
